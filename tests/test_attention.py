@@ -1,0 +1,43 @@
+"""Flash-attention kernel (interpret mode on CPU) vs XLA reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dino_tpu.ops.attention import attention_xla, flash_attention
+
+
+@pytest.mark.parametrize("n", [226, 901, 1024, 37])
+def test_flash_matches_xla(n):
+    key = jax.random.PRNGKey(n)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, nh, hd = 2, 3, 64
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, n, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, n, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref, _ = attention_xla(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, True)  # interpret mode
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_grad_matches_xla():
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 130, 64), jnp.float32)
+    k = jax.random.normal(kk, (1, 2, 130, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 130, 64), jnp.float32)
+    scale = 0.125
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(attention_xla(q, k, v, scale)[0] ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)

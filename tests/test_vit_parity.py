@@ -1,0 +1,73 @@
+"""End-to-end numerical parity of the JAX ViT vs golden tensors exported from
+the torch reference (tools/gen_goldens.py). Covers every public forward mode:
+all-tokens, intermediate, CLS-only, last-selfattention, intermediate layers,
+forward_mask, and masked attention."""
+import numpy as np
+import pytest
+
+from dino_tpu.checkpointing.torch_convert import convert_vit_state_dict
+from dino_tpu.models.vit import (ViTConfig, forward_mask,
+                                 get_intermediate_layers,
+                                 get_last_selfattention, vit_forward)
+from tests.conftest import golden_state_dict
+
+CFG = ViTConfig(patch_size=8, embed_dim=192, depth=2, num_heads=3,
+                mlp_ratio=4.0, qkv_bias=True, ln_eps=1e-6)
+
+ATOL = 2e-4
+RTOL = 1e-4
+
+
+def _nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def params(vit_golden):
+    return convert_vit_state_dict(golden_state_dict(vit_golden))
+
+
+def test_forward_all_tokens_240(vit_golden, params):
+    out = vit_forward(params, _nhwc(vit_golden["x240"]), CFG)
+    np.testing.assert_allclose(out, vit_golden["out240"], atol=ATOL, rtol=RTOL)
+
+
+def test_forward_intermediate(vit_golden, params):
+    out = vit_forward(params, _nhwc(vit_golden["x240"]), CFG, intermediate=1)
+    np.testing.assert_allclose(out, vit_golden["out240_int1"], atol=ATOL, rtol=RTOL)
+
+
+def test_forward_cls_only(vit_golden, params):
+    out = vit_forward(params, _nhwc(vit_golden["x240"]), CFG, all_tokens=False)
+    np.testing.assert_allclose(out, vit_golden["cls240"], atol=ATOL, rtol=RTOL)
+
+
+def test_forward_other_resolution_pos_interp(vit_golden, params):
+    out = vit_forward(params, _nhwc(vit_golden["x120"]), CFG)
+    np.testing.assert_allclose(out, vit_golden["out120"], atol=ATOL, rtol=RTOL)
+
+
+def test_last_selfattention(vit_golden, params):
+    attn = get_last_selfattention(params, _nhwc(vit_golden["x120"]), CFG)
+    np.testing.assert_allclose(attn, vit_golden["attn120"], atol=ATOL, rtol=RTOL)
+    attn240 = get_last_selfattention(params, _nhwc(vit_golden["x240"]), CFG)
+    np.testing.assert_allclose(np.asarray(attn240)[:, :, 0, :],
+                               vit_golden["attn240_cls"], atol=ATOL, rtol=RTOL)
+
+
+def test_intermediate_layers(vit_golden, params):
+    outs = get_intermediate_layers(params, _nhwc(vit_golden["x240"]), CFG, n=2)
+    np.testing.assert_allclose(outs[0], vit_golden["inter240_0"], atol=ATOL, rtol=RTOL)
+    np.testing.assert_allclose(outs[1], vit_golden["inter240_1"], atol=ATOL, rtol=RTOL)
+
+
+def test_forward_mask(vit_golden, params):
+    out = forward_mask(params, _nhwc(vit_golden["x120"]),
+                       vit_golden["cls_mask"], CFG)
+    np.testing.assert_allclose(out, vit_golden["fm120"], atol=ATOL, rtol=RTOL)
+
+
+def test_masked_attention(vit_golden, params):
+    attn = get_last_selfattention(params, _nhwc(vit_golden["x120"]), CFG,
+                                  cls_mask=vit_golden["cls_mask"])
+    np.testing.assert_allclose(attn, vit_golden["attn_masked"], atol=ATOL, rtol=RTOL)
