@@ -1,0 +1,311 @@
+"""DINOSeg: the public task API (load_from_checkpoint / set_resolution /
+predict / fit), TPU-native.
+
+Replicates the reference DINOSeg LightningModule surface
+(pl_torch_modules.py:141-440) on a functional JAX core:
+
+  * ``predict`` always returns a 480x480 int label map regardless of the
+    inference resolution (:276-300); preprocessing (cv2-compatible resize,
+    ImageNet normalize), the ViT forward (Pallas flash attention), the head,
+    argmax, and the kron upsample all run in ONE jitted device program per
+    (input-shape, resolution); a single uint8 host->device transfer in, a
+    single int32 480x480 transfer out.
+  * hyperparameters are embedded in checkpoints so ``load_from_checkpoint``
+    rebuilds the module (:225); torch PL .ckpt files are converted on the fly.
+  * ``fit`` runs the frozen-or-finetuned training loop with val-acc
+    checkpointing, optional sim pretraining, and a final test pass (:365-432).
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_tpu.checkpointing.io import load_checkpoint, save_checkpoint
+from dino_tpu.checkpointing.pretrained import load_pretrained_backbone
+from dino_tpu.checkpointing.torch_convert import convert_pl_checkpoint
+from dino_tpu.data.dataset import DuckieSegDataset, batched_loader, epoch_indices
+from dino_tpu.models.heads import init_head
+from dino_tpu.models.vit import (ViTConfig, get_last_selfattention,
+                                 init_vit_params, truncate_blocks, vit_forward)
+from dino_tpu.ops.preprocess import preprocess
+from dino_tpu.ops.upsample import kron_upsample
+from dino_tpu.train.loop import (init_opt_state, make_eval_step,
+                                 make_optimizer, make_train_step, seg_forward)
+from dino_tpu.train.metrics import segmentation_metrics
+
+_HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
+                "batch_size", "lr", "optimizer", "freeze_backbone",
+                "max_epochs", "patience", "grayscale", "n_classes",
+                "pretrain_on_sim", "augmented", "random_init", "backbone")
+
+
+class DINOSeg:
+    """DINO backbone + per-patch segmentation head."""
+
+    def __init__(self, data_path: Optional[str] = None,
+                 write_path: Optional[str] = None,
+                 class_names=None, head: str = "linear", n_blocks: int = 1,
+                 batch_size: int = 1, lr: float = 1e-6,
+                 optimizer: str = "adamw", freeze_backbone: bool = True,
+                 max_epochs: int = 200, patience: int = 10,
+                 grayscale: bool = False, n_classes: int = 7,
+                 pretrain_on_sim: bool = False, logger=None,
+                 augmented: bool = True, random_init: bool = False,
+                 backbone: str = "vit", pretrained_path: Optional[str] = None,
+                 seed: int = 0, train_resolution: int = 480,
+                 _vit_params=None, _head_params=None):
+        if backbone != "vit":
+            # cnn1/cnn2 ResNet-50 benchmarks: see dino_tpu.models.resnet
+            from dino_tpu.models.resnet import available as _resnet_available
+            if not _resnet_available(backbone):
+                raise ValueError(f"unsupported backbone {backbone!r}")
+        if isinstance(optimizer, type):  # torch-style class, for API parity
+            optimizer = optimizer.__name__.lower()
+
+        self.hparams: Dict[str, Any] = {
+            k: v for k, v in dict(
+                data_path=data_path, write_path=write_path,
+                class_names=list(class_names) if class_names else None,
+                head=head, n_blocks=n_blocks, batch_size=batch_size, lr=lr,
+                optimizer=optimizer, freeze_backbone=freeze_backbone,
+                max_epochs=max_epochs, patience=patience, grayscale=grayscale,
+                n_classes=n_classes, pretrain_on_sim=pretrain_on_sim,
+                augmented=augmented, random_init=random_init,
+                backbone=backbone, train_resolution=train_resolution).items()}
+        self.__dict__.update(self.hparams)
+        self.class_names = tuple(class_names) if class_names else None
+        self.logger = logger
+        self.cfg = ViTConfig(patch_size=8)  # ViT-S/8
+        self.mlp_input_dim = self.cfg.embed_dim
+        self.resolution = 480
+        self.best_ck: Optional[str] = None
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+        key = jax.random.PRNGKey(seed)
+        kv, kh = jax.random.split(key)
+        if _vit_params is not None:
+            self.vit_params = _vit_params
+        elif random_init:
+            self.vit_params = init_vit_params(kv, self.cfg, depth=n_blocks)
+        else:
+            full = load_pretrained_backbone(patch_size=8,
+                                            pretrained_path=pretrained_path)
+            if full is None:
+                import warnings
+                warnings.warn("pretrained DINO weights unavailable; using "
+                              "random init (set $DINO_TPU_PRETRAINED)")
+                self.vit_params = init_vit_params(kv, self.cfg, depth=n_blocks)
+            else:
+                self.vit_params = truncate_blocks(full, n_blocks)
+        self.head_params = (_head_params if _head_params is not None else
+                            init_head(kh, head, n_classes, self.mlp_input_dim))
+
+        if data_path is not None:
+            self.train_path = os.path.join(data_path, "dt_real_voc_train")
+            self.val_path = os.path.join(data_path, "dt_real_voc_val")
+            self.test_path = os.path.join(data_path, "dt_real_voc_test")
+            self.train_path_sim = os.path.join(data_path, "dt_sim_voc_train")
+            self.val_path_sim = os.path.join(data_path, "dt_sim_voc_val")
+            self.test_path_sim = os.path.join(data_path, "dt_sim_voc_test")
+        self.write_path = write_path
+
+    # ------------------------------------------------------------------
+    # Inference API
+    # ------------------------------------------------------------------
+
+    def set_resolution(self, resolution: int = 480) -> None:
+        if resolution % 8 != 0:
+            raise ValueError("Resolution should be a multiple of 8.")
+        self.resolution = resolution
+
+    def forward(self, images_u8: np.ndarray) -> jnp.ndarray:
+        """uint8 (B,res,res,3) -> (B*N, n_classes) log-probs (ref :239-256)."""
+        return seg_forward(self.vit_params, self.head_params, self.cfg,
+                           self.head, jnp.asarray(images_u8))
+
+    def _predict_fn(self, in_shape: Tuple[int, int]):
+        key = ("predict", in_shape, self.resolution)
+        if key not in self._jit_cache:
+            res = self.resolution
+            cfg, head_type = self.cfg, self.head
+            out_size = res // 8
+            factor = 480 // out_size
+
+            @jax.jit
+            def fn(vit_p, head_p, img_u8):
+                x = preprocess(img_u8[None], res)
+                logp = seg_forward(vit_p, head_p, cfg, head_type,
+                                   images_u8=None, pre_normalized=x)
+                low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
+                return kron_upsample(low.astype(jnp.int32), factor)
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def predict(self, x) -> np.ndarray:
+        """Single-image inference -> 480x480 int ndarray (ref :276-300)."""
+        img = np.asarray(x)
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        fn = self._predict_fn(img.shape[:2])
+        return np.asarray(fn(self.vit_params, self.head_params,
+                             jnp.asarray(img)))
+
+    def get_last_selfattention(self, images_u8: np.ndarray,
+                               cls_mask=None) -> np.ndarray:
+        """CLS attention maps at the current resolution (for the
+        visualize_attention path)."""
+        key = ("attn", images_u8.shape, self.resolution,
+               None if cls_mask is None else cls_mask.shape)
+        if key not in self._jit_cache:
+            res, cfg = self.resolution, self.cfg
+
+            def fn(vit_p, img_u8, mask):
+                x = preprocess(img_u8, res)
+                return get_last_selfattention(vit_p, x, cfg, cls_mask=mask)
+
+            self._jit_cache[key] = jax.jit(fn) if cls_mask is None else fn
+        return np.asarray(self._jit_cache[key](
+            self.vit_params, jnp.asarray(images_u8), cls_mask))
+
+    # ------------------------------------------------------------------
+    # Checkpointing
+    # ------------------------------------------------------------------
+
+    def save(self, path: str, extra_hparams: Optional[Dict[str, Any]] = None
+             ) -> None:
+        hp = dict(self.hparams)
+        if extra_hparams:
+            hp.update(extra_hparams)
+        save_checkpoint(path, {"vit": self.vit_params,
+                               "head": self.head_params}, hp)
+
+    @classmethod
+    def load_from_checkpoint(cls, path: str, **overrides) -> "DINOSeg":
+        """Rebuild a DINOSeg from a native .npz checkpoint or a torch PL .ckpt."""
+        if path.endswith(".ckpt") or path.endswith(".pth"):
+            vit_p, head_p, hp = convert_pl_checkpoint(path)
+            vit_p = jax.tree.map(jnp.asarray, vit_p)
+            head_p = (jax.tree.map(jnp.asarray, head_p)
+                      if head_p is not None else None)
+        else:
+            params, hp = load_checkpoint(path)
+            vit_p = jax.tree.map(jnp.asarray, params["vit"])
+            head_p = jax.tree.map(jnp.asarray, params["head"])
+        kwargs = {k: hp[k] for k in _HPARAM_KEYS if k in hp}
+        if isinstance(kwargs.get("optimizer"), str):
+            kwargs["optimizer"] = kwargs["optimizer"].lower()
+        kwargs.update(overrides)
+        return cls(_vit_params=vit_p, _head_params=head_p, **kwargs)
+
+    # ------------------------------------------------------------------
+    # Training (reference fit :365-432)
+    # ------------------------------------------------------------------
+
+    def freeze_bb(self) -> None:
+        self.freeze_backbone = True
+        self.hparams["freeze_backbone"] = True
+
+    def unfreeze_bb(self) -> None:
+        self.freeze_backbone = False
+        self.hparams["freeze_backbone"] = False
+
+    def _run_eval(self, eval_step, dataset, batch_size: int) -> np.ndarray:
+        n_classes = self.n_classes
+        cm = np.zeros((n_classes, n_classes), np.int64)
+        idx = np.arange(len(dataset))
+        for xb, yb in batched_loader(dataset, idx, batch_size):
+            cm += np.asarray(eval_step(self.vit_params, self.head_params,
+                                       jnp.asarray(xb), jnp.asarray(yb)))
+        return cm
+
+    def fit(self, ck_file_name: Optional[str] = None,
+            samples_per_epoch: int = 1000, seed: int = 0) -> Dict[str, float]:
+        if ck_file_name is None:
+            ck_file_name = (str(self.n_blocks) + "_" + self.head
+                            + ("_frozen" if self.freeze_backbone
+                               else "_finetuned")
+                            + ("_grayscale" if self.grayscale else ""))
+        os.makedirs(self.write_path, exist_ok=True)
+        ck_path = os.path.join(self.write_path, ck_file_name + ".ckpt.npz")
+
+        if self.pretrain_on_sim:
+            print("Pretraining on simulation data...")
+            self._fit_phase(self.train_path_sim, self.val_path, ck_path,
+                            samples_per_epoch, seed, log=False)
+
+        self._fit_phase(self.train_path, self.val_path, ck_path,
+                        samples_per_epoch, seed, log=True)
+
+        # Reload the best checkpoint and test (reference trainer.test :425)
+        best = DINOSeg.load_from_checkpoint(ck_path)
+        self.vit_params = best.vit_params
+        self.head_params = best.head_params
+        eval_step = make_eval_step(self.cfg, self.head, self.n_classes)
+        test_cm = self._run_eval(eval_step,
+                                 DuckieSegDataset(
+                                     self.test_path, augmented=False,
+                                     resolution=self.train_resolution),
+                                 self.batch_size)
+        metrics = segmentation_metrics(test_cm, prefix="test")
+        self._log(metrics, step=-1)
+        self.best_ck = ck_path
+        if self.logger is not None and hasattr(self.logger, "log_asset"):
+            self.logger.log_asset(ck_path)
+        return metrics
+
+    def _fit_phase(self, train_path: str, val_path: str, ck_path: str,
+                   samples_per_epoch: int, seed: int, log: bool) -> None:
+        rng = np.random.default_rng(seed)
+        train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
+                                    resolution=self.train_resolution)
+        val_ds = DuckieSegDataset(val_path, augmented=False,
+                                  resolution=self.train_resolution)
+        if len(train_ds) == 0:
+            raise FileNotFoundError(f"no training images under {train_path}")
+
+        optimizer = make_optimizer(self.optimizer, self.lr)
+        train_step = make_train_step(self.cfg, self.head, self.n_classes,
+                                     optimizer, self.freeze_backbone)
+        eval_step = make_eval_step(self.cfg, self.head, self.n_classes)
+        opt_state = init_opt_state(optimizer, self.vit_params,
+                                   self.head_params, self.freeze_backbone)
+
+        best_acc = -1.0
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            idx = epoch_indices(rng, len(train_ds), samples_per_epoch)
+            train_cm = np.zeros((self.n_classes, self.n_classes), np.int64)
+            losses = []
+            for xb, yb in batched_loader(train_ds, idx, self.batch_size,
+                                         rng=rng):
+                if xb.shape[0] != self.batch_size:
+                    continue  # static shapes: skip ragged trailing batch
+                (self.vit_params, self.head_params, opt_state, loss, cm
+                 ) = train_step(self.vit_params, self.head_params, opt_state,
+                                jnp.asarray(xb), jnp.asarray(yb))
+                losses.append(loss)
+                train_cm += np.asarray(cm)
+
+            val_cm = self._run_eval(eval_step, val_ds, self.batch_size)
+            metrics = segmentation_metrics(val_cm, prefix="val")
+            metrics.update(segmentation_metrics(train_cm, prefix="train"))
+            metrics["train_loss"] = float(np.mean([float(l) for l in losses]))
+            metrics["epoch_time_s"] = time.time() - t0
+            if log:
+                self._log(metrics, step=epoch)
+            if metrics["val_acc"] > best_acc:
+                best_acc = metrics["val_acc"]
+                self.save(ck_path, extra_hparams={"best_val_acc": best_acc,
+                                                  "epoch": epoch})
+
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
+        print(f"[epoch {step}] {msg}")
+        if self.logger is not None and hasattr(self.logger, "log_metrics"):
+            self.logger.log_metrics(metrics, step=step)

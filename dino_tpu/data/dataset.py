@@ -1,0 +1,104 @@
+"""VOC-style Duckietown segmentation dataset + host loading pipeline.
+
+Spec: DuckieSegDataset (pl_torch_modules.py:60-105) — JPEGImages/*.jpg paired
+with SegmentationClass/<name>.npy masks; images resized (or augmented) to the
+training resolution, masks nearest-resized to the (res/8)^2 token grid and
+flattened.  The epoch is 1000 uniformly-resampled images regardless of dataset
+size (WeightedRandomSampler, pl_torch_modules.py:352).
+
+Device-side normalization is NOT done here; batches carry uint8 images so the
+host->device transfer is 4x smaller and normalize+patchify fuse into the
+jitted step (dino_tpu.ops.preprocess).
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import glob
+import os
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from dino_tpu.data.augment import augment, resize_pair
+from dino_tpu.ops.resize import resize_nearest
+
+
+class DuckieSegDataset:
+    """Index-addressable (image uint8 (res,res,3), mask int32 (res/8)^2) pairs."""
+
+    def __init__(self, path: str, augmented: bool = False, resolution: int = 480,
+                 patch_size: int = 8):
+        self.path = path
+        self.files = sorted(
+            glob.glob(os.path.join(path, "JPEGImages", "*.jpg")))
+        self.augmented = augmented
+        self.resolution = resolution
+        self.patch_size = patch_size
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        f = self.files[idx]
+        with open(f, "rb") as fh:
+            img = np.array(Image.open(fh).convert("RGB"))
+        name = os.path.splitext(os.path.basename(f))[0]
+        mask = np.load(os.path.join(self.path, "SegmentationClass",
+                                    name + ".npy"))
+        return img, mask.astype(np.int32)
+
+    def get(self, idx: int, rng: Optional[np.random.Generator] = None
+            ) -> Tuple[np.ndarray, np.ndarray]:
+        img, mask = self._load_raw(idx)
+        if self.augmented:
+            rng = rng if rng is not None else np.random.default_rng()
+            img, mask = augment(rng, img, mask, self.resolution)
+        else:
+            img, mask = resize_pair(img, mask, self.resolution)
+        grid = self.resolution // self.patch_size
+        mask = resize_nearest(mask, grid, grid).reshape(-1)
+        return img, mask
+
+    def __getitem__(self, idx: int):
+        return self.get(idx)
+
+
+def epoch_indices(rng: np.random.Generator, n_items: int,
+                  samples_per_epoch: int = 1000) -> np.ndarray:
+    """Uniform resampling with replacement (== WeightedRandomSampler with
+    equal weights, exactly 1000 samples/epoch in the reference)."""
+    return rng.integers(0, n_items, size=samples_per_epoch)
+
+
+def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
+                   batch_size: int, rng: Optional[np.random.Generator] = None,
+                   num_workers: int = 8
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Threaded prefetch loader yielding stacked (B,res,res,3) u8 / (B,G*G) i32.
+
+    Replaces the reference's 24-process torch DataLoader (pl_torch_modules.py:354)
+    with a thread pool — decode/augment release the GIL inside PIL/cv2.
+    Incomplete trailing batches are dropped only if empty (parity: torch
+    DataLoader keeps partial batches by default).
+    """
+    seeds = (rng.integers(0, 2**63, size=len(indices))
+             if rng is not None else [None] * len(indices))
+
+    def fetch(args):
+        idx, seed = args
+        item_rng = np.random.default_rng(seed) if seed is not None else None
+        return dataset.get(int(idx), item_rng)
+
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        it = pool.map(fetch, zip(indices, seeds), chunksize=1)
+        batch = []
+        for item in it:
+            batch.append(item)
+            if len(batch) == batch_size:
+                xs, ys = zip(*batch)
+                yield np.stack(xs), np.stack(ys)
+                batch = []
+        if batch:
+            xs, ys = zip(*batch)
+            yield np.stack(xs), np.stack(ys)

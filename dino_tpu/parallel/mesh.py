@@ -1,0 +1,70 @@
+"""Device mesh construction + sharding rules (pjit/GSPMD).
+
+The reference is single-GPU with dormant NCCL scaffolding (utils.py:467-499).
+Here multi-chip is first-class: a ('data', 'model') mesh over ICI, batch
+sharded on 'data' (DP), the ViT/head matmuls sharded on 'model' (TP) — XLA
+inserts the all-reduces.  On one chip everything degenerates to replicated.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
+    """Mesh over the first n devices, shaped (data = n/model_axis, model)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model axis {model_axis}")
+    grid = np.array(devices[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def _vit_block_spec() -> Any:
+    """Megatron-style TP layout for one transformer block: qkv/fc1 split on
+    the output (head / hidden) dim, proj/fc2 on the input dim, so each block
+    needs exactly one psum after attention and one after the MLP."""
+    col = {"kernel": P(None, "model"), "bias": P("model")}
+    row = {"kernel": P("model", None), "bias": P()}
+    ln = {"scale": P(), "bias": P()}
+    return {
+        "norm1": ln,
+        "attn": {"qkv": col, "proj": row},
+        "norm2": ln,
+        "mlp": {"fc1": col, "fc2": row},
+    }
+
+
+def vit_param_spec(n_blocks: int) -> Any:
+    return {
+        "cls_token": P(),
+        "pos_embed": P(),
+        "patch_embed": {"kernel": P(), "bias": P()},
+        "blocks": [_vit_block_spec() for _ in range(n_blocks)],
+        "norm": {"scale": P(), "bias": P()},
+    }
+
+
+def head_param_spec(head_type: str) -> Any:
+    # The head is tiny (384->200->100->C); replicate it.
+    layers = ["layer_1"] if head_type == "linear" else ["layer_1", "layer_2",
+                                                        "layer_3"]
+    return {name: {"kernel": P(), "bias": P()} for name in layers}
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def shard_params(params: Any, spec: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def named(mesh: Mesh, spec) -> NamedSharding:
+    return NamedSharding(mesh, spec)

@@ -1,0 +1,101 @@
+"""DINOSeg public API: predict invariants, checkpoint roundtrips, PL ckpt
+conversion."""
+import os
+
+import numpy as np
+import pytest
+
+from dino_tpu import DINOSeg
+
+
+@pytest.fixture(scope="module")
+def model():
+    return DINOSeg(head="mlp", n_blocks=1, n_classes=7, random_init=True,
+                   seed=0)
+
+
+def test_predict_always_480(model):
+    img = np.random.RandomState(0).randint(0, 255, (120, 160, 3), np.uint8)
+    model.set_resolution(240)
+    pred = model.predict(img)
+    assert pred.shape == (480, 480)
+    assert pred.dtype.kind == "i"
+    assert pred.min() >= 0 and pred.max() < 7
+    # 240px => 30x30 patch grid => 16x16 blocks
+    assert np.all(pred[:16, :16] == pred[0, 0])
+
+    model.set_resolution(480)
+    pred480 = model.predict(img)
+    assert pred480.shape == (480, 480)
+
+
+def test_set_resolution_validates(model):
+    with pytest.raises(ValueError):
+        model.set_resolution(100)
+
+
+def test_forward_shape(model):
+    imgs = np.random.RandomState(1).randint(0, 255, (2, 240, 240, 3), np.uint8)
+    out = np.asarray(model.forward(imgs))
+    assert out.shape == (2 * 30 * 30, 7)
+    np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, atol=1e-4)
+
+
+def test_native_checkpoint_roundtrip(tmp_path, model):
+    p = str(tmp_path / "m.ckpt.npz")
+    model.save(p)
+    loaded = DINOSeg.load_from_checkpoint(p)
+    assert loaded.n_blocks == 1 and loaded.head == "mlp"
+    img = np.random.RandomState(2).randint(0, 255, (240, 240, 3), np.uint8)
+    model.set_resolution(240)
+    loaded.set_resolution(240)
+    np.testing.assert_array_equal(model.predict(img), loaded.predict(img))
+
+
+def test_pl_checkpoint_conversion(tmp_path):
+    torch = pytest.importorskip("torch")
+    rs = np.random.RandomState(0)
+
+    def t(*shape):
+        return torch.from_numpy(rs.randn(*shape).astype(np.float32) * 0.02)
+
+    d, h, c = 384, 1536, 7
+    sd = {
+        "dino.cls_token": t(1, 1, d), "dino.pos_embed": t(1, 785, d),
+        "dino.patch_embed.proj.weight": t(d, 3, 8, 8),
+        "dino.patch_embed.proj.bias": t(d),
+        "dino.norm.weight": t(d), "dino.norm.bias": t(d),
+        "clf.layer_1.weight": t(200, d), "clf.layer_1.bias": t(200),
+        "clf.layer_2.weight": t(100, 200), "clf.layer_2.bias": t(100),
+        "clf.layer_3.weight": t(c, 100), "clf.layer_3.bias": t(c),
+    }
+    for k in ["norm1", "norm2"]:
+        sd[f"dino.blocks.0.{k}.weight"] = t(d)
+        sd[f"dino.blocks.0.{k}.bias"] = t(d)
+    sd["dino.blocks.0.attn.qkv.weight"] = t(3 * d, d)
+    sd["dino.blocks.0.attn.qkv.bias"] = t(3 * d)
+    sd["dino.blocks.0.attn.proj.weight"] = t(d, d)
+    sd["dino.blocks.0.attn.proj.bias"] = t(d)
+    sd["dino.blocks.0.mlp.fc1.weight"] = t(h, d)
+    sd["dino.blocks.0.mlp.fc1.bias"] = t(h)
+    sd["dino.blocks.0.mlp.fc2.weight"] = t(d, h)
+    sd["dino.blocks.0.mlp.fc2.bias"] = t(d)
+
+    ckpt = {"state_dict": sd,
+            "hyper_parameters": {"head": "mlp", "n_blocks": 1, "n_classes": c,
+                                 "batch_size": 1, "lr": 1e-3,
+                                 "freeze_backbone": True, "backbone": "vit",
+                                 "optimizer": "Adam"}}
+    path = str(tmp_path / "ref_style.ckpt")
+    torch.save(ckpt, path)
+
+    model = DINOSeg.load_from_checkpoint(path)
+    assert model.n_blocks == 1 and model.n_classes == c
+    assert model.optimizer == "adam"
+    np.testing.assert_allclose(
+        np.asarray(model.head_params["layer_1"]["kernel"]),
+        sd["clf.layer_1.weight"].numpy().T, atol=1e-7)
+    model.set_resolution(240)
+    pred = model.predict(
+        np.random.RandomState(3).randint(0, 255, (100, 100, 3), np.uint8))
+    assert pred.shape == (480, 480)

@@ -1,0 +1,107 @@
+"""End-to-end training smoke test on synthetic VOC-style data (CPU, tiny res).
+
+Builds a 3-class color-band dataset the head can actually learn, runs fit()
+(frozen backbone) for a few epochs, and checks loss decreases, the best
+checkpoint is written/loadable, and the finetune (unfrozen) step runs.
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dino_tpu import DINOSeg
+from dino_tpu.data.dataset import DuckieSegDataset
+
+RES = 64
+N_CLASSES = 3
+
+
+def _make_split(root, split, n, seed):
+    rs = np.random.RandomState(seed)
+    jdir = os.path.join(root, f"dt_real_voc_{split}", "JPEGImages")
+    mdir = os.path.join(root, f"dt_real_voc_{split}", "SegmentationClass")
+    os.makedirs(jdir), os.makedirs(mdir)
+    colors = np.array([[200, 40, 40], [40, 200, 40], [40, 40, 200]])
+    for i in range(n):
+        mask = np.zeros((RES, RES), np.int64)
+        img = np.zeros((RES, RES, 3), np.float32)
+        splits = sorted(rs.randint(8, RES - 8, size=2))
+        bounds = [0, splits[0], splits[1], RES]
+        order = rs.permutation(3)
+        for b in range(3):
+            cls = int(order[b])
+            sl = slice(bounds[b], bounds[b + 1])
+            mask[:, sl] = cls
+            img[:, sl] = colors[cls]
+        img += rs.randn(RES, RES, 3) * 10
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(jdir, f"im{i}.jpg"),
+                                  quality=95)
+        np.save(os.path.join(mdir, f"im{i}.npy"), mask)
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc"))
+    _make_split(root, "train", 12, 0)
+    _make_split(root, "val", 4, 1)
+    _make_split(root, "test", 4, 2)
+    return root
+
+
+def test_dataset_shapes(voc_root):
+    ds = DuckieSegDataset(os.path.join(voc_root, "dt_real_voc_train"),
+                          augmented=False, resolution=RES)
+    assert len(ds) == 12
+    img, mask = ds[0]
+    assert img.shape == (RES, RES, 3) and img.dtype == np.uint8
+    assert mask.shape == ((RES // 8) ** 2,)
+
+
+def test_dataset_augmented(voc_root):
+    ds = DuckieSegDataset(os.path.join(voc_root, "dt_real_voc_train"),
+                          augmented=True, resolution=RES)
+    rng = np.random.default_rng(0)
+    img, mask = ds.get(0, rng)
+    assert img.shape == (RES, RES, 3)
+    assert set(np.unique(mask)) <= {0, 1, 2}
+
+
+def test_fit_frozen_then_finetune(voc_root, tmp_path):
+    write = str(tmp_path / "results")
+    model = DINOSeg(data_path=voc_root, write_path=write, head="mlp",
+                    n_blocks=1, n_classes=N_CLASSES, batch_size=4, lr=1e-3,
+                    optimizer="adam", freeze_backbone=True, max_epochs=3,
+                    random_init=True, augmented=False, train_resolution=RES,
+                    seed=0)
+
+    losses = []
+    orig_log = model._log
+
+    def capture(metrics, step):
+        if "train_loss" in metrics:
+            losses.append(metrics["train_loss"])
+        orig_log(metrics, step)
+
+    model._log = capture
+    metrics = model.fit(samples_per_epoch=48)
+
+    assert losses and losses[-1] < losses[0], losses
+    assert model.best_ck and os.path.exists(model.best_ck)
+    assert 0.0 <= metrics["test_acc"] <= 1.0
+
+    # reload best, predict invariant holds
+    loaded = DINOSeg.load_from_checkpoint(model.best_ck)
+    img = np.random.RandomState(0).randint(0, 255, (RES, RES, 3), np.uint8)
+    loaded.set_resolution(240)
+    assert loaded.predict(img).shape == (480, 480)
+
+    # finetune phase (reference run_experiment.py:101-124): unfreeze + refit
+    loaded.unfreeze_bb()
+    loaded.train_resolution = RES
+    loaded.max_epochs = 1
+    loaded.write_path = write
+    ft = loaded.fit(ck_file_name="smoke_finetuned", samples_per_epoch=16)
+    assert os.path.exists(os.path.join(write, "smoke_finetuned.ckpt.npz"))
+    assert 0.0 <= ft["test_acc"] <= 1.0
