@@ -41,7 +41,8 @@ from dino_tpu.train.metrics import segmentation_metrics
 _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "batch_size", "lr", "optimizer", "freeze_backbone",
                 "max_epochs", "patience", "grayscale", "n_classes",
-                "pretrain_on_sim", "augmented", "random_init", "backbone")
+                "pretrain_on_sim", "augmented", "random_init", "backbone",
+                "train_resolution", "precision")
 
 
 class DINOSeg:
@@ -58,6 +59,7 @@ class DINOSeg:
                  augmented: bool = True, random_init: bool = False,
                  backbone: str = "vit", pretrained_path: Optional[str] = None,
                  seed: int = 0, train_resolution: int = 480,
+                 precision: str = "bf16",
                  _vit_params=None, _head_params=None):
         if backbone != "vit":
             # cnn1/cnn2 ResNet-50 benchmarks: see dino_tpu.models.resnet
@@ -76,11 +78,13 @@ class DINOSeg:
                 max_epochs=max_epochs, patience=patience, grayscale=grayscale,
                 n_classes=n_classes, pretrain_on_sim=pretrain_on_sim,
                 augmented=augmented, random_init=random_init,
-                backbone=backbone, train_resolution=train_resolution).items()}
+                backbone=backbone, train_resolution=train_resolution,
+                precision=precision).items()}
         self.__dict__.update(self.hparams)
         self.class_names = tuple(class_names) if class_names else None
         self.logger = logger
         self.cfg = ViTConfig(patch_size=8)  # ViT-S/8
+        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
         self.mlp_input_dim = self.cfg.embed_dim
         self.resolution = 480
         self.best_ck: Optional[str] = None
@@ -126,13 +130,15 @@ class DINOSeg:
     def forward(self, images_u8: np.ndarray) -> jnp.ndarray:
         """uint8 (B,res,res,3) -> (B*N, n_classes) log-probs (ref :239-256)."""
         return seg_forward(self.vit_params, self.head_params, self.cfg,
-                           self.head, jnp.asarray(images_u8))
+                           self.head, jnp.asarray(images_u8),
+                           compute_dtype=self.compute_dtype)
 
     def _predict_fn(self, in_shape: Tuple[int, int]):
         key = ("predict", in_shape, self.resolution)
         if key not in self._jit_cache:
             res = self.resolution
             cfg, head_type = self.cfg, self.head
+            cdt = self.compute_dtype
             out_size = res // 8
             factor = 480 // out_size
 
@@ -140,7 +146,8 @@ class DINOSeg:
             def fn(vit_p, head_p, img_u8):
                 x = preprocess(img_u8[None], res)
                 logp = seg_forward(vit_p, head_p, cfg, head_type,
-                                   images_u8=None, pre_normalized=x)
+                                   images_u8=None, pre_normalized=x,
+                                   compute_dtype=cdt)
                 low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
                 return kron_upsample(low.astype(jnp.int32), factor)
 
@@ -271,8 +278,10 @@ class DINOSeg:
 
         optimizer = make_optimizer(self.optimizer, self.lr)
         train_step = make_train_step(self.cfg, self.head, self.n_classes,
-                                     optimizer, self.freeze_backbone)
-        eval_step = make_eval_step(self.cfg, self.head, self.n_classes)
+                                     optimizer, self.freeze_backbone,
+                                     compute_dtype=self.compute_dtype)
+        eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
+                                   compute_dtype=self.compute_dtype)
         opt_state = init_opt_state(optimizer, self.vit_params,
                                    self.head_params, self.freeze_backbone)
 

@@ -89,11 +89,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale           # (BQ, hd)
-    kb = k_ref[0].astype(jnp.float32)                  # (BK, hd)
-    vb = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                       # (BQ, hd), input dtype
+    kb = k_ref[0]                                      # (BK, hd)
+    vb = v_ref[0]
+    # matmul in the input dtype (bf16 rides the MXU fast path), f32 accum;
+    # scale applied post-matmul like the reference (q @ k.T) * scale
     s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (BQ, BK)
+                            preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
     s = jnp.where(col < n_real, s, _NEG_INF)
 
@@ -103,8 +105,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(p, vb,
-                                              preferred_element_type=jnp.float32)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 

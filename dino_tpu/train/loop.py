@@ -46,16 +46,23 @@ def make_optimizer(name: str, lr: float) -> optax.GradientTransformation:
 def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 head_type: str, images_u8: Optional[jnp.ndarray] = None,
                 pre_normalized: Optional[jnp.ndarray] = None,
-                use_flash: bool = True) -> jnp.ndarray:
+                use_flash: bool = True,
+                compute_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
     onto the batch axis -> per-patch head.  Normalization fused here unless a
     pre-normalized tensor is supplied (the predict() path fuses its own
     resize+normalize upstream).
+
+    ``compute_dtype=jnp.bfloat16`` runs all matmuls in bf16 on the MXU with
+    f32 accumulation; LayerNorm, softmax, and the final log_softmax stay f32.
+    Params remain f32 masters (casts fuse into the matmuls).
     """
     x = (pre_normalized if pre_normalized is not None
          else normalize_imagenet(images_u8))
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     tokens = vit_forward(vit_params, x, cfg, use_flash=use_flash)
     feats = tokens[:, 1:, :]
     feats = feats.reshape(-1, feats.shape[-1])
@@ -72,13 +79,15 @@ def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     optimizer: optax.GradientTransformation,
                     freeze_backbone: bool,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    compute_dtype=None) -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm)."""
 
     def loss_fn(trainable, static_vit, images, labels):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
-        logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images)
+        logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
+                           compute_dtype=compute_dtype)
         y = labels.reshape(-1)
         loss = nll_loss(logp, y)
         preds = jnp.argmax(logp, axis=-1)
@@ -103,9 +112,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_eval_step(cfg: ViTConfig, head_type: str, n_classes: int) -> Callable:
+def make_eval_step(cfg: ViTConfig, head_type: str, n_classes: int,
+                   compute_dtype=None) -> Callable:
     def step(vit_p, head_p, images, labels):
-        logp = seg_forward(vit_p, head_p, cfg, head_type, images)
+        logp = seg_forward(vit_p, head_p, cfg, head_type, images,
+                           compute_dtype=compute_dtype)
         preds = jnp.argmax(logp, axis=-1)
         return confusion_matrix(preds, labels.reshape(-1), n_classes)
     return jax.jit(step)

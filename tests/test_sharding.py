@@ -1,0 +1,73 @@
+"""Multi-device sharding: the full train step over a ('data','model') mesh on
+the virtual 8-device CPU backend, plus DP-vs-single-device equivalence."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dino_tpu.models.heads import init_head
+from dino_tpu.models.vit import ViTConfig, init_vit_params
+from dino_tpu.parallel.mesh import (head_param_spec, make_mesh, shard_params,
+                                    vit_param_spec)
+from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                 make_train_step, seg_forward)
+
+CFG = ViTConfig(patch_size=8)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_dp_matches_single_device():
+    """One DP-sharded train step == the same step on one device."""
+    n_blocks, n_classes, res, batch = 1, 5, 48, 8
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=n_blocks)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, CFG.embed_dim)
+    optimizer = make_optimizer("adam", 1e-3)
+    step = make_train_step(CFG, "mlp", n_classes, optimizer,
+                           freeze_backbone=True, donate=False)
+
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (batch, res, res, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (batch, (res // 8) ** 2)).astype(np.int32)
+
+    # single device
+    opt1 = init_opt_state(optimizer, vit_p, head_p, True)
+    _, h1, _, loss1, cm1 = step(vit_p, head_p, opt1, jnp.asarray(images),
+                                jnp.asarray(labels))
+
+    # 8-way data parallel
+    mesh = make_mesh(8, model_axis=1)
+    vit_s = shard_params(vit_p, vit_param_spec(n_blocks), mesh)
+    head_s = shard_params(head_p, head_param_spec("mlp"), mesh)
+    opt8 = init_opt_state(optimizer, vit_s, head_s, True)
+    img_s = jax.device_put(images, NamedSharding(mesh, P("data")))
+    lab_s = jax.device_put(labels, NamedSharding(mesh, P("data")))
+    _, h8, _, loss8, cm8 = step(vit_s, head_s, opt8, img_s, lab_s)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm8))
+    for a, b in zip(jax.tree.leaves(h1), jax.tree.leaves(h8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_tp_forward_matches_replicated():
+    """Tensor-parallel sharded ViT forward == replicated forward."""
+    n_blocks = 2
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=n_blocks)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", 5, CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (4, 48, 48, 3)).astype(np.uint8)
+
+    ref = seg_forward(vit_p, head_p, CFG, "mlp", jnp.asarray(images))
+
+    mesh = make_mesh(8, model_axis=2)
+    vit_s = shard_params(vit_p, vit_param_spec(n_blocks), mesh)
+    head_s = shard_params(head_p, head_param_spec("mlp"), mesh)
+    img_s = jax.device_put(images, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda v, h, x: seg_forward(v, h, CFG, "mlp", x))(
+        vit_s, head_s, img_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
