@@ -1,102 +1,9 @@
 #!/usr/bin/env python
-"""Headline benchmark: frames/sec on one TPU chip, BASELINE config #2
-(ViT-S/8 truncated to 3 blocks + MLP head, 480px, full predict path:
-uint8 camera frame -> resize -> normalize -> ViT -> head -> argmax -> 480x480
-label map).  Prints ONE JSON line; baseline is the committed torch-CPU
-measurement (tools/bench_torch_baseline.py -> bench_baseline.json).
+"""Driver benchmark entry point — prints ONE JSON line.
+
+Implementation lives in dino_tpu.cli.bench (also installed as `dt-bench`).
 """
-import json
-import os
-import sys
-import time
-
-import numpy as np
-
-
-def main():
-    import jax
-    import jax.numpy as jnp
-
-    from dino_tpu.models.heads import init_head
-    from dino_tpu.models.vit import ViTConfig, init_vit_params
-    from dino_tpu.ops.preprocess import preprocess
-    from dino_tpu.ops.upsample import kron_upsample
-    from dino_tpu.train.loop import seg_forward
-
-    res, n_blocks, n_classes = 480, 3, 7
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
-    dtype = (jnp.bfloat16 if os.environ.get("BENCH_PRECISION", "bf16")
-             == "bf16" else None)
-    cfg = ViTConfig(patch_size=8)
-    vit_p = jax.device_put(init_vit_params(jax.random.PRNGKey(0), cfg,
-                                           depth=n_blocks))
-    head_p = jax.device_put(init_head(jax.random.PRNGKey(1), "mlp", n_classes,
-                                      cfg.embed_dim))
-    out_size = res // 8
-
-    def predict_batch_impl(vit_p, head_p, imgs_u8):
-        x = preprocess(imgs_u8, res)
-        logp = seg_forward(vit_p, head_p, cfg, "mlp", pre_normalized=x,
-                           compute_dtype=dtype)
-        low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
-        return jax.vmap(lambda m: kron_upsample(m, 480 // out_size))(
-            low.astype(jnp.int32))
-
-    predict_batch = jax.jit(predict_batch_impl)
-
-    # throughput: chain N predicts inside one device program (lax.scan with a
-    # data dependency) so async dispatch / RPC tunnels can't skip work
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
-
-    @jax.jit
-    def predict_n(vit_p, head_p, imgs_u8):
-        def body(carry, _):
-            imgs = imgs_u8.at[0, 0, 0, 0].set(carry)
-            out = predict_batch_impl(vit_p, head_p, imgs)
-            return out[0, 0, 0].astype(jnp.uint8), ()
-        carry, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n_iters)
-        return carry
-
-    rs = np.random.RandomState(0)
-    frames = jax.device_put(
-        rs.randint(0, 255, (batch, 480, 640, 3)).astype(np.uint8))
-
-    # NOTE: fetch with np.asarray — on remote/tunneled backends
-    # block_until_ready can return before execution completes.
-    np.asarray(predict_n(vit_p, head_p, frames))  # compile+warm
-    t0 = time.perf_counter()
-    np.asarray(predict_n(vit_p, head_p, frames))
-    dt = time.perf_counter() - t0
-    fps = batch * n_iters / dt
-
-    # p50 single-frame latency (incl. host->device + device->host)
-    one = rs.randint(0, 255, (1, 480, 640, 3)).astype(np.uint8)
-    np.asarray(predict_batch(vit_p, head_p, jax.device_put(one)))
-    lats = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        np.asarray(predict_batch(vit_p, head_p, jax.device_put(one)))
-        lats.append(time.perf_counter() - t0)
-    p50_ms = float(np.percentile(lats, 50) * 1000)
-
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_baseline.json")
-    baseline_fps = None
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            baseline_fps = json.load(f).get("torch_cpu_fps")
-
-    result = {
-        "metric": "frames_per_sec_480px_vit_s8_3block_mlp",
-        "value": round(fps, 3),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
-        "p50_predict_latency_ms": round(p50_ms, 2),
-        "batch": batch,
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(result))
-
+from dino_tpu.cli.bench import main
 
 if __name__ == "__main__":
     main()

@@ -3,9 +3,36 @@
 Public surface mirrors the reference package (dt_segmentation/__init__.py):
 DINOSeg, DuckieSegDataset, parse_class_names.
 """
-from dino_tpu.api import DINOSeg
-from dino_tpu.data.dataset import DuckieSegDataset
-from dino_tpu.utils.labels import parse_class_names
+import os as _os
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Opt-out persistent XLA compilation cache.
+
+    TPU compiles of the fused predict/train programs cost seconds to minutes;
+    caching them on disk makes every process after the first start instantly.
+    Disable with DINO_TPU_NO_COMPILE_CACHE=1 or by setting
+    JAX_COMPILATION_CACHE_DIR yourself.
+    """
+    if _os.environ.get("DINO_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+        if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+            cache = _os.path.join(_os.path.expanduser("~"), ".cache",
+                                  "dino_tpu", "xla_cache")
+            _os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
+from dino_tpu.api import DINOSeg  # noqa: E402
+from dino_tpu.data.dataset import DuckieSegDataset  # noqa: E402
+from dino_tpu.utils.labels import parse_class_names  # noqa: E402
 
 __version__ = "0.1.0"
 __all__ = ["DINOSeg", "DuckieSegDataset", "parse_class_names", "__version__"]
