@@ -71,48 +71,50 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
                   scale: float, n_real: int, block_k: int):
-    """Online-softmax flash attention step for one (bh, q-block, k-block).
+    """Online-softmax flash attention for one (bh, q-block) grid cell.
 
-    Grid is (B*nh, num_q_blocks, num_k_blocks) with the k dimension innermost,
-    so the softmax running state (m, l, acc) lives in VMEM scratch across the
-    k sweep and only small K/V blocks are ever resident — VMEM stays O(block)
-    at any sequence length (960px => N=14,401 runs in <1MB of VMEM).
+    K/V for the whole (padded) sequence ride in VMEM (block-sized via the
+    BlockSpec when the sequence is long); the kernel sweeps k in ``block_k``
+    chunks with a fori_loop.  Only the final chunk needs the padding mask, so
+    the main loop runs mask-free (saves an iota+select per chunk on the VPU).
+    Matmuls run in the input dtype (bf16 = MXU fast path) with f32
+    accumulation; scale applies post-matmul like the reference
+    ``(q @ k.T) * scale``.
     """
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
+    qb = q_ref[0]                                      # (BQ, hd), input dtype
+    nk = k_ref.shape[1] // block_k
 
-    @pl.when(ik == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    def step(i, carry, masked):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+            s = jnp.where(col < n_real, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p.astype(vb.dtype), vb,
+                                        preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
 
-    q = q_ref[0]                                       # (BQ, hd), input dtype
-    kb = k_ref[0]                                      # (BK, hd)
-    vb = v_ref[0]
-    # matmul in the input dtype (bf16 rides the MXU fast path), f32 accum;
-    # scale applied post-matmul like the reference (q @ k.T) * scale
-    s = jax.lax.dot_general(q, kb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-    s = jnp.where(col < n_real, s, _NEG_INF)
-
-    m_prev = m_scr[:, :1]                              # (BQ, 1)
-    l_prev = l_scr[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    @pl.when(ik == nk - 1)
-    def _finalize():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)).astype(o_ref.dtype)
+    block_q, hd = qb.shape
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    a0 = jnp.zeros((block_q, hd), jnp.float32)
+    needs_mask = n_real < k_ref.shape[1]
+    if nk == 1:
+        m, l, acc = step(0, (m0, l0, a0), needs_mask)
+    else:
+        carry = jax.lax.fori_loop(
+            0, nk - 1, lambda i, c: step(i, c, False), (m0, l0, a0))
+        m, l, acc = step(nk - 1, carry, needs_mask)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -123,6 +125,35 @@ def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _choose_blocks(n: int, hd: int, itemsize: int):
+    """(block_q, block_k, kv_resident): minimal-padding blocks under VMEM
+    budgets.
+
+    q: ~512-row blocks sized to exactly tile the sequence (3601 -> 8 blocks of
+    456 instead of 8 of 512, saving 12% padded work).  The k sweep chunk is
+    bounded by the f32 score-matrix footprint (block_q x block_k x 4B <= ~6MB).
+    ``kv_resident`` says whether double-buffered K+V fit a ~5MB budget and can
+    ride fully in VMEM (single DMA per (bh, iq) cell — measured 20% faster at
+    480px than streaming k chunks through the grid).
+    """
+    nq = max(1, -(-n // 512))
+    block_q = _round_up(-(-n // nq), 8)
+
+    s_budget = 6 * 1024 * 1024
+    max_bk = max(8, (s_budget // (4 * block_q)) // 8 * 8)
+    n_inner = max(1, -(-n // max_bk))
+    block_k = _round_up(-(-n // n_inner), 8)
+    padded_k = n_inner * block_k
+
+    kv_bytes = 2 * 2 * padded_k * hd * itemsize  # k+v, double-buffered
+    kv_resident = kv_bytes <= 5 * 1024 * 1024
+    return block_q, block_k, kv_resident
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -137,35 +168,96 @@ def flash_attention(q, k, v, scale: float, interpret: bool = False):
     return _flash_fwd_impl(q, k, v, scale, interpret)
 
 
+def _flash_kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                          scale: float, n_real: int):
+    """Chunked fallback for sequences whose K/V exceed the VMEM budget.
+
+    Grid (B*nh, num_q_blocks, num_k_chunks), k innermost; the online-softmax
+    running state lives in VMEM scratch across the k sweep so only one K/V
+    chunk is resident at a time (960px f32, N=14,401, fits comfortably).
+    """
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qb = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    block_k = kb.shape[0]
+    s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+    s = jnp.where(col < n_real, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    l_prev = l_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:, :1], 1e-30)
+                    ).astype(o_ref.dtype)
+
+
 def _flash_fwd_impl(q, k, v, scale, interpret):
     b, nh, n, hd = q.shape
-    block_q = min(512, max(8, 1 << (n - 1).bit_length()))
-    block_k = min(1024, max(8, 1 << (n - 1).bit_length()))
+    block_q, block_k, kv_resident = _choose_blocks(n, hd, q.dtype.itemsize)
 
     qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
     kf = _pad_to(k.reshape(b * nh, n, hd), 1, block_k)
     vf = _pad_to(v.reshape(b * nh, n, hd), 1, block_k)
 
-    kernel = functools.partial(_flash_kernel, scale=scale, n_real=n,
-                               block_k=block_k)
-    if pltpu is None:  # pragma: no cover
-        raise RuntimeError("pallas TPU backend unavailable; use attention_xla")
-    scratch = [pltpu.VMEM((block_q, 128), jnp.float32),   # running max
-               pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
-               pltpu.VMEM((block_q, hd), jnp.float32)]    # output accumulator
-    out = pl.pallas_call(
-        kernel,
-        grid=(b * nh, qf.shape[1] // block_q, kf.shape[1] // block_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, hd), lambda bh, iq, ik: (bh, iq, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bh, iq, ik: (bh, ik, 0)),
-            pl.BlockSpec((1, block_k, hd), lambda bh, iq, ik: (bh, ik, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, hd), lambda bh, iq, ik: (bh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype),
-        scratch_shapes=scratch,
-        interpret=interpret,
-    )(qf, kf, vf)
+    if kv_resident:
+        # fast path: K/V fully VMEM-resident, fori-loop sweep inside
+        kernel = functools.partial(_flash_kernel, scale=scale, n_real=n,
+                                   block_k=block_k)
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * nh, qf.shape[1] // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
+                pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
+                pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, hd),
+                                   lambda bh, iq: (bh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype),
+            interpret=interpret,
+        )(qf, kf, vf)
+    else:
+        kernel = functools.partial(_flash_kernel_chunked, scale=scale,
+                                   n_real=n)
+        if pltpu is None:  # pragma: no cover
+            raise RuntimeError("pallas TPU backend unavailable")
+        scratch = [pltpu.VMEM((block_q, 128), jnp.float32),   # running max
+                   pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
+                   pltpu.VMEM((block_q, hd), jnp.float32)]    # accumulator
+        out = pl.pallas_call(
+            kernel,
+            grid=(b * nh, qf.shape[1] // block_q, kf.shape[1] // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, hd), lambda bh, iq, ik: (bh, iq, 0)),
+                pl.BlockSpec((1, block_k, hd), lambda bh, iq, ik: (bh, ik, 0)),
+                pl.BlockSpec((1, block_k, hd), lambda bh, iq, ik: (bh, ik, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, hd),
+                                   lambda bh, iq, ik: (bh, iq, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(qf, kf, vf)
     return out[:, :n, :].reshape(b, nh, n, hd)
 
 
