@@ -232,7 +232,10 @@ class DINOSeg:
         return cm
 
     def fit(self, ck_file_name: Optional[str] = None,
-            samples_per_epoch: int = 1000, seed: int = 0) -> Dict[str, float]:
+            samples_per_epoch: int = 1000, seed: int = 0,
+            resume: bool = False) -> Dict[str, float]:
+        """Train; with ``resume=True`` an interrupted run continues from the
+        last finished epoch (params + optimizer state + counters restored)."""
         if ck_file_name is None:
             ck_file_name = (str(self.n_blocks) + "_" + self.head
                             + ("_frozen" if self.freeze_backbone
@@ -247,7 +250,7 @@ class DINOSeg:
                             samples_per_epoch, seed, log=False)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
-                        samples_per_epoch, seed, log=True)
+                        samples_per_epoch, seed, log=True, resume=resume)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -267,8 +270,8 @@ class DINOSeg:
         return metrics
 
     def _fit_phase(self, train_path: str, val_path: str, ck_path: str,
-                   samples_per_epoch: int, seed: int, log: bool) -> None:
-        rng = np.random.default_rng(seed)
+                   samples_per_epoch: int, seed: int, log: bool,
+                   resume: bool = False) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -285,9 +288,42 @@ class DINOSeg:
         opt_state = init_opt_state(optimizer, self.vit_params,
                                    self.head_params, self.freeze_backbone)
 
-        best_acc = -1.0
-        for epoch in range(self.max_epochs):
+        # Data parallelism: shard the batch over all local devices when it
+        # divides evenly (single-chip degenerates to no-op).
+        batch_sharding = None
+        if jax.device_count() > 1 and self.batch_size % jax.device_count() == 0:
+            from dino_tpu.parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = make_mesh(model_axis=1)
+            batch_sharding = NamedSharding(mesh, P("data"))
+
+        def put(x):
+            x = jnp.asarray(x)
+            return (jax.device_put(x, batch_sharding)
+                    if batch_sharding is not None else x)
+
+        # Resume support (upgraded reference restart_from_checkpoint).
+        from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
+                                                   save_train_state)
+        resume_path = ck_path + ".resume.npz"
+        start_epoch, best_acc = 0, -1.0
+        if resume and os.path.exists(resume_path):
+            run_vars = {"epoch": 0, "best_acc": -1.0}
+            restored = restart_from_checkpoint(
+                resume_path, run_vars, vit=self.vit_params,
+                head=self.head_params, opt_state=opt_state)
+            self.vit_params = jax.tree.map(jnp.asarray, restored["vit"])
+            self.head_params = jax.tree.map(jnp.asarray, restored["head"])
+            opt_state = jax.tree.unflatten(
+                jax.tree.structure(opt_state),
+                [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
+            start_epoch = int(run_vars["epoch"]) + 1
+            best_acc = float(run_vars["best_acc"])
+
+        for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
+            # per-epoch derived rng => deterministic mid-run resume
+            rng = np.random.default_rng([seed, epoch])
             idx = epoch_indices(rng, len(train_ds), samples_per_epoch)
             train_cm = np.zeros((self.n_classes, self.n_classes), np.int64)
             losses = []
@@ -297,7 +333,7 @@ class DINOSeg:
                     continue  # static shapes: skip ragged trailing batch
                 (self.vit_params, self.head_params, opt_state, loss, cm
                  ) = train_step(self.vit_params, self.head_params, opt_state,
-                                jnp.asarray(xb), jnp.asarray(yb))
+                                put(xb), put(yb))
                 losses.append(loss)
                 train_cm += np.asarray(cm)
 
@@ -312,6 +348,14 @@ class DINOSeg:
                 best_acc = metrics["val_acc"]
                 self.save(ck_path, extra_hparams={"best_val_acc": best_acc,
                                                   "epoch": epoch})
+            if resume:
+                save_train_state(
+                    resume_path,
+                    {"vit": self.vit_params, "head": self.head_params,
+                     "opt_state": opt_state},
+                    run_variables={"epoch": epoch, "best_acc": best_acc})
+        # the resume point is left in place: re-running with a larger
+        # max_epochs continues training; with the same value it's a no-op
 
     def _log(self, metrics: Dict[str, float], step: int) -> None:
         msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))

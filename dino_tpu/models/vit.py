@@ -222,10 +222,22 @@ def prepare_tokens(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarra
     return tokens + pos.astype(tokens.dtype)
 
 
+def drop_path(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Stochastic depth: zero the residual branch per-sample with prob
+    ``rate`` and rescale (reference vision_transformer.py:27-46; dormant in
+    every reference config, implemented for parity)."""
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep + jax.random.uniform(rng, shape, jnp.float32))
+    return (x / keep) * mask.astype(x.dtype)
+
+
 def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
                 cls_mask: Optional[jnp.ndarray] = None,
                 need_probs: bool = False,
-                use_flash: bool = True):
+                use_flash: bool = True,
+                drop_path_rate: float = 0.0,
+                rng=None):
     """One pre-LN transformer block. Returns (x_out, attn_or_None)."""
     y, attn = multi_head_attention(
         p["attn"], layer_norm(p["norm1"], x, cfg.ln_eps),
@@ -235,11 +247,16 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
         # The CLS residual is replicated once per mask (reference :127-132).
         n_masks = cls_mask.shape[0]
         x = jnp.broadcast_to(x[:, :1, :], (x.shape[0], n_masks, x.shape[-1]))
+    if drop_path_rate > 0.0 and rng is not None:
+        rng, r1, r2 = jax.random.split(rng, 3)
+        y = drop_path(y, drop_path_rate, r1)
     x = x + y
     h = layer_norm(p["norm2"], x, cfg.ln_eps)
     h = dense(p["mlp"]["fc1"], h)
     h = jax.nn.gelu(h, approximate=False)
     h = dense(p["mlp"]["fc2"], h)
+    if drop_path_rate > 0.0 and rng is not None:
+        h = drop_path(h, drop_path_rate, r2)
     return x + h, attn
 
 

@@ -1,0 +1,98 @@
+"""Multi-host runtime helpers (the live replacement for the reference's
+dormant NCCL scaffolding, utils.py:423-499).
+
+jax.distributed.initialize + process-rank helpers + psum-style metric
+reduction over the ICI/DCN mesh; host-0-only printing/saving.
+"""
+from __future__ import annotations
+
+import builtins
+import os
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def init_distributed_mode(coordinator_address: Optional[str] = None,
+                          num_processes: Optional[int] = None,
+                          process_id: Optional[int] = None) -> None:
+    """Initialize the multi-host JAX runtime.
+
+    Rank discovery mirrors the reference (env RANK/WORLD_SIZE, then Slurm,
+    utils.py:469-476) but feeds jax.distributed instead of NCCL.  On a TPU pod
+    slice with no explicit args, jax.distributed.initialize() auto-detects.
+    """
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    elif "MASTER_ADDR" in os.environ:
+        port = os.environ.get("MASTER_PORT", "12355")
+        kwargs["coordinator_address"] = f"{os.environ['MASTER_ADDR']}:{port}"
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    elif "WORLD_SIZE" in os.environ:
+        kwargs["num_processes"] = int(os.environ["WORLD_SIZE"])
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    elif "RANK" in os.environ:
+        kwargs["process_id"] = int(os.environ["RANK"])
+    elif "SLURM_PROCID" in os.environ:
+        kwargs["process_id"] = int(os.environ["SLURM_PROCID"])
+
+    jax.distributed.initialize(**kwargs)
+    setup_for_distributed(is_main_process())
+    print(f"| distributed init (rank {get_rank()}/{get_world_size()}): "
+          f"{kwargs.get('coordinator_address', 'auto')}", flush=True)
+
+
+def is_dist_avail_and_initialized() -> bool:
+    return jax.process_count() > 1
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    return get_rank() == 0
+
+
+def save_on_master(save_fn, *args, **kwargs):
+    """Run a save callback only on host 0 (reference save_on_master)."""
+    if is_main_process():
+        return save_fn(*args, **kwargs)
+    return None
+
+
+def setup_for_distributed(is_master: bool) -> None:
+    """Suppress print on non-master hosts unless force=True."""
+    builtin_print = builtins.print
+
+    def print_(*args, **kwargs):
+        force = kwargs.pop("force", False)
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_
+
+
+def reduce_dict(input_dict: Dict[str, float], average: bool = True
+                ) -> Dict[str, float]:
+    """Sum (or average) a dict of scalars across hosts
+    (reference utils.py:286-310)."""
+    world_size = get_world_size()
+    if world_size < 2:
+        return dict(input_dict)
+    from jax.experimental import multihost_utils
+    names = sorted(input_dict.keys())
+    values = np.array([float(input_dict[k]) for k in names], np.float64)
+    gathered = np.asarray(multihost_utils.process_allgather(values))
+    total = gathered.reshape(world_size, -1).sum(axis=0)
+    if average:
+        total = total / world_size
+    return {k: float(v) for k, v in zip(names, total)}
