@@ -62,7 +62,6 @@ class DINOSeg:
                  precision: str = "bf16",
                  _vit_params=None, _head_params=None):
         if backbone != "vit":
-            # cnn1/cnn2 ResNet-50 benchmarks: see dino_tpu.models.resnet
             from dino_tpu.models.resnet import available as _resnet_available
             if not _resnet_available(backbone):
                 raise ValueError(f"unsupported backbone {backbone!r}")
@@ -85,14 +84,28 @@ class DINOSeg:
         self.logger = logger
         self.cfg = ViTConfig(patch_size=8)  # ViT-S/8
         self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
-        self.mlp_input_dim = self.cfg.embed_dim
+        self.mlp_input_dim = self.cfg.embed_dim  # cnn backbones override
         self.resolution = 480
         self.best_ck: Optional[str] = None
         self._jit_cache: Dict[Tuple, Any] = {}
 
         key = jax.random.PRNGKey(seed)
         kv, kh = jax.random.split(key)
-        if _vit_params is not None:
+        if backbone != "vit":
+            # truncated ResNet-50 CNN baseline (reference cnn1/cnn2)
+            from dino_tpu.models.resnet import (convert_resnet_state_dict,
+                                                init_resnet_params, output_dim)
+            self.mlp_input_dim = output_dim(backbone)
+            if _vit_params is not None:
+                self.vit_params = _vit_params
+            elif pretrained_path:
+                from dino_tpu.checkpointing.torch_convert import (
+                    load_torch_file, state_dict_to_numpy)
+                sd = state_dict_to_numpy(load_torch_file(pretrained_path))
+                self.vit_params = convert_resnet_state_dict(sd, backbone)
+            else:
+                self.vit_params = init_resnet_params(kv, backbone)
+        elif _vit_params is not None:
             self.vit_params = _vit_params
         elif random_init:
             self.vit_params = init_vit_params(kv, self.cfg, depth=n_blocks)
@@ -131,14 +144,15 @@ class DINOSeg:
         """uint8 (B,res,res,3) -> (B*N, n_classes) log-probs (ref :239-256)."""
         return seg_forward(self.vit_params, self.head_params, self.cfg,
                            self.head, jnp.asarray(images_u8),
-                           compute_dtype=self.compute_dtype)
+                           compute_dtype=self.compute_dtype,
+                           backbone=self.backbone)
 
     def _predict_fn(self, in_shape: Tuple[int, int]):
         key = ("predict", in_shape, self.resolution)
         if key not in self._jit_cache:
             res = self.resolution
             cfg, head_type = self.cfg, self.head
-            cdt = self.compute_dtype
+            cdt, bb = self.compute_dtype, self.backbone
             out_size = res // 8
             factor = 480 // out_size
 
@@ -147,7 +161,7 @@ class DINOSeg:
                 x = preprocess(img_u8[None], res)
                 logp = seg_forward(vit_p, head_p, cfg, head_type,
                                    images_u8=None, pre_normalized=x,
-                                   compute_dtype=cdt)
+                                   compute_dtype=cdt, backbone=bb)
                 low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
                 return kron_upsample(low.astype(jnp.int32), factor)
 
@@ -256,7 +270,9 @@ class DINOSeg:
         best = DINOSeg.load_from_checkpoint(ck_path)
         self.vit_params = best.vit_params
         self.head_params = best.head_params
-        eval_step = make_eval_step(self.cfg, self.head, self.n_classes)
+        eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
+                                   compute_dtype=self.compute_dtype,
+                                   backbone=self.backbone)
         test_cm = self._run_eval(eval_step,
                                  DuckieSegDataset(
                                      self.test_path, augmented=False,
@@ -282,9 +298,11 @@ class DINOSeg:
         optimizer = make_optimizer(self.optimizer, self.lr)
         train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                      optimizer, self.freeze_backbone,
-                                     compute_dtype=self.compute_dtype)
+                                     compute_dtype=self.compute_dtype,
+                                     backbone=self.backbone)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.compute_dtype,
+                                   backbone=self.backbone)
         opt_state = init_opt_state(optimizer, self.vit_params,
                                    self.head_params, self.freeze_backbone)
 

@@ -25,6 +25,7 @@ import optax
 
 from dino_tpu.models.heads import head_apply
 from dino_tpu.models.vit import ViTConfig, vit_forward
+from dino_tpu.models.resnet import resnet_backbone_apply
 from dino_tpu.ops.preprocess import normalize_imagenet
 from dino_tpu.train.metrics import confusion_matrix
 
@@ -47,7 +48,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 head_type: str, images_u8: Optional[jnp.ndarray] = None,
                 pre_normalized: Optional[jnp.ndarray] = None,
                 use_flash: bool = True,
-                compute_dtype: Optional[jnp.dtype] = None) -> jnp.ndarray:
+                compute_dtype: Optional[jnp.dtype] = None,
+                backbone: str = "vit") -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
@@ -63,8 +65,11 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
          else normalize_imagenet(images_u8))
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    tokens = vit_forward(vit_params, x, cfg, use_flash=use_flash)
-    feats = tokens[:, 1:, :]
+    if backbone == "vit":
+        tokens = vit_forward(vit_params, x, cfg, use_flash=use_flash)
+        feats = tokens[:, 1:, :]
+    else:  # cnn1/cnn2 ResNet-50 feature maps, (B, H/8, W/8, C) row-major
+        feats = resnet_backbone_apply(vit_params, x, variant=backbone)
     feats = feats.reshape(-1, feats.shape[-1])
     return head_apply(head_type, head_params, feats)
 
@@ -80,14 +85,15 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     optimizer: optax.GradientTransformation,
                     freeze_backbone: bool,
                     donate: bool = True,
-                    compute_dtype=None) -> Callable:
+                    compute_dtype=None,
+                    backbone: str = "vit") -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm)."""
 
     def loss_fn(trainable, static_vit, images, labels):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, backbone=backbone)
         y = labels.reshape(-1)
         loss = nll_loss(logp, y)
         preds = jnp.argmax(logp, axis=-1)
@@ -113,10 +119,10 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
 
 def make_eval_step(cfg: ViTConfig, head_type: str, n_classes: int,
-                   compute_dtype=None) -> Callable:
+                   compute_dtype=None, backbone: str = "vit") -> Callable:
     def step(vit_p, head_p, images, labels):
         logp = seg_forward(vit_p, head_p, cfg, head_type, images,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, backbone=backbone)
         preds = jnp.argmax(logp, axis=-1)
         return confusion_matrix(preds, labels.reshape(-1), n_classes)
     return jax.jit(step)
