@@ -39,23 +39,37 @@ class DuckieSegDataset:
     def __len__(self) -> int:
         return len(self.files)
 
+    def _load_mask(self, idx: int) -> np.ndarray:
+        name = os.path.splitext(os.path.basename(self.files[idx]))[0]
+        return np.load(os.path.join(self.path, "SegmentationClass",
+                                    name + ".npy")).astype(np.int32)
+
     def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        f = self.files[idx]
-        with open(f, "rb") as fh:
-            img = np.array(Image.open(fh).convert("RGB"))
-        name = os.path.splitext(os.path.basename(f))[0]
-        mask = np.load(os.path.join(self.path, "SegmentationClass",
-                                    name + ".npy"))
-        return img, mask.astype(np.int32)
+        from dino_tpu.data import native_loader
+        img = native_loader.decode(self.files[idx])  # C++ libjpeg path
+        if img is None:
+            with open(self.files[idx], "rb") as fh:
+                img = np.array(Image.open(fh).convert("RGB"))
+        return img, self._load_mask(idx)
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None
             ) -> Tuple[np.ndarray, np.ndarray]:
-        img, mask = self._load_raw(idx)
         if self.augmented:
+            img, mask = self._load_raw(idx)
             rng = rng if rng is not None else np.random.default_rng()
             img, mask = augment(rng, img, mask, self.resolution)
         else:
-            img, mask = resize_pair(img, mask, self.resolution)
+            # eval path: decode+resize fuse inside the native loader
+            # (identical bilinear semantics to the Python path)
+            from dino_tpu.data import native_loader
+            img = native_loader.decode_resize(
+                self.files[idx], self.resolution, self.resolution)
+            if img is not None:
+                mask = resize_nearest(self._load_mask(idx),
+                                      self.resolution, self.resolution)
+            else:
+                img, mask = resize_pair(*self._load_raw(idx),
+                                        self.resolution)
         grid = self.resolution // self.patch_size
         mask = resize_nearest(mask, grid, grid).reshape(-1)
         return img, mask

@@ -1,0 +1,120 @@
+"""ctypes binding for the native C++ loader (native/dtloader.cpp).
+
+Builds the shared library on first use (cached next to the source; override
+the location with $DINO_TPU_NATIVE_DIR) and falls back to None when a
+toolchain or libjpeg is unavailable — callers keep the PIL path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _native_dir() -> str:
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+    return os.environ.get("DINO_TPU_NATIVE_DIR", default)
+
+
+def _build(src_dir: str) -> Optional[str]:
+    so = os.path.join(src_dir, "libdtloader.so")
+    src = os.path.join(src_dir, "dtloader.cpp")
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return so
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", so, src,
+             "-ljpeg", "-lpthread"],
+            check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("DINO_TPU_NO_NATIVE") == "1":
+            return None
+        src_dir = _native_dir()
+        if not os.path.exists(os.path.join(src_dir, "dtloader.cpp")):
+            return None
+        so = _build(src_dir)
+        if so is None:
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            return None
+        lib.dt_decode_jpeg_file.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int]
+        lib.dt_decode_jpeg_file.restype = ctypes.c_int
+        lib.dt_decode_resize_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.dt_decode_resize_file.restype = ctypes.c_int
+        lib.dt_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        lib.dt_load_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def decode_resize(path: str, out_h: int, out_w: int) -> Optional[np.ndarray]:
+    """Decode + resize one JPEG natively; None on any failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.dt_decode_resize_file(
+        path.encode(), out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def decode(path: str, max_h: int = 4096, max_w: int = 4096
+           ) -> Optional[np.ndarray]:
+    """Decode one JPEG at full resolution; None on failure."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.empty(max_h * max_w * 3, np.uint8)  # C side writes packed rows
+    h, w = ctypes.c_int(), ctypes.c_int()
+    rc = lib.dt_decode_jpeg_file(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(h), ctypes.byref(w), max_h, max_w)
+    if rc != 0:
+        return None
+    return buf[:h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def load_batch(paths: List[str], out_h: int, out_w: int,
+               n_threads: int = 0) -> Optional[np.ndarray]:
+    """Decode + resize a batch with the C++ thread pool; None on failure."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    n_threads = n_threads or min(n, os.cpu_count() or 1)
+    failures = lib.dt_load_batch(
+        arr, n, out_h, out_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    return out if failures == 0 else None
