@@ -177,6 +177,81 @@ class DINOSeg:
         return np.asarray(fn(self.vit_params, self.head_params,
                              jnp.asarray(img)))
 
+    def _predict_batch_fn(self, batch_shape):
+        key = ("predict_batch", batch_shape, self.resolution)
+        if key not in self._jit_cache:
+            res = self.resolution
+            cfg, head_type = self.cfg, self.head
+            cdt, bb = self.compute_dtype, self.backbone
+            out_size = res // 8
+            factor = 480 // out_size
+
+            @jax.jit
+            def fn(vit_p, head_p, imgs_u8):
+                x = preprocess(imgs_u8, res)
+                logp = seg_forward(vit_p, head_p, cfg, head_type,
+                                   images_u8=None, pre_normalized=x,
+                                   compute_dtype=cdt, backbone=bb)
+                low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
+                return jax.vmap(
+                    lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
+
+            self._jit_cache[key] = fn
+        return self._jit_cache[key]
+
+    def predict_batch(self, images) -> np.ndarray:
+        """Batched inference: uint8 (B, H, W, 3) -> (B, 480, 480) int maps.
+
+        The serving-throughput path: one fused device program for the whole
+        batch (the single-frame reference API generalized for TPU batching).
+        In bf16 mode, batch-N and batch-1 programs may flip argmax on
+        near-tie patches (different matmul tilings); precision='fp32' makes
+        them exactly equal.
+        """
+        imgs = np.asarray(images)
+        if imgs.dtype != np.uint8:
+            imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+        fn = self._predict_batch_fn(imgs.shape)
+        return np.asarray(fn(self.vit_params, self.head_params,
+                             jnp.asarray(imgs)))
+
+    def predict_stream(self, frames, batch_size: int = 8):
+        """Continuous inference over a frame iterator (robot-camera trace).
+
+        Double-buffered: while the device chews on batch k, the host stacks
+        batch k+1, so transfer and compute overlap.  Yields one (480, 480)
+        int map per input frame, in order.  Ragged tails fall back to
+        single-frame predict (static shapes).
+        """
+        fn = None
+        pending = None  # (device_future, n_valid)
+
+        def flush():
+            nonlocal pending
+            if pending is not None:
+                out, n = pending
+                pending = None
+                for m in np.asarray(out)[:n]:
+                    yield m
+
+        batch = []
+        for frame in frames:
+            img = np.asarray(frame)
+            if img.dtype != np.uint8:
+                img = np.clip(img, 0, 255).astype(np.uint8)
+            batch.append(img)
+            if len(batch) == batch_size:
+                imgs = np.stack(batch)
+                batch = []
+                if fn is None:
+                    fn = self._predict_batch_fn(imgs.shape)
+                fut = fn(self.vit_params, self.head_params, jnp.asarray(imgs))
+                yield from flush()
+                pending = (fut, batch_size)
+        yield from flush()
+        for img in batch:  # ragged tail
+            yield self.predict(img)
+
     def get_last_selfattention(self, images_u8: np.ndarray,
                                cls_mask=None) -> np.ndarray:
         """CLS attention maps at the current resolution (for the

@@ -1,0 +1,34 @@
+"""Batched + streaming predict: parity with single-frame predict, ordering,
+ragged tails."""
+import numpy as np
+import pytest
+
+from dino_tpu import DINOSeg
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = DINOSeg(head="mlp", n_blocks=1, n_classes=5, random_init=True, seed=0,
+                precision="fp32")
+    m.set_resolution(64)
+    return m
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rs = np.random.RandomState(0)
+    return rs.randint(0, 255, (11, 100, 120, 3), np.uint8)
+
+
+def test_predict_batch_matches_single(model, frames):
+    batch = model.predict_batch(frames[:4])
+    assert batch.shape == (4, 480, 480)
+    for i in range(4):
+        np.testing.assert_array_equal(batch[i], model.predict(frames[i]))
+
+
+def test_predict_stream_order_and_ragged(model, frames):
+    outs = list(model.predict_stream(iter(frames), batch_size=4))
+    assert len(outs) == 11  # 2 full batches + ragged tail of 3
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, model.predict(frames[i]))
