@@ -30,6 +30,19 @@ def _enable_persistent_compile_cache() -> None:
 
 _enable_persistent_compile_cache()
 
+
+def _enable_debug_nans() -> None:
+    """NaN sanitizer (SURVEY §5 'race detection/sanitizers' row): set
+    DINO_TPU_DEBUG_NANS=1 to make any NaN-producing jitted op raise with the
+    offending primitive — the functional-world equivalent of a data race
+    detector for numerics."""
+    if _os.environ.get("DINO_TPU_DEBUG_NANS") == "1":
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
+
+_enable_debug_nans()
+
 from dino_tpu.api import DINOSeg  # noqa: E402
 from dino_tpu.data.dataset import DuckieSegDataset  # noqa: E402
 from dino_tpu.utils.labels import parse_class_names  # noqa: E402

@@ -88,3 +88,26 @@ def load_pretrained_backbone(patch_size: int = 8,
             "No pretrained DINO weights found. Provide pretrained_path, set "
             "$DINO_TPU_PRETRAINED, or place the torch artifact in the hub cache.")
     return None
+
+
+def load_pretrained_weights(path: str, checkpoint_key: Optional[str] = None
+                            ) -> Dict[str, Any]:
+    """Load ViT backbone params from any DINO-style torch checkpoint.
+
+    Handles the full-pretraining checkpoints too (reference
+    utils.py:71-106): an optional ``checkpoint_key`` ('teacher'/'student')
+    selects the sub-state-dict, ``module.``/``backbone.`` prefixes are
+    stripped, and the result converts to our param pytree.
+    """
+    from dino_tpu.checkpointing.torch_convert import convert_vit_state_dict
+    ckpt = load_torch_file(path)
+    sd = ckpt
+    if checkpoint_key is not None and checkpoint_key in ckpt:
+        print(f"Take key {checkpoint_key} in provided checkpoint dict")
+        sd = ckpt[checkpoint_key]
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = state_dict_to_numpy(sd)
+    sd = {k.replace("module.", "").replace("backbone.", ""): v
+          for k, v in sd.items()}
+    return convert_vit_state_dict(sd)
