@@ -437,6 +437,13 @@ class DINOSeg:
             metrics["epoch_time_s"] = time.time() - t0
             if log:
                 self._log(metrics, step=epoch)
+                # per-epoch confusion matrix (reference logs these to Comet,
+                # pl_torch_modules.py:326-330; train CM skipped, same as ref)
+                if self.logger is not None and hasattr(
+                        self.logger, "log_confusion_matrix"):
+                    self.logger.log_confusion_matrix(
+                        val_cm, title="val", step=epoch,
+                        labels=self.class_names)
             if metrics["val_acc"] > best_acc:
                 best_acc = metrics["val_acc"]
                 self.save(ck_path, extra_hparams={"best_val_acc": best_acc,

@@ -266,15 +266,25 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
 
 def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, *,
                 all_tokens: bool = True, intermediate: int = 0,
-                use_flash: bool = True) -> jnp.ndarray:
+                use_flash: bool = True, remat: bool = False) -> jnp.ndarray:
     """Forward through all (possibly truncated) blocks + final LayerNorm.
 
     ``intermediate=i`` returns ``norm(x)`` right after block i (1-indexed),
     matching reference ``forward(intermediate=i)`` (:237-248).
+    ``remat=True`` rematerializes each block on the backward pass
+    (jax.checkpoint) so backbone finetuning trades FLOPs for activation
+    memory — the TPU-native answer to the reference's "might run out of GPU
+    RAM" finetune caveat (run_experiment.py:115).
     """
     tokens = prepare_tokens(params, x, cfg)
+
+    def apply_block(blk, tokens):
+        return block_apply(blk, tokens, cfg, use_flash=use_flash)[0]
+
+    if remat:
+        apply_block = jax.checkpoint(apply_block)
     for i, blk in enumerate(params["blocks"]):
-        tokens, _ = block_apply(blk, tokens, cfg, use_flash=use_flash)
+        tokens = apply_block(blk, tokens)
         if intermediate and i == intermediate - 1:
             return layer_norm(params["norm"], tokens, cfg.ln_eps)
     tokens = layer_norm(params["norm"], tokens, cfg.ln_eps)

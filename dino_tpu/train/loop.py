@@ -49,7 +49,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 pre_normalized: Optional[jnp.ndarray] = None,
                 use_flash: bool = True,
                 compute_dtype: Optional[jnp.dtype] = None,
-                backbone: str = "vit") -> jnp.ndarray:
+                backbone: str = "vit",
+                remat: bool = False) -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
@@ -66,7 +67,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     if backbone == "vit":
-        tokens = vit_forward(vit_params, x, cfg, use_flash=use_flash)
+        tokens = vit_forward(vit_params, x, cfg, use_flash=use_flash,
+                             remat=remat)
         feats = tokens[:, 1:, :]
     else:  # cnn1/cnn2 ResNet-50 feature maps, (B, H/8, W/8, C) row-major
         feats = resnet_backbone_apply(vit_params, x, variant=backbone)
@@ -92,8 +94,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
     def loss_fn(trainable, static_vit, images, labels):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
+        # finetuning reruns blocks on the backward pass instead of storing
+        # every activation (frozen mode has no backbone bwd at all)
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
-                           compute_dtype=compute_dtype, backbone=backbone)
+                           compute_dtype=compute_dtype, backbone=backbone,
+                           remat=not freeze_backbone)
         y = labels.reshape(-1)
         loss = nll_loss(logp, y)
         preds = jnp.argmax(logp, axis=-1)
