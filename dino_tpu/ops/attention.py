@@ -265,11 +265,61 @@ def _flash_fwd_rule(q, k, v, scale, interpret):
     return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
 
 
+def _flash_bwd_chunked(q, k, v, g, scale, block: int = 128):
+    """Memory-linear attention backward: recompute softmax per q-chunk and
+    scan, carrying dK/dV accumulators — the flash-attention backward
+    formulation in XLA.  Peak memory is O(block * N) instead of O(N^2),
+    which is what makes unfrozen 480px training possible at batch 16."""
+    b, nh, n, hd = q.shape
+    in_dtype = q.dtype
+    qp = _pad_to(q, 2, block)
+    gp = _pad_to(g, 2, block)
+    npq = qp.shape[2]
+    nq = npq // block
+
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def chunk(carry, idx):
+        dk, dv = carry
+        qs = jax.lax.dynamic_slice_in_dim(qp, idx * block, block, axis=2)
+        gs = jax.lax.dynamic_slice_in_dim(gp, idx * block, block, axis=2
+                                          ).astype(jnp.float32)
+        row_ok = (idx * block + jnp.arange(block)) < n       # mask padded q
+        s = jnp.einsum("bhqd,bhkd->bhqk", qs, k,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gs, vf,
+                        preferred_element_type=jnp.float32)
+        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - dsum) * scale
+        ds = jnp.where(row_ok[None, None, :, None], ds, 0.0)
+        p_ok = jnp.where(row_ok[None, None, :, None], p, 0.0)
+        dq_chunk = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                              preferred_element_type=jnp.float32)
+        dk = dk + jnp.einsum("bhqk,bhqd->bhkd", ds, qs.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        dv = dv + jnp.einsum("bhqk,bhqd->bhkd", p_ok, gs,
+                             preferred_element_type=jnp.float32)
+        return (dk, dv), dq_chunk
+
+    zeros = jnp.zeros((b, nh, n, hd), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(chunk, (zeros, zeros), jnp.arange(nq))
+    dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(b, nh, npq, hd)[:, :, :n, :]
+    return (dq.astype(in_dtype), dk.astype(in_dtype), dv.astype(in_dtype))
+
+
 def _flash_bwd_rule(scale, interpret, res, g):
     q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale)[0],
-                     q, k, v)
-    return vjp(g)
+    b, nh, n, _ = q.shape
+    # full-probs backward is faster when the (B, nh, N, N) f32 matrix is
+    # cheap; beyond ~1.5GB switch to the memory-linear chunked scan
+    probs_bytes = b * nh * n * n * 4
+    if probs_bytes <= 1_500_000_000:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attention_xla(q_, k_, v_, scale)[0], q, k, v)
+        return vjp(g)
+    return _flash_bwd_chunked(q, k, v, g, scale)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -22,6 +22,26 @@ def test_flash_matches_xla(n):
                                atol=2e-5, rtol=1e-5)
 
 
+def test_chunked_bwd_matches_xla_vjp():
+    """Memory-linear backward == full-probs backward."""
+    from dino_tpu.ops.attention import _flash_bwd_chunked
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, nh, n, hd = 2, 3, 310, 64  # non-multiple of the 128 block
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, n, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, n, hd), jnp.float32)
+    g = jax.random.normal(kg, (b, nh, n, hd), jnp.float32)
+    scale = 0.125
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale)[0],
+                     q, k, v)
+    ref = vjp(g)
+    ours = _flash_bwd_chunked(q, k, v, g, scale)
+    for a, b_ in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_flash_grad_matches_xla():
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
