@@ -31,7 +31,7 @@ from dino_tpu.checkpointing.torch_convert import convert_pl_checkpoint
 from dino_tpu.data.dataset import DuckieSegDataset, batched_loader, epoch_indices
 from dino_tpu.models.heads import init_head
 from dino_tpu.models.vit import (ViTConfig, get_last_selfattention,
-                                 init_vit_params, truncate_blocks, vit_forward)
+                                 init_vit_params, truncate_blocks)
 from dino_tpu.ops.preprocess import preprocess
 from dino_tpu.ops.upsample import kron_upsample
 from dino_tpu.train.loop import (init_opt_state, make_eval_step,

@@ -7,7 +7,7 @@ one npz so an interrupted run continues exactly where it stopped.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np

@@ -7,7 +7,6 @@ measurement (tools/bench_torch_baseline.py -> bench_baseline.json).
 """
 import json
 import os
-import sys
 import time
 
 import numpy as np

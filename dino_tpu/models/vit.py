@@ -20,7 +20,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -232,31 +232,55 @@ def drop_path(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
     return (x / keep) * mask.astype(x.dtype)
 
 
+def dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout (train-mode only; reference Mlp/Attention drop)."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
 def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
                 cls_mask: Optional[jnp.ndarray] = None,
                 need_probs: bool = False,
                 use_flash: bool = True,
                 drop_path_rate: float = 0.0,
                 rng=None):
-    """One pre-LN transformer block. Returns (x_out, attn_or_None)."""
+    """One pre-LN transformer block. Returns (x_out, attn_or_None).
+
+    Train-mode regularization (drop_rate / attn_drop_rate / drop_path_rate,
+    all 0 in every reference config) engages only when ``rng`` is given;
+    inference stays deterministic and rng-free.
+    """
+    train = rng is not None and (cfg.drop_rate > 0 or cfg.attn_drop_rate > 0
+                                 or drop_path_rate > 0)
+    if train:
+        rng, r_attn, r_proj, r_mlp1, r_mlp2, r_dp1, r_dp2 = jax.random.split(
+            rng, 7)
     y, attn = multi_head_attention(
         p["attn"], layer_norm(p["norm1"], x, cfg.ln_eps),
         num_heads=cfg.num_heads, scale=cfg.scale, cls_mask=cls_mask,
-        need_probs=need_probs or cls_mask is not None, use_flash=use_flash)
+        need_probs=need_probs or cls_mask is not None, use_flash=use_flash,
+        attn_drop=(cfg.attn_drop_rate, r_attn) if train
+        and cfg.attn_drop_rate > 0 else None)
+    if train and cfg.drop_rate > 0:
+        y = dropout(y, cfg.drop_rate, r_proj)  # proj_drop (reference :78,106)
     if cls_mask is not None:
         # The CLS residual is replicated once per mask (reference :127-132).
         n_masks = cls_mask.shape[0]
         x = jnp.broadcast_to(x[:, :1, :], (x.shape[0], n_masks, x.shape[-1]))
-    if drop_path_rate > 0.0 and rng is not None:
-        rng, r1, r2 = jax.random.split(rng, 3)
-        y = drop_path(y, drop_path_rate, r1)
+    if train and drop_path_rate > 0.0:
+        y = drop_path(y, drop_path_rate, r_dp1)
     x = x + y
     h = layer_norm(p["norm2"], x, cfg.ln_eps)
     h = dense(p["mlp"]["fc1"], h)
     h = jax.nn.gelu(h, approximate=False)
+    if train and cfg.drop_rate > 0:
+        h = dropout(h, cfg.drop_rate, r_mlp1)
     h = dense(p["mlp"]["fc2"], h)
-    if drop_path_rate > 0.0 and rng is not None:
-        h = drop_path(h, drop_path_rate, r2)
+    if train and cfg.drop_rate > 0:
+        h = dropout(h, cfg.drop_rate, r_mlp2)
+    if train and drop_path_rate > 0.0:
+        h = drop_path(h, drop_path_rate, r_dp2)
     return x + h, attn
 
 

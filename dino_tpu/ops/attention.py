@@ -331,12 +331,15 @@ flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def multi_head_attention(p: Params, x: jnp.ndarray, *, num_heads: int,
                          scale: float, cls_mask: Optional[jnp.ndarray] = None,
-                         need_probs: bool = False, use_flash: bool = True
+                         need_probs: bool = False, use_flash: bool = True,
+                         attn_drop=None
                          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Reference-equivalent MHSA returning (out, attn_probs_or_None).
 
     Matches Attention.forward (reference :80-107) including the cls_mask path
-    where the output collapses to one token per mask.
+    where the output collapses to one token per mask.  ``attn_drop`` is an
+    optional (rate, rng) pair applying train-mode dropout to the attention
+    probabilities (forces the probs path).
     """
     b, n, c = x.shape
     hd = c // num_heads
@@ -347,8 +350,16 @@ def multi_head_attention(p: Params, x: jnp.ndarray, *, num_heads: int,
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, N, hd)
 
     probs = None
-    if need_probs or cls_mask is not None:
-        out, probs = attention_xla(q, k, v, scale, cls_mask=cls_mask)
+    if need_probs or cls_mask is not None or attn_drop is not None:
+        probs = attention_probs_xla(q, k, scale, cls_mask)
+        applied = probs
+        if attn_drop is not None:
+            rate, rng = attn_drop
+            keep = 1.0 - rate
+            mask = jax.random.bernoulli(rng, keep, probs.shape)
+            applied = jnp.where(mask, probs / keep, 0.0)
+        out = jnp.einsum("bhqk,bhkd->bhqd", applied.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
     elif use_flash and _on_tpu():
         out = flash_attention(q, k, v, scale)
     else:

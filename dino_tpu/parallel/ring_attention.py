@@ -19,8 +19,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from dino_tpu.models.vit import (ViTConfig, layer_norm, dense, prepare_tokens)

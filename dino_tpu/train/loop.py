@@ -14,9 +14,7 @@ with an explicit JAX loop:
 """
 from __future__ import annotations
 
-import os
-import time
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -42,12 +42,6 @@ def per_param_clip(clip: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init, update)
 
 
-def _is_excluded(path: Tuple) -> bool:
-    """LARS exclusion: biases and 1-D params (norm scales) use plain SGD
-    (reference utils.py:566-569 skips ndim==1)."""
-    return False  # decided per-leaf by ndim below
-
-
 def lars(learning_rate, momentum: float = 0.9, weight_decay: float = 0.0,
          eta: float = 0.001) -> optax.GradientTransformation:
     """LARS with DINO semantics: weight decay + trust-ratio adaptation only

@@ -179,3 +179,24 @@ def test_drop_path():
     kept = np.asarray(y[:, 0, 0])
     assert set(np.round(np.unique(kept), 4)) <= {0.0, 2.0}  # 1/keep scaling
     assert 20 < (kept > 0).sum() < 80
+
+
+def test_dropout_and_train_mode_block():
+    from dino_tpu.models.vit import (ViTConfig, block_apply, dropout,
+                                     init_block_params)
+    x = jnp.ones((1000, 8))
+    y = np.asarray(dropout(x, 0.25, jax.random.PRNGKey(0)))
+    assert set(np.round(np.unique(y), 4)) <= {0.0, np.float32(1 / 0.75).round(4)}
+    assert 0.2 < (y == 0).mean() < 0.3
+
+    cfg = ViTConfig(embed_dim=64, num_heads=2, drop_rate=0.3,
+                    attn_drop_rate=0.2)
+    p = init_block_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 64))
+    det1, _ = block_apply(p, tokens, cfg)              # rng-free: no dropout
+    det2, _ = block_apply(p, tokens, cfg)
+    np.testing.assert_array_equal(np.asarray(det1), np.asarray(det2))
+    tr1, _ = block_apply(p, tokens, cfg, rng=jax.random.PRNGKey(2))
+    tr2, _ = block_apply(p, tokens, cfg, rng=jax.random.PRNGKey(3))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(det1))

@@ -88,6 +88,33 @@ def main():
         "value": round(batch2 * n2 / dt, 2), "unit": "frames/s/chip",
         "batch": batch2, "note": "N=14,401 tokens, flash attention"})
 
+    # --- scenario 3 (config #4): head-finetuning training throughput
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+    optimizer = make_optimizer("adam", 1e-3)
+    for frozen, label in [(True, "frozen_head_training"),
+                          (False, "unfrozen_finetuning")]:
+        bt = 16
+        step = make_train_step(cfg, "mlp", 7, optimizer, frozen, donate=False,
+                               compute_dtype=jnp.bfloat16)
+        opt_state = init_opt_state(optimizer, vit_p, head_p, frozen)
+        imgs = jax.device_put(
+            rs.randint(0, 255, (bt, 480, 480, 3)).astype(np.uint8))
+        labels = jax.device_put(
+            rs.randint(0, 7, (bt, 3600)).astype(np.int32))
+        v, h, o, loss, _ = step(vit_p, head_p, opt_state, imgs, labels)
+        np.asarray(loss)  # compile + settle
+        n3 = 5
+        t0 = time.perf_counter()
+        for _ in range(n3):
+            v, h, o, loss, _ = step(v, h, o, imgs, labels)
+        np.asarray(loss)
+        dt = time.perf_counter() - t0
+        results.append({
+            "metric": f"train_{label}_480px_fps",
+            "value": round(bt * n3 / dt, 2), "unit": "frames/s/chip",
+            "batch": bt})
+
     for r in results:
         print(json.dumps(r))
 
