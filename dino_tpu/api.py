@@ -315,9 +315,16 @@ class DINOSeg:
         n_classes = self.n_classes
         cm = np.zeros((n_classes, n_classes), np.int64)
         idx = np.arange(len(dataset))
+        # multi-host: each host evaluates an interleaved slice, CMs sum below
+        if jax.process_count() > 1:
+            idx = idx[jax.process_index()::jax.process_count()]
         for xb, yb in batched_loader(dataset, idx, batch_size):
             cm += np.asarray(eval_step(self.vit_params, self.head_params,
                                        jnp.asarray(xb), jnp.asarray(yb)))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            cm = np.asarray(multihost_utils.process_allgather(cm)
+                            ).reshape(-1, n_classes, n_classes).sum(0)
         return cm
 
     def fit(self, ck_file_name: Optional[str] = None,
