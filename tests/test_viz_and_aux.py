@@ -1,0 +1,100 @@
+"""Coverage for visualization utils, profiling, dist helpers, and the
+verify-port harness."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_voc_colormap_and_label2rgb():
+    from dino_tpu.utils.viz import label2rgb, rgb2gray, voc_colormap
+    cmap = voc_colormap()
+    assert cmap.shape == (256, 3)
+    np.testing.assert_array_equal(cmap[0], [0, 0, 0])
+    np.testing.assert_array_equal(cmap[1], [128, 0, 0])  # VOC class 1 = maroon
+    np.testing.assert_array_equal(cmap[15], [192, 128, 128])
+
+    label = np.array([[0, 1], [2, 3]])
+    colored = label2rgb(label)
+    np.testing.assert_array_equal(colored[0, 1], cmap[1])
+    base = np.full((2, 2), 100, np.uint8)
+    blended = label2rgb(label, base, alpha=0.5)
+    assert blended.shape == (2, 2, 3)
+    np.testing.assert_array_equal(blended[0, 0], [50, 50, 50])  # black over gray
+
+    img = np.stack([np.full((2, 2), 255, np.uint8)] * 3, -1)
+    assert rgb2gray(img).max() == 255  # weights sum to 1.0
+
+
+def test_save_label_png_roundtrip(tmp_path):
+    from dino_tpu.utils.viz import save_label_png, voc_colormap
+    label = np.arange(12).reshape(3, 4) % 5
+    p = str(tmp_path / "m.png")
+    save_label_png(p, label)
+    img = Image.open(p)
+    assert img.mode == "P"
+    np.testing.assert_array_equal(np.array(img), label)
+    with pytest.raises(ValueError):
+        save_label_png(p, np.array([[300]]))
+
+
+def test_step_timer_and_trace(tmp_path):
+    import jax.numpy as jnp
+    from dino_tpu.utils.profiling import StepTimer, annotate, device_trace
+    timer = StepTimer()
+    timer.start()
+    for _ in range(3):
+        timer.mark(jnp.ones(4) * 2)
+    s = timer.summary()
+    assert s["steps"] == 3 and s["total_s"] > 0
+    with annotate("unit-test-region"):
+        pass
+    with device_trace(str(tmp_path / "tr")) as d:
+        jnp.sum(jnp.ones((8, 8))).block_until_ready()
+    assert any(files for _, _, files in os.walk(d))
+
+
+def test_dist_helpers_single_process():
+    from dino_tpu.parallel.dist import (get_rank, get_world_size,
+                                        is_dist_avail_and_initialized,
+                                        is_main_process, reduce_dict,
+                                        save_on_master)
+    assert get_world_size() == 1 and get_rank() == 0
+    assert is_main_process() and not is_dist_avail_and_initialized()
+    d = reduce_dict({"a": 1.0, "b": 2.0})
+    assert d == {"a": 1.0, "b": 2.0}
+    assert save_on_master(lambda x: x + 1, 41) == 42
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_verify_port_cli(tmp_path):
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_goldens import load_reference_vit
+    vt = load_reference_vit()
+    torch.manual_seed(11)
+    m = vt.vit_small(patch_size=8, num_classes=0)
+    m.blocks = m.blocks[:1]
+    sd = {"dino." + k: v for k, v in m.state_dict().items()}
+    lin = torch.nn.Linear(384, 5)
+    sd["clf.layer_1.weight"] = lin.weight.detach()
+    sd["clf.layer_1.bias"] = lin.bias.detach()
+    ckpt = str(tmp_path / "r.ckpt")
+    torch.save({"state_dict": sd,
+                "hyper_parameters": {"head": "linear", "n_blocks": 1,
+                                     "n_classes": 5, "backbone": "vit"}},
+               ckpt)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run([sys.executable, "-m", "dino_tpu.cli.verify_port",
+                        ckpt, "--resolutions", "240"],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "BIT-IDENTICAL" in r.stdout and "PASS" in r.stdout
