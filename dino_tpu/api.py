@@ -252,6 +252,27 @@ class DINOSeg:
         for img in batch:  # ragged tail
             yield self.predict(img)
 
+    def get_intermediate_layers(self, images_u8: np.ndarray, n: int = 1):
+        """Normed token outputs of the last n backbone blocks at the current
+        resolution (reference dino.get_intermediate_layers, used by the
+        companion agent repo)."""
+        from dino_tpu.models.vit import get_intermediate_layers
+        x = preprocess(jnp.asarray(images_u8), self.resolution)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        return [np.asarray(t) for t in
+                get_intermediate_layers(self.vit_params, x, self.cfg, n=n)]
+
+    def forward_mask(self, image_u8: np.ndarray,
+                     cls_mask: np.ndarray) -> np.ndarray:
+        """Embed N region masks via masked CLS attention in the last block
+        (reference dino.forward_mask). image: (H, W, 3) uint8; cls_mask:
+        (N, res/8, res/8). Returns (N, D)."""
+        from dino_tpu.models.vit import forward_mask
+        x = preprocess(jnp.asarray(image_u8)[None], self.resolution)
+        return np.asarray(forward_mask(self.vit_params, x,
+                                       jnp.asarray(cls_mask), self.cfg))
+
     def get_last_selfattention(self, images_u8: np.ndarray,
                                cls_mask=None) -> np.ndarray:
         """CLS attention maps at the current resolution (for the

@@ -99,3 +99,16 @@ def test_pl_checkpoint_conversion(tmp_path):
     pred = model.predict(
         np.random.RandomState(3).randint(0, 255, (100, 100, 3), np.uint8))
     assert pred.shape == (480, 480)
+
+
+def test_intermediate_layers_and_forward_mask(model):
+    rs = np.random.RandomState(4)
+    model.set_resolution(240)
+    imgs = rs.randint(0, 255, (1, 240, 240, 3), np.uint8)
+    outs = model.get_intermediate_layers(imgs, n=1)
+    assert len(outs) == 1 and outs[0].shape == (1, 901, 384)
+
+    mask = (rs.rand(3, 30, 30) > 0.5).astype(np.float32)
+    emb = model.forward_mask(imgs[0], mask)
+    assert emb.shape == (3, 384)
+    assert np.isfinite(emb).all()
