@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dino_tpu.ops.bicubic import bicubic_resize_matrix
-from dino_tpu.ops.attention import multi_head_attention
+from dino_tpu.ops.attention import multi_head_attention, _on_tpu
 
 Params = Dict[str, Any]
 
@@ -271,6 +271,12 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
     if train and drop_path_rate > 0.0:
         y = drop_path(y, drop_path_rate, r_dp1)
     x = x + y
+    if (not train and x.dtype == jnp.bfloat16 and use_flash
+            and _on_tpu()):
+        # fused LN+MLP+residual Pallas kernel (bf16 TPU fast path)
+        from dino_tpu.ops.fused_mlp import fused_ln_mlp_residual
+        return fused_ln_mlp_residual(p["norm2"], p["mlp"], x,
+                                     cfg.ln_eps), attn
     h = layer_norm(p["norm2"], x, cfg.ln_eps)
     h = dense(p["mlp"]["fc1"], h)
     h = jax.nn.gelu(h, approximate=False)
