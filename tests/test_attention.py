@@ -61,3 +61,20 @@ def test_flash_grad_matches_xla():
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-4)
+
+
+def test_fused_mlp_xla_reference_matches_block():
+    """The fused kernel's bwd oracle == the unfused block composition."""
+    from dino_tpu.models.vit import (ViTConfig, dense, init_block_params,
+                                     layer_norm)
+    from dino_tpu.ops.fused_mlp import _xla_reference
+    cfg = ViTConfig(embed_dim=64, num_heads=2)
+    p = init_block_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 33, 64))
+    ref = _xla_reference(p["norm2"], p["mlp"], x, cfg.ln_eps)
+    h = layer_norm(p["norm2"], x, cfg.ln_eps)
+    h = dense(p["mlp"]["fc1"], h)
+    h = jax.nn.gelu(h, approximate=False)
+    manual = x + dense(p["mlp"]["fc2"], h)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(manual),
+                               atol=2e-5, rtol=1e-5)
