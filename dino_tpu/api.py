@@ -332,6 +332,28 @@ class DINOSeg:
         self.freeze_backbone = False
         self.hparams["freeze_backbone"] = False
 
+    # Dataloader surface (reference pl_torch_modules.py:347-363): generators
+    # of stacked uint8/int32 batches over the VOC splits.
+    def train_dataloader(self, sim: bool = False, seed: int = 0,
+                         samples_per_epoch: int = 1000):
+        path = self.train_path_sim if sim else self.train_path
+        ds = DuckieSegDataset(path, augmented=self.augmented,
+                              resolution=self.train_resolution)
+        rng = np.random.default_rng(seed)
+        idx = epoch_indices(rng, len(ds), samples_per_epoch)
+        return batched_loader(ds, idx, self.batch_size, rng=rng)
+
+    def val_dataloader(self, sim: bool = False):
+        path = self.val_path_sim if sim else self.val_path
+        ds = DuckieSegDataset(path, augmented=False,
+                              resolution=self.train_resolution)
+        return batched_loader(ds, np.arange(len(ds)), self.batch_size)
+
+    def test_dataloader(self):
+        ds = DuckieSegDataset(self.test_path, augmented=False,
+                              resolution=self.train_resolution)
+        return batched_loader(ds, np.arange(len(ds)), self.batch_size)
+
     def _run_eval(self, eval_step, dataset, batch_size: int) -> np.ndarray:
         n_classes = self.n_classes
         cm = np.zeros((n_classes, n_classes), np.int64)

@@ -112,3 +112,21 @@ def test_intermediate_layers_and_forward_mask(model):
     emb = model.forward_mask(imgs[0], mask)
     assert emb.shape == (3, 384)
     assert np.isfinite(emb).all()
+
+
+def test_dataloader_methods(tmp_path):
+    from tests.test_train_smoke import RES, _make_split
+    root = str(tmp_path / "d")
+    os.makedirs(root)
+    _make_split(root, "train", 6, 0)
+    _make_split(root, "val", 2, 1)
+    _make_split(root, "test", 2, 2)
+    m = DINOSeg(data_path=root, head="mlp", n_blocks=1, n_classes=3,
+                batch_size=2, random_init=True, augmented=False,
+                train_resolution=RES, seed=0)
+    xb, yb = next(iter(m.train_dataloader(samples_per_epoch=4)))
+    assert xb.shape == (2, RES, RES, 3) and xb.dtype == np.uint8
+    assert yb.shape == (2, (RES // 8) ** 2)
+    batches = list(m.val_dataloader())
+    assert sum(b[0].shape[0] for b in batches) == 2
+    assert sum(b[0].shape[0] for b in m.test_dataloader()) == 2
