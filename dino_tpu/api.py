@@ -208,6 +208,8 @@ class DINOSeg:
         near-tie patches (different matmul tilings); precision='fp32' makes
         them exactly equal.
         """
+        if isinstance(images, (list, tuple)):  # PIL images / mixed arrays
+            images = np.stack([np.asarray(im) for im in images])
         imgs = np.asarray(images)
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)

@@ -32,3 +32,10 @@ def test_predict_stream_order_and_ragged(model, frames):
     assert len(outs) == 11  # 2 full batches + ragged tail of 3
     for i, out in enumerate(outs):
         np.testing.assert_array_equal(out, model.predict(frames[i]))
+
+
+def test_predict_batch_accepts_pil_list(model, frames):
+    from PIL import Image
+    pils = [Image.fromarray(f) for f in frames[:2]]
+    out = model.predict_batch(pils)
+    np.testing.assert_array_equal(out, model.predict_batch(frames[:2]))

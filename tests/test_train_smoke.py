@@ -105,3 +105,15 @@ def test_fit_frozen_then_finetune(voc_root, tmp_path):
     ft = loaded.fit(ck_file_name="smoke_finetuned", samples_per_epoch=16)
     assert os.path.exists(os.path.join(write, "smoke_finetuned.ckpt.npz"))
     assert 0.0 <= ft["test_acc"] <= 1.0
+
+
+def test_augment_deterministic_under_seed(voc_root):
+    """Same rng seed => identical augmented sample (resume determinism)."""
+    ds = DuckieSegDataset(os.path.join(voc_root, "dt_real_voc_train"),
+                          augmented=True, resolution=RES)
+    a_img, a_mask = ds.get(0, np.random.default_rng(123))
+    b_img, b_mask = ds.get(0, np.random.default_rng(123))
+    np.testing.assert_array_equal(a_img, b_img)
+    np.testing.assert_array_equal(a_mask, b_mask)
+    c_img, _ = ds.get(0, np.random.default_rng(124))
+    assert not np.array_equal(a_img, c_img)
