@@ -96,6 +96,32 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
     Incomplete trailing batches are dropped only if empty (parity: torch
     DataLoader keeps partial batches by default).
     """
+    # Non-augmented (eval) epochs go through the C++ thread-pool loader in
+    # one call per batch: libjpeg decode + fused resize without the GIL.
+    # Any per-batch native failure (corrupt file, missing lib) falls back to
+    # the per-item Python path for that batch only.
+    if not dataset.augmented:
+        from dino_tpu.data import native_loader
+        if native_loader.get_lib() is not None:
+            res = dataset.resolution
+            grid = res // dataset.patch_size
+            for start in range(0, len(indices), batch_size):
+                chunk = [int(i) for i in indices[start:start + batch_size]]
+                imgs = native_loader.load_batch(
+                    [dataset.files[i] for i in chunk], res, res)
+                if imgs is None:
+                    items = [dataset.get(i) for i in chunk]
+                    xs, ys = zip(*items)
+                    yield np.stack(xs), np.stack(ys)
+                    continue
+                masks = np.stack([
+                    resize_nearest(resize_nearest(dataset._load_mask(i),
+                                                  res, res),
+                                   grid, grid).reshape(-1)
+                    for i in chunk])
+                yield imgs, masks
+            return
+
     seeds = (rng.integers(0, 2**63, size=len(indices))
              if rng is not None else [None] * len(indices))
 

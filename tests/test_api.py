@@ -130,3 +130,20 @@ def test_dataloader_methods(tmp_path):
     batches = list(m.val_dataloader())
     assert sum(b[0].shape[0] for b in batches) == 2
     assert sum(b[0].shape[0] for b in m.test_dataloader()) == 2
+
+
+def test_predict_arbitrary_resolutions(model):
+    """Any multiple of 8 works. Output is (480//g)*g square — exactly the
+    reference's np.kron(low, ones(480//g)) semantics (pl_torch_modules.py:
+    294-298): 480x480 whenever g=res/8 divides 480, slightly smaller
+    otherwise (e.g. res=56 -> 476x476, same as torch)."""
+    img = np.random.RandomState(7).randint(0, 255, (90, 110, 3), np.uint8)
+    for res in (56, 104, 160, 240):
+        model.set_resolution(res)
+        pred = model.predict(img)
+        g = res // 8
+        side = (480 // g) * g
+        assert pred.shape == (side, side)
+        blk = 480 // g
+        assert np.all(pred[:blk, :blk] == pred[0, 0])  # patch-constant blocks
+    model.set_resolution(240)

@@ -83,3 +83,30 @@ def test_dataset_uses_native(tmp_path, lib):
         native_loader._tried, native_loader._lib = False, None
     np.testing.assert_array_equal(m_native, m_py)
     assert np.abs(x_native.astype(int) - x_py.astype(int)).max() <= 1
+
+
+def test_batched_loader_native_path_matches_python(tmp_path, lib):
+    """Eval batches via the C++ batch loader == the per-item Python path."""
+    from dino_tpu.data.dataset import DuckieSegDataset, batched_loader
+    os.makedirs(tmp_path / "JPEGImages")
+    os.makedirs(tmp_path / "SegmentationClass")
+    rs = np.random.RandomState(0)
+    for i in range(5):
+        Image.fromarray(rs.randint(0, 255, (90, 110, 3), np.uint8)).save(
+            tmp_path / "JPEGImages" / f"x{i}.jpg", quality=95)
+        np.save(tmp_path / "SegmentationClass" / f"x{i}.npy",
+                rs.randint(0, 3, (90, 110)))
+    ds = DuckieSegDataset(str(tmp_path), augmented=False, resolution=64)
+    idx = np.arange(5)
+    native_batches = list(batched_loader(ds, idx, batch_size=2))
+    os.environ["DINO_TPU_NO_NATIVE"] = "1"
+    native_loader._tried, native_loader._lib = False, None
+    try:
+        py_batches = list(batched_loader(ds, idx, batch_size=2))
+    finally:
+        del os.environ["DINO_TPU_NO_NATIVE"]
+        native_loader._tried, native_loader._lib = False, None
+    assert len(native_batches) == len(py_batches) == 3
+    for (nx, ny), (px, py) in zip(native_batches, py_batches):
+        np.testing.assert_array_equal(ny, py)
+        assert np.abs(nx.astype(int) - px.astype(int)).max() <= 1
