@@ -474,11 +474,19 @@ class DINOSeg:
             losses = []
             for xb, yb in batched_loader(train_ds, idx, self.batch_size,
                                          rng=rng):
-                if xb.shape[0] != self.batch_size:
-                    continue  # static shapes: skip ragged trailing batch
+                n_real = xb.shape[0]
+                mask = np.zeros((self.batch_size,), np.float32)
+                mask[:n_real] = 1.0
+                if n_real != self.batch_size:
+                    # pad the ragged tail batch to the static batch size and
+                    # mask the padding out of loss/grads/CM (the reference
+                    # trains on partial batches, pl_torch_modules.py:354)
+                    pad = self.batch_size - n_real
+                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
+                    yb = np.concatenate([yb, np.repeat(yb[-1:], pad, axis=0)])
                 (self.vit_params, self.head_params, opt_state, loss, cm
                  ) = train_step(self.vit_params, self.head_params, opt_state,
-                                put(xb), put(yb))
+                                put(xb), put(yb), put(mask))
                 losses.append(loss)
                 train_cm += np.asarray(cm)
 

@@ -74,11 +74,18 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
     return head_apply(head_type, head_params, feats)
 
 
-def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    """F.nll_loss equivalent (mean over patches, :265)."""
+def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
+             weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """F.nll_loss equivalent (mean over patches, :265).
+
+    ``weights`` (0/1 per patch) gives the masked mean over real patches only,
+    so padded tail-batch samples contribute nothing to loss or gradient.
+    """
     picked = jnp.take_along_axis(log_probs, labels[:, None].astype(jnp.int32),
-                                 axis=1)
-    return -jnp.mean(picked)
+                                 axis=1)[:, 0]
+    if weights is None:
+        return -jnp.mean(picked)
+    return -jnp.sum(picked * weights) / jnp.maximum(jnp.sum(weights), 1.0)
 
 
 def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
@@ -90,7 +97,7 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm)."""
 
-    def loss_fn(trainable, static_vit, images, labels):
+    def loss_fn(trainable, static_vit, images, labels, mask):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
         # finetuning reruns blocks on the backward pass instead of storing
         # every activation (frozen mode has no backbone bwd at all)
@@ -98,11 +105,17 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                            compute_dtype=compute_dtype, backbone=backbone,
                            remat=not freeze_backbone)
         y = labels.reshape(-1)
-        loss = nll_loss(logp, y)
+        # per-sample mask -> per-patch weights (ragged tail batches are padded
+        # to the static batch size; padding must not touch loss/grads/CM —
+        # the reference keeps partial batches, pl_torch_modules.py:354)
+        w = (None if mask is None
+             else jnp.repeat(mask.astype(logp.dtype),
+                             y.shape[0] // mask.shape[0]))
+        loss = nll_loss(logp, y, w)
         preds = jnp.argmax(logp, axis=-1)
-        return loss, confusion_matrix(preds, y, n_classes)
+        return loss, confusion_matrix(preds, y, n_classes, weights=w)
 
-    def step(vit_p, head_p, opt_state, images, labels):
+    def step(vit_p, head_p, opt_state, images, labels, mask=None):
         if freeze_backbone:
             trainable = {"head": head_p}
             static_vit = jax.lax.stop_gradient(vit_p)
@@ -110,7 +123,7 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             trainable = {"head": head_p, "vit": vit_p}
             static_vit = None
         (loss, cm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, static_vit, images, labels)
+            trainable, static_vit, images, labels, mask)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         new_head = trainable["head"]

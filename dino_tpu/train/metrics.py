@@ -20,10 +20,14 @@ import numpy as np
 
 
 def confusion_matrix(pred: jnp.ndarray, gt: jnp.ndarray,
-                     n_classes: int) -> jnp.ndarray:
-    """(M,) int preds and labels -> (C, C) counts; rows = true, cols = pred."""
+                     n_classes: int, weights: jnp.ndarray = None) -> jnp.ndarray:
+    """(M,) int preds and labels -> (C, C) counts; rows = true, cols = pred.
+
+    ``weights`` (0/1 per element) excludes padded elements from the counts.
+    """
     idx = gt.astype(jnp.int32) * n_classes + pred.astype(jnp.int32)
-    flat = jnp.zeros((n_classes * n_classes,), jnp.int32).at[idx].add(1)
+    add = jnp.int32(1) if weights is None else weights.astype(jnp.int32)
+    flat = jnp.zeros((n_classes * n_classes,), jnp.int32).at[idx].add(add)
     return flat.reshape(n_classes, n_classes)
 
 
@@ -68,4 +72,6 @@ def segmentation_metrics(cm: np.ndarray, prefix: str = "val") -> Dict[str, float
         f"{prefix}_acc": balanced_accuracy_from_cm(cm),
         f"{prefix}_F1": macro_f1_from_cm(cm),
         f"{prefix}_iou": macro_jaccard_from_cm(cm),
+        # total patches counted — surfaces silently-dropped samples
+        f"{prefix}_support": float(np.asarray(cm).sum()),
     }

@@ -107,6 +107,50 @@ def test_fit_frozen_then_finetune(voc_root, tmp_path):
     assert 0.0 <= ft["test_acc"] <= 1.0
 
 
+def test_ragged_tail_batch_trains_every_sample(voc_root, tmp_path):
+    """samples_per_epoch % batch_size != 0: the padded tail batch still trains
+    and its real samples land in the train CM (reference keeps partial
+    batches, pl_torch_modules.py:354)."""
+    model = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "r"),
+                    head="linear", n_blocks=1, n_classes=N_CLASSES,
+                    batch_size=4, lr=1e-3, optimizer="adam",
+                    freeze_backbone=True, max_epochs=1, random_init=True,
+                    augmented=False, train_resolution=RES, seed=0)
+    seen = {}
+    orig_log = model._log
+
+    def capture(metrics, step):
+        seen.update(metrics)
+        orig_log(metrics, step)
+
+    model._log = capture
+    model.fit(samples_per_epoch=10)  # 2 full batches + ragged tail of 2
+    # train CM counted exactly 10 * n_patches entries => the 2 tail samples
+    # trained and the 2 padding copies were masked out
+    assert seen.get("train_support") == 10 * (RES // 8) ** 2
+
+
+def test_nll_and_cm_masking():
+    """Padded samples contribute nothing to loss, gradient, or CM."""
+    import jax
+    import jax.numpy as jnp
+    from dino_tpu.train.loop import nll_loss
+    from dino_tpu.train.metrics import confusion_matrix
+
+    logp = jnp.log(jnp.full((6, 3), 1 / 3.0))
+    logp = logp.at[3:].set(jnp.log(jnp.array([0.98, 0.01, 0.01])))
+    y = jnp.array([0, 1, 2, 0, 0, 0])
+    w = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    # masked loss only sees the uniform rows
+    np.testing.assert_allclose(float(nll_loss(logp, y, w)),
+                               float(-np.log(1 / 3.0)), rtol=1e-6)
+    cm = np.asarray(confusion_matrix(jnp.argmax(logp, -1), y, 3, weights=w))
+    assert cm.sum() == 3  # padding rows not counted
+    # gradient wrt padded rows is exactly zero
+    g = jax.grad(lambda lp: nll_loss(lp, y, w))(logp)
+    assert np.all(np.asarray(g)[3:] == 0)
+
+
 def test_augment_deterministic_under_seed(voc_root):
     """Same rng seed => identical augmented sample (resume determinism)."""
     ds = DuckieSegDataset(os.path.join(voc_root, "dt_real_voc_train"),
