@@ -50,75 +50,63 @@ class PCA:
 
 
 def compute_ap(ranks: np.ndarray, nres: int) -> float:
-    """Average precision from the positions of positive results.
+    """Average precision with trapezoidal interpolation, vectorized.
 
-    ranks: zero-based positions of positives in the ranked list; nres: number
-    of positives.  Uses the trapezoidal interpolation of the reference.
+    ``ranks``: sorted zero-based positions of the relevant items in the
+    ranked (junk-adjusted) list; ``nres``: total number of relevant items.
+    Each hit contributes the average of the precision just before and just
+    after retrieving it, weighted by one recall step (1/nres) — the
+    revisited-Oxford protocol the reference evaluates with (utils.py:715-746).
     """
-    nimgranks = len(ranks)
-    ap = 0.0
-    recall_step = 1.0 / nres
-    for j in range(nimgranks):
-        rank = ranks[j]
-        precision_0 = 1.0 if rank == 0 else float(j) / rank
-        precision_1 = float(j + 1) / (rank + 1)
-        ap += (precision_0 + precision_1) * recall_step / 2.0
-    return ap
+    pos = np.asarray(ranks, np.float64)
+    if pos.size == 0:
+        return 0.0
+    hits = np.arange(1.0, pos.size + 1.0)
+    prec_after = hits / (pos + 1.0)
+    # precision before the hit: (hits-1)/pos, defined as 1 at the very top
+    prec_before = np.where(pos > 0, (hits - 1.0) / np.maximum(pos, 1.0), 1.0)
+    return float(np.sum(prec_before + prec_after) / (2.0 * nres))
 
 
 def compute_map(ranks: np.ndarray, gnd: List[dict], kappas: List[int] = ()):
     """mAP + precision@k over a ranked retrieval matrix.
 
     ranks: (n_db, n_query) ranked db indices per query; gnd[i] holds 'ok'
-    (positives) and optional 'junk' indices.  Returns (map, aps, pr, prs) —
-    queries with empty ground truth contribute NaN aps and are excluded,
-    matching the reference.
+    (positives) and optional 'junk' indices (ignored entries, removed from
+    the ranking before scoring).  Returns (map, aps, pr, prs); queries with
+    empty ground truth get NaN rows and are excluded from the means.
     """
-    mAP = 0.0
-    nq = len(gnd)
-    aps = np.zeros(nq)
-    pr = np.zeros(len(kappas))
-    prs = np.zeros((nq, len(kappas)))
-    nempty = 0
+    n_query = len(gnd)
+    kappas = list(kappas)
+    aps = np.full(n_query, np.nan)
+    prs = np.full((n_query, len(kappas)), np.nan)
 
-    for i in range(nq):
-        qgnd = np.array(gnd[i]["ok"])
-        if qgnd.shape[0] == 0:
-            aps[i] = float("nan")
-            prs[i, :] = float("nan")
-            nempty += 1
+    for i, entry in enumerate(gnd):
+        ok = np.asarray(entry["ok"]).ravel()
+        if ok.size == 0:
             continue
-        try:
-            qgndj = np.array(gnd[i]["junk"])
-        except KeyError:
-            qgndj = np.empty(0)
+        column = np.asarray(ranks)[:, i]
+        pos = np.flatnonzero(np.isin(column, ok))
+        junk = np.asarray(entry.get("junk", ())).ravel()
+        if junk.size:
+            # re-rank among non-junk results: each positive slides up by the
+            # number of junk entries ranked above it
+            pos = pos - np.searchsorted(np.flatnonzero(np.isin(column, junk)),
+                                        pos)
+        aps[i] = compute_ap(pos, ok.size)
+        if pos.size:
+            cutoffs = np.minimum(pos.max(), np.asarray(kappas, np.int64))
+            prs[i] = [np.count_nonzero(pos < c) / c for c in cutoffs]
+        else:
+            prs[i] = 0.0
 
-        pos = np.arange(ranks.shape[0])[np.in1d(ranks[:, i], qgnd)]
-        junk = np.arange(ranks.shape[0])[np.in1d(ranks[:, i], qgndj)]
-
-        k = 0
-        ij = 0
-        if len(junk):
-            ip = 0
-            while ip < len(pos):
-                while ij < len(junk) and pos[ip] > junk[ij]:
-                    k += 1
-                    ij += 1
-                pos[ip] = pos[ip] - k
-                ip += 1
-
-        ap = compute_ap(pos, len(qgnd))
-        mAP += ap
-        aps[i] = ap
-
-        for j, kappa in enumerate(kappas):
-            kq = min(max(pos), kappa)
-            prs[i, j] = (pos < kq).sum() / kq
-        pr = pr + prs[i, :]
-
-    mAP = mAP / (nq - nempty)
-    pr = pr / (nq - nempty)
-    return mAP, aps, pr, prs
+    valid = ~np.isnan(aps)
+    if not valid.any():
+        return 0.0, aps, np.zeros(len(kappas)), prs
+    mean_ap = float(aps[valid].mean())
+    pr = (prs[valid].mean(axis=0) if len(kappas)
+          else np.zeros(0))
+    return mean_ap, aps, pr, prs
 
 
 def multi_scale(samples, forward_fn, scales=(1.0, 2 ** -0.5, 0.5)):
