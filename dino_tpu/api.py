@@ -103,8 +103,23 @@ class DINOSeg:
                     load_torch_file, state_dict_to_numpy)
                 sd = state_dict_to_numpy(load_torch_file(pretrained_path))
                 self.vit_params = convert_resnet_state_dict(sd, backbone)
-            else:
+            elif random_init:
                 self.vit_params = init_resnet_params(kv, backbone)
+            else:
+                # same cached-acquisition ladder as the ViT artifact
+                # (reference pulls dino_resnet50 via torch.hub every init,
+                # dt_utils.py:31-40)
+                from dino_tpu.checkpointing.pretrained import (
+                    load_pretrained_resnet)
+                full = load_pretrained_resnet(backbone)
+                if full is None:
+                    import warnings
+                    warnings.warn(
+                        "pretrained dino_resnet50 unavailable; using random "
+                        "init (set $DINO_TPU_PRETRAINED_RESNET)")
+                    self.vit_params = init_resnet_params(kv, backbone)
+                else:
+                    self.vit_params = full
         elif _vit_params is not None:
             self.vit_params = _vit_params
         elif random_init:

@@ -62,6 +62,62 @@ def test_backbone_search_order_and_cache(tmp_path, monkeypatch):
                                   np.asarray(params2["cls_token"]))
 
 
+def _tiny_resnet_sd(rs):
+    def bn(p, c):
+        return {p + ".weight": rs.randn(c), p + ".bias": rs.randn(c),
+                p + ".running_mean": rs.randn(c),
+                p + ".running_var": np.abs(rs.randn(c)) + 0.5}
+
+    sd = {"conv1.weight": rs.randn(64, 3, 7, 7), **bn("bn1", 64)}
+    for name, blocks, cin, mid, cout in [("layer1", 3, 64, 64, 256),
+                                         ("layer2", 4, 256, 128, 512)]:
+        for b in range(blocks):
+            p = f"{name}.{b}."
+            i = cin if b == 0 else cout
+            sd.update({p + "conv1.weight": rs.randn(mid, i, 1, 1),
+                       **bn(p + "bn1", mid),
+                       p + "conv2.weight": rs.randn(mid, mid, 3, 3),
+                       **bn(p + "bn2", mid),
+                       p + "conv3.weight": rs.randn(cout, mid, 1, 1),
+                       **bn(p + "bn3", cout)})
+            if b == 0:
+                sd[p + "downsample.0.weight"] = rs.randn(cout, i, 1, 1)
+                sd.update(bn(p + "downsample.1", cout))
+    return {k: torch.from_numpy(np.asarray(v, np.float32))
+            for k, v in sd.items()}
+
+
+def test_resnet_ladder_hub_cache_then_npz(tmp_path, monkeypatch):
+    from dino_tpu.checkpointing.pretrained import load_pretrained_resnet
+    monkeypatch.setenv("HOME", str(tmp_path))
+    monkeypatch.setenv("DINO_TPU_CACHE", str(tmp_path / "cache"))
+    monkeypatch.delenv("DINO_TPU_PRETRAINED_RESNET", raising=False)
+    assert load_pretrained_resnet("cnn1") is None
+
+    hub = tmp_path / ".cache" / "torch" / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    torch.save(_tiny_resnet_sd(np.random.RandomState(2)),
+               str(hub / "dino_resnet50_pretrain.pth"))
+    params = load_pretrained_resnet("cnn1")
+    assert params is not None and len(params["layers"]) == 2
+    assert len(params["layers"][1]) == 4
+    # converted npz cached per variant; works with the torch artifact gone
+    assert os.path.exists(
+        str(tmp_path / "cache" / "dino_resnet50_pretrain_cnn1.npz"))
+    os.remove(str(hub / "dino_resnet50_pretrain.pth"))
+    params2 = load_pretrained_resnet("cnn1")
+    np.testing.assert_array_equal(
+        np.asarray(params["layers"][0][0]["conv1"]),
+        np.asarray(params2["layers"][0][0]["conv1"]))
+
+    # DINOSeg(backbone='cnn1') picks the cached weights up end-to-end
+    from dino_tpu import DINOSeg
+    m = DINOSeg(backbone="cnn1", n_classes=3, head="linear")
+    np.testing.assert_array_equal(
+        np.asarray(m.vit_params["layers"][0][0]["conv1"]),
+        np.asarray(params["layers"][0][0]["conv1"]))
+
+
 def test_missing_returns_none(monkeypatch, tmp_path):
     monkeypatch.setenv("DINO_TPU_CACHE", str(tmp_path / "empty"))
     monkeypatch.delenv("DINO_TPU_PRETRAINED", raising=False)
