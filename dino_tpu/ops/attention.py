@@ -71,7 +71,7 @@ def attention_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
                   scale: float, n_real: int, block_k: int):
     """Online-softmax flash attention for one (bh, q-block) grid cell.
 
@@ -123,6 +123,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *,
                        masked=(i == nk - 1 and needs_mask))
     m, l, acc = carry
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    if lse_ref is not None:  # row log-sum-exp, saved for the backward kernel
+        lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
@@ -228,18 +230,30 @@ def _flash_kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                     ).astype(o_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v, scale, interpret):
+def _flash_fwd_impl(q, k, v, scale, interpret, return_lse: bool = False):
     b, nh, n, hd = q.shape
     block_q, block_k, kv_resident = _choose_blocks(n, hd, q.dtype.itemsize)
 
     qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
     kf = _pad_to(k.reshape(b * nh, n, hd), 1, block_k)
     vf = _pad_to(v.reshape(b * nh, n, hd), 1, block_k)
+    lse = None
 
     if kv_resident:
         # fast path: K/V fully VMEM-resident, fori-loop sweep inside
         kernel = functools.partial(_flash_kernel, scale=scale, n_real=n,
                                    block_k=block_k)
+        out_shapes = jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype)
+        out_specs = pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0))
+        if return_lse:
+            # rank-3 with a unit lane dim keeps Mosaic's block-tiling rules
+            # happy for the non-128-multiple block_q
+            out_shapes = (out_shapes,
+                          jax.ShapeDtypeStruct((b * nh, qf.shape[1], 1),
+                                               jnp.float32))
+            out_specs = (out_specs,
+                         pl.BlockSpec((1, block_q, 1),
+                                      lambda bh, iq: (bh, iq, 0)))
         out = pl.pallas_call(
             kernel,
             grid=(b * nh, qf.shape[1] // block_q),
@@ -248,11 +262,12 @@ def _flash_fwd_impl(q, k, v, scale, interpret):
                 pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
                 pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, hd),
-                                   lambda bh, iq: (bh, iq, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype),
+            out_specs=out_specs,
+            out_shape=out_shapes,
             interpret=interpret,
         )(qf, kf, vf)
+        if return_lse:
+            out, lse = out
     else:
         kernel = functools.partial(_flash_kernel_chunked, scale=scale,
                                    n_real=n)
@@ -275,11 +290,17 @@ def _flash_fwd_impl(q, k, v, scale, interpret):
             scratch_shapes=scratch,
             interpret=interpret,
         )(qf, kf, vf)
-    return out[:, :n, :].reshape(b, nh, n, hd)
+    out = out[:, :n, :].reshape(b, nh, n, hd)
+    if return_lse:
+        # (b*nh, npq, 1), padded rows included; the bwd kernel never lets
+        # padded entries contribute (their dO/D are zero)
+        return out, lse
+    return out
 
 
 def _flash_fwd_rule(q, k, v, scale, interpret):
-    return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+    out, lse = _flash_fwd_impl(q, k, v, scale, interpret, return_lse=True)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_chunked(q, k, v, g, scale, block: int = 128):
@@ -326,16 +347,131 @@ def _flash_bwd_chunked(q, k, v, g, scale, block: int = 128):
     return (dq.astype(in_dtype), dk.astype(in_dtype), dv.astype(in_dtype))
 
 
+def _flash_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
+                      dq_ref, dk_ref, dv_ref, *,
+                      scale: float, n_real: int, block_k: int):
+    """dq/dk/dv for one (bh, q-block) grid cell; K/V and the dK/dV
+    accumulators ride in VMEM for the whole bh row.
+
+    TPU Pallas grids execute sequentially and output blocks whose index map
+    ignores ``iq`` stay resident in VMEM across the q sweep, so dK/dV
+    accumulate race-free and write back to HBM once per bh.  P is recomputed
+    from Q·Kᵀ and the forward's saved row log-sum-exp (no O(N²) residual).
+    Standard flash-attention backward:
+
+        P  = exp(S·scale − lse)
+        dV = Pᵀ·dO          dP = dO·Vᵀ
+        dS = P ∘ (dP − rowsum(dO ∘ O)) · scale
+        dQ = dS·K           dK = dSᵀ·Q
+
+    Replaces the reference's autograd through vanilla attention
+    (vision_transformer.py:85-104).
+    """
+    iq = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _zero_accumulators():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    qb = q_ref[0]                                   # (BQ, hd), input dtype
+    gb = g_ref[0]                                   # (BQ, hd), input dtype
+    lse = lse_ref[0]                                # (BQ, 1) f32
+    dsum = d_ref[0]                                 # (BQ, 1) f32
+    nk = k_ref.shape[1] // block_k
+    needs_mask = n_real < k_ref.shape[1]
+
+    for i in range(nk):
+        sl = pl.ds(i * block_k, block_k)
+        kb = k_ref[0, sl, :]
+        vb = v_ref[0, sl, :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        if i == nk - 1 and needs_mask:  # zero padded k columns
+            col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + i * block_k
+            p = jnp.where(col < n_real, p, 0.0)
+        pc = p.astype(gb.dtype)
+        dv_ref[0, sl, :] += jax.lax.dot_general(
+            pc, gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - dsum) * scale).astype(qb.dtype)
+        dk_ref[0, sl, :] += jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_i = jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+        if i == 0:
+            dq_acc = dq_i
+        else:
+            dq_acc = dq_acc + dq_i
+    dq_ref[0] = dq_acc
+
+
+def _bwd_resident_fits(n: int, hd: int, itemsize: int) -> bool:
+    """K/V (double-buffered along bh) + f32 dK/dV accumulators must fit a
+    conservative VMEM budget; otherwise the XLA chunked scan takes over."""
+    nk_pad = _round_up(n, 16)
+    kv = 2 * 2 * nk_pad * hd * itemsize
+    dkdv = 2 * nk_pad * hd * 4
+    return kv + dkdv <= 9 * 1024 * 1024
+
+
+def _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret):
+    b, nh, n, hd = q.shape
+    block_q, block_k, _ = _choose_blocks(n, hd, q.dtype.itemsize)
+
+    qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
+    gf = _pad_to(g.reshape(b * nh, n, hd), 1, block_q)
+    # lse comes back from the forward already padded to the q-block grid
+    lf = lse
+    df = _pad_to(dsum.reshape(b * nh, n, 1), 1, block_q)
+    kf = _pad_to(k.reshape(b * nh, n, hd), 1, block_k)
+    vf = _pad_to(v.reshape(b * nh, n, hd), 1, block_k)
+    npq, npk = qf.shape[1], kf.shape[1]
+
+    kernel = functools.partial(_flash_bwd_kernel, scale=scale, n_real=n,
+                               block_k=block_k)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b * nh, npq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nh, npq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * nh, npk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * nh, npk, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, gf, lf, df, kf, vf)
+    dq = dq[:, :n, :].reshape(b, nh, n, hd).astype(q.dtype)
+    dk = dk[:, :n, :].reshape(b, nh, n, hd).astype(k.dtype)
+    dv = dv[:, :n, :].reshape(b, nh, n, hd).astype(v.dtype)
+    return dq, dk, dv
+
+
 def _flash_bwd_rule(scale, interpret, res, g):
-    q, k, v = res
-    b, nh, n, _ = q.shape
-    # full-probs backward is faster when the (B, nh, N, N) f32 matrix is
-    # cheap; beyond ~1.5GB switch to the memory-linear chunked scan
-    probs_bytes = b * nh * n * n * 4
-    if probs_bytes <= 1_500_000_000:
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: attention_xla(q_, k_, v_, scale)[0], q, k, v)
-        return vjp(g)
+    q, k, v, out, lse = res
+    b, nh, n, hd = q.shape
+    if lse is not None and (interpret or
+                            _bwd_resident_fits(n, hd, q.dtype.itemsize)):
+        # D = rowsum(dO ∘ O) per query row (f32), fused by XLA into the
+        # surrounding graph; everything else happens in the Pallas kernel
+        dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                       axis=-1)
+        return _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret)
     return _flash_bwd_chunked(q, k, v, g, scale)
 
 

@@ -99,11 +99,15 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
     def loss_fn(trainable, static_vit, images, labels, mask):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
-        # finetuning reruns blocks on the backward pass instead of storing
-        # every activation (frozen mode has no backbone bwd at all)
+        # With the Pallas flash backward the attention bwd is memory-linear,
+        # so storing block activations is affordable (and ~20% faster) at
+        # training scales; rematerialize only when the activation footprint
+        # gets large (big batch x long sequence, e.g. 960px batch 16).
+        n_tokens = images.shape[0] * (images.shape[1] // cfg.patch_size) ** 2
+        remat = (not freeze_backbone) and n_tokens > 200_000
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
                            compute_dtype=compute_dtype, backbone=backbone,
-                           remat=not freeze_backbone)
+                           remat=remat)
         y = labels.reshape(-1)
         # per-sample mask -> per-patch weights (ragged tail batches are padded
         # to the static batch size; padding must not touch loss/grads/CM —

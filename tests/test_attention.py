@@ -42,6 +42,30 @@ def test_chunked_bwd_matches_xla_vjp():
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("n", [226, 901])
+def test_pallas_bwd_kernel_matches_xla_vjp(n):
+    """The resident flash backward kernel (interpret mode) == XLA vjp,
+    including padded q-rows and padded k-columns."""
+    from dino_tpu.ops.attention import _flash_bwd_pallas, _flash_fwd_impl
+    key = jax.random.PRNGKey(n)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    b, nh, hd = 2, 3, 64
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, n, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, n, hd), jnp.float32)
+    g = jax.random.normal(kg, (b, nh, n, hd), jnp.float32)
+    scale = hd ** -0.5
+    out, lse = _flash_fwd_impl(q, k, v, scale, True, return_lse=True)
+    dsum = jnp.sum(g * out, axis=-1)
+    ours = _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale)[0],
+                     q, k, v)
+    ref = vjp(g)
+    for a, r in zip(ours, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_flash_grad_matches_xla():
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
