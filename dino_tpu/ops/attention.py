@@ -141,38 +141,56 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+_KV_VMEM_BUDGET = 5 * 1024 * 1024  # double-buffered K+V residency budget
+
+
+def _q_block(n: int) -> int:
+    """~512-row q blocks sized to exactly tile the sequence (3601 -> 8 blocks
+    of 456 instead of 8 of 512, saving 12% padded work); 8-aligned blocks
+    measure faster than 16-aligned (less padded work).  Long sequences
+    (the resident-split regime) halve the block so the f32 score matrices
+    and pipeline liveness fit VMEM next to the resident K/V slice."""
+    target = 512 if n <= 8000 else 256
+    nq = max(1, -(-n // target))
+    return _round_up(-(-n // nq), 8)
+
+
+def _k_block(n: int) -> int:
+    """~464-row k chunks pipeline best (next chunk's MXU QK^T overlaps the
+    current chunk's VPU softmax); multiple-of-16 blocks avoid sublane padding;
+    unroll count capped for compile time."""
+    n_inner = min(32, max(1, -(-n // 464)))
+    return _round_up(-(-n // n_inner), 16)
+
+
+def _kv_dbl_bytes(n_k: int, hd: int, itemsize: int) -> int:
+    return 2 * 2 * _round_up(n_k, 16) * hd * itemsize
+
+
+def _split_count(n: int, hd: int, itemsize: int, budget: int,
+                 extra_per_row: int = 0, max_splits: int = 8):
+    """Smallest split count whose per-split resident footprint
+    (double-buffered K+V slice + ``extra_per_row`` bytes per k row) fits the
+    budget, or None if even max_splits splits don't."""
+    for s in range(1, max_splits + 1):
+        n_s = -(-n // s)
+        if (_kv_dbl_bytes(n_s, hd, itemsize)
+                + extra_per_row * _round_up(n_s, 16)) <= budget:
+            return s
+    return None
+
+
 def _choose_blocks(n: int, hd: int, itemsize: int):
-    """(block_q, block_k, kv_resident): minimal-padding blocks under VMEM
-    budgets.
-
-    q: ~512-row blocks sized to exactly tile the sequence (3601 -> 8 blocks of
-    456 instead of 8 of 512, saving 12% padded work).  The k sweep chunk is
-    bounded by the f32 score-matrix footprint (block_q x block_k x 4B <= ~6MB).
-    ``kv_resident`` says whether double-buffered K+V fit a ~5MB budget and can
-    ride fully in VMEM (single DMA per (bh, iq) cell — measured 20% faster at
-    480px than streaming k chunks through the grid).
-    """
-    nq = max(1, -(-n // 512))
-    # 8-aligned q blocks measure faster than 16-aligned (less padded work)
-    block_q = _round_up(-(-n // nq), 8)
-
-    kv_bytes = 2 * 2 * _round_up(n, 16) * hd * itemsize  # k+v, dbl-buffered
-    kv_resident = kv_bytes <= 5 * 1024 * 1024
-
-    if kv_resident:
-        # ~464-row k chunks pipeline best (next chunk's MXU QK^T overlaps
-        # the current chunk's VPU softmax); multiple-of-16 blocks avoid
-        # sublane padding; unroll count capped for compile time
-        n_inner = min(32, max(1, -(-n // 464)))
-        block_k = _round_up(-(-n // n_inner), 16)
-    else:
-        # chunked 3-D grid: fewer, larger DMA'd chunks bounded by the f32
-        # score-matrix footprint
-        s_budget = 6 * 1024 * 1024
-        max_bk = max(16, (s_budget // (4 * block_q)) // 16 * 16)
-        n_inner = max(1, -(-n // max_bk))
-        block_k = _round_up(-(-n // n_inner), 16)
-    return block_q, block_k, kv_resident
+    """(block_q, block_k, kv_resident) for the single-pass paths."""
+    block_q = _q_block(n)
+    if _kv_dbl_bytes(n, hd, itemsize) <= _KV_VMEM_BUDGET:
+        return block_q, _k_block(n), True
+    # chunked 3-D grid: fewer, larger DMA'd chunks bounded by the f32
+    # score-matrix footprint
+    s_budget = 6 * 1024 * 1024
+    max_bk = max(16, (s_budget // (4 * block_q)) // 16 * 16)
+    n_inner = max(1, -(-n // max_bk))
+    return block_q, _round_up(-(-n // n_inner), 16), False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -230,49 +248,97 @@ def _flash_kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                     ).astype(o_ref.dtype)
 
 
+def _resident_call(qf, kf, vf, scale, n_real_k, block_q, block_k,
+                   out_dtype, want_lse, interpret):
+    """One resident-K/V pass: grid (bh, q-blocks), fast kernel, optional
+    per-row log-sum-exp output."""
+    bnh, npq, hd = qf.shape
+    kernel = functools.partial(_flash_kernel, scale=scale, n_real=n_real_k,
+                               block_k=block_k)
+    out_shapes = jax.ShapeDtypeStruct((bnh, npq, hd), out_dtype)
+    out_specs = pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0))
+    if want_lse:
+        # rank-3 with a unit lane dim keeps Mosaic's block-tiling rules
+        # happy for the non-128-multiple block_q
+        out_shapes = (out_shapes,
+                      jax.ShapeDtypeStruct((bnh, npq, 1), jnp.float32))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, block_q, 1), lambda bh, iq: (bh, iq, 0)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bnh, npq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
+            pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
+            pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out if want_lse else (out, None)
+
+
+def _merge_partials(outs, lses):
+    """Online-softmax merge of per-K/V-slice partial results.
+
+    Each slice returns its softmax-normalized output O_h and row
+    log-sum-exp L_h; the exact global result is the L-weighted average
+    O = sum_h O_h * exp(L_h - lse) with lse = logsumexp_h(L_h).
+    """
+    lse_all = jnp.stack(lses)                     # (S, bnh, npq, 1)
+    m = jnp.max(lse_all, axis=0)
+    w = jnp.exp(lse_all - m)                      # (S, bnh, npq, 1)
+    denom = jnp.maximum(jnp.sum(w, axis=0), 1e-30)
+    out = jnp.sum(jnp.stack(outs) * w, axis=0) / denom
+    return out, m + jnp.log(denom)
+
+
 def _flash_fwd_impl(q, k, v, scale, interpret, return_lse: bool = False):
     b, nh, n, hd = q.shape
-    block_q, block_k, kv_resident = _choose_blocks(n, hd, q.dtype.itemsize)
+    splits = _split_count(n, hd, q.dtype.itemsize, _KV_VMEM_BUDGET)
+    block_q = _q_block(n)
 
     qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
-    kf = _pad_to(k.reshape(b * nh, n, hd), 1, block_k)
-    vf = _pad_to(v.reshape(b * nh, n, hd), 1, block_k)
+    kr = k.reshape(b * nh, n, hd)
+    vr = v.reshape(b * nh, n, hd)
     lse = None
 
-    if kv_resident:
+    if splits == 1:
         # fast path: K/V fully VMEM-resident, fori-loop sweep inside
-        kernel = functools.partial(_flash_kernel, scale=scale, n_real=n,
-                                   block_k=block_k)
-        out_shapes = jax.ShapeDtypeStruct((b * nh, qf.shape[1], hd), q.dtype)
-        out_specs = pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0))
-        if return_lse:
-            # rank-3 with a unit lane dim keeps Mosaic's block-tiling rules
-            # happy for the non-128-multiple block_q
-            out_shapes = (out_shapes,
-                          jax.ShapeDtypeStruct((b * nh, qf.shape[1], 1),
-                                               jnp.float32))
-            out_specs = (out_specs,
-                         pl.BlockSpec((1, block_q, 1),
-                                      lambda bh, iq: (bh, iq, 0)))
-        out = pl.pallas_call(
-            kernel,
-            grid=(b * nh, qf.shape[1] // block_q),
-            in_specs=[
-                pl.BlockSpec((1, block_q, hd), lambda bh, iq: (bh, iq, 0)),
-                pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
-                pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq: (bh, 0, 0)),
-            ],
-            out_specs=out_specs,
-            out_shape=out_shapes,
-            interpret=interpret,
-        )(qf, kf, vf)
-        if return_lse:
-            out, lse = out
+        block_k = _k_block(n)
+        out, lse = _resident_call(qf, _pad_to(kr, 1, block_k),
+                                  _pad_to(vr, 1, block_k), scale, n,
+                                  block_q, block_k, q.dtype, return_lse,
+                                  interpret)
+    elif splits is not None:
+        # resident-split: run the fast kernel once per K/V slice (each slice
+        # VMEM-resident), then merge the partials with an online-softmax
+        # weighted average.  ~3x faster than the chunked 3-D grid at 960px
+        # because every pass runs at the resident kernel's MXU/VPU overlap.
+        base = _round_up(-(-n // splits), 16)
+        outs, lses = [], []
+        for s in range(splits):
+            start = s * base
+            length = min(base, n - start)
+            block_k = _k_block(length)
+            ks = _pad_to(kr[:, start:start + length, :], 1, block_k)
+            vs = _pad_to(vr[:, start:start + length, :], 1, block_k)
+            o_s, l_s = _resident_call(qf, ks, vs, scale, length, block_q,
+                                      block_k, jnp.float32, True, interpret)
+            outs.append(o_s)
+            lses.append(l_s)
+        out, lse = _merge_partials(outs, lses)
+        out = out.astype(q.dtype)
     else:
+        # chunked 3-D grid with VMEM scratch state: the >8-split regime
+        block_q, block_k, _ = _choose_blocks(n, hd, q.dtype.itemsize)
         kernel = functools.partial(_flash_kernel_chunked, scale=scale,
                                    n_real=n)
         if pltpu is None:  # pragma: no cover
             raise RuntimeError("pallas TPU backend unavailable")
+        kf = _pad_to(kr, 1, block_k)
+        vf = _pad_to(vr, 1, block_k)
         scratch = [pltpu.VMEM((block_q, 128), jnp.float32),   # running max
                    pltpu.VMEM((block_q, 128), jnp.float32),   # running denom
                    pltpu.VMEM((block_q, hd), jnp.float32)]    # accumulator
@@ -409,29 +475,30 @@ def _flash_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
     dq_ref[0] = dq_acc
 
 
-def _bwd_resident_fits(n: int, hd: int, itemsize: int) -> bool:
-    """K/V (double-buffered along bh) + f32 dK/dV accumulators must fit a
-    conservative VMEM budget; otherwise the XLA chunked scan takes over."""
-    nk_pad = _round_up(n, 16)
-    kv = 2 * 2 * nk_pad * hd * itemsize
-    dkdv = 2 * nk_pad * hd * 4
-    return kv + dkdv <= 9 * 1024 * 1024
+# K/V slice + f32 dK/dV accumulators; conservative because Mosaic also
+# double-buffers the accumulator outputs and keeps several unrolled score
+# chunks live (22.7MB actual at a 7.4MB model estimate, measured at 960px)
+_BWD_VMEM_BUDGET = 4 * 1024 * 1024
 
 
 def _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret):
+    """Pallas backward over one K/V slice (k/v may be shorter than q when the
+    rule splits them for VMEM residency).  Returns f32 dq/dk/dv."""
     b, nh, n, hd = q.shape
-    block_q, block_k, _ = _choose_blocks(n, hd, q.dtype.itemsize)
+    n_k = k.shape[2]
+    block_q = _q_block(n)       # must match the forward's q-block padding
+    block_k = _k_block(n_k)
 
     qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
     gf = _pad_to(g.reshape(b * nh, n, hd), 1, block_q)
     # lse comes back from the forward already padded to the q-block grid
     lf = lse
     df = _pad_to(dsum.reshape(b * nh, n, 1), 1, block_q)
-    kf = _pad_to(k.reshape(b * nh, n, hd), 1, block_k)
-    vf = _pad_to(v.reshape(b * nh, n, hd), 1, block_k)
+    kf = _pad_to(k.reshape(b * nh, n_k, hd), 1, block_k)
+    vf = _pad_to(v.reshape(b * nh, n_k, hd), 1, block_k)
     npq, npk = qf.shape[1], kf.shape[1]
 
-    kernel = functools.partial(_flash_bwd_kernel, scale=scale, n_real=n,
+    kernel = functools.partial(_flash_bwd_kernel, scale=scale, n_real=n_k,
                                block_k=block_k)
     dq, dk, dv = pl.pallas_call(
         kernel,
@@ -456,23 +523,41 @@ def _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret):
         ],
         interpret=interpret,
     )(qf, gf, lf, df, kf, vf)
-    dq = dq[:, :n, :].reshape(b, nh, n, hd).astype(q.dtype)
-    dk = dk[:, :n, :].reshape(b, nh, n, hd).astype(k.dtype)
-    dv = dv[:, :n, :].reshape(b, nh, n, hd).astype(v.dtype)
+    dq = dq[:, :n, :].reshape(b, nh, n, hd)
+    dk = dk[:, :n_k, :].reshape(b, nh, n_k, hd)
+    dv = dv[:, :n_k, :].reshape(b, nh, n_k, hd)
     return dq, dk, dv
 
 
 def _flash_bwd_rule(scale, interpret, res, g):
     q, k, v, out, lse = res
     b, nh, n, hd = q.shape
-    if lse is not None and (interpret or
-                            _bwd_resident_fits(n, hd, q.dtype.itemsize)):
-        # D = rowsum(dO ∘ O) per query row (f32), fused by XLA into the
-        # surrounding graph; everything else happens in the Pallas kernel
-        dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
-                       axis=-1)
-        return _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret)
-    return _flash_bwd_chunked(q, k, v, g, scale)
+    splits = _split_count(n, hd, q.dtype.itemsize, _BWD_VMEM_BUDGET,
+                          extra_per_row=2 * hd * 4)
+    if lse is None or splits is None:
+        return _flash_bwd_chunked(q, k, v, g, scale)
+    # D = rowsum(dO ∘ O) per query row (f32), fused by XLA into the
+    # surrounding graph; everything else happens in the Pallas kernel.
+    dsum = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    if splits == 1:
+        dq, dk, dv = _flash_bwd_pallas(q, k, v, lse, g, dsum, scale,
+                                       interpret)
+    else:
+        # split K/V into resident slices; P's columns partition exactly, so
+        # each slice's backward is independent given the global lse/D —
+        # dK/dV concatenate, dQ sums (in f32)
+        base = _round_up(-(-n // splits), 16)
+        dq, dks, dvs = 0.0, [], []
+        for s in range(splits):
+            sl = slice(s * base, min(n, (s + 1) * base))
+            dq_s, dk_s, dv_s = _flash_bwd_pallas(
+                q, k[:, :, sl], v[:, :, sl], lse, g, dsum, scale, interpret)
+            dq = dq + dq_s
+            dks.append(dk_s)
+            dvs.append(dv_s)
+        dk = jnp.concatenate(dks, axis=2)
+        dv = jnp.concatenate(dvs, axis=2)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -66,6 +66,33 @@ def test_pallas_bwd_kernel_matches_xla_vjp(n):
                                    atol=5e-5, rtol=1e-4)
 
 
+def test_resident_split_fwd_and_bwd_match_xla(monkeypatch):
+    """Force the resident-split (multi-pass + online-softmax merge) path at a
+    small N by shrinking the VMEM budgets; fwd and grads must match XLA."""
+    import dino_tpu.ops.attention as A
+    monkeypatch.setattr(A, "_KV_VMEM_BUDGET", 300 * 1024)
+    monkeypatch.setattr(A, "_BWD_VMEM_BUDGET", 600 * 1024)
+    n, b, nh, hd = 700, 1, 2, 64
+    assert A._split_count(n, hd, 4, A._KV_VMEM_BUDGET) > 1
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, n, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, n, hd), jnp.float32)
+    scale = hd ** -0.5
+    ref, _ = attention_xla(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, scale, True) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        attention_xla(q, k, v, scale)[0] ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_flash_grad_matches_xla():
     key = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(key, 3)
