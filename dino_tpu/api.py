@@ -83,7 +83,16 @@ class DINOSeg:
         self.class_names = tuple(class_names) if class_names else None
         self.logger = logger
         self.cfg = ViTConfig(patch_size=8)  # ViT-S/8
-        self.compute_dtype = jnp.bfloat16 if precision == "bf16" else None
+        if precision not in ("bf16", "fp32", "int8"):
+            raise ValueError(f"unsupported precision {precision!r}")
+        if precision == "int8" and backbone != "vit":
+            raise ValueError("precision='int8' is only supported for the ViT "
+                             "backbone")
+        self.precision = precision
+        # int8 quantizes the fat projections only; everything else runs bf16
+        self.compute_dtype = (jnp.bfloat16 if precision in ("bf16", "int8")
+                              else None)
+        self._int8_cache = None  # (master_params_id, quantized_tree)
         self.mlp_input_dim = self.cfg.embed_dim  # cnn backbones override
         self.resolution = 480
         self.best_ck: Optional[str] = None
@@ -155,6 +164,19 @@ class DINOSeg:
             raise ValueError("Resolution should be a multiple of 8.")
         self.resolution = resolution
 
+    def _serving_vit_params(self):
+        """Backbone params for the inference paths: the f32 masters, or (in
+        int8 mode) a per-output-channel-quantized tree derived from them,
+        rebuilt lazily whenever the masters change (e.g. after fit)."""
+        if self.precision != "int8":
+            return self.vit_params
+        if (self._int8_cache is None
+                or self._int8_cache[0] is not self.vit_params):
+            from dino_tpu.ops.quant import quantize_vit_params
+            self._int8_cache = (self.vit_params,
+                                quantize_vit_params(self.vit_params))
+        return self._int8_cache[1]
+
     def forward(self, images_u8: np.ndarray) -> jnp.ndarray:
         """uint8 (B,res,res,3) -> (B*N, n_classes) log-probs (ref :239-256)."""
         return seg_forward(self.vit_params, self.head_params, self.cfg,
@@ -189,7 +211,7 @@ class DINOSeg:
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         fn = self._predict_fn(img.shape[:2])
-        return np.asarray(fn(self.vit_params, self.head_params,
+        return np.asarray(fn(self._serving_vit_params(), self.head_params,
                              jnp.asarray(img)))
 
     def _predict_batch_fn(self, batch_shape):
@@ -229,7 +251,7 @@ class DINOSeg:
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
         fn = self._predict_batch_fn(imgs.shape)
-        return np.asarray(fn(self.vit_params, self.head_params,
+        return np.asarray(fn(self._serving_vit_params(), self.head_params,
                              jnp.asarray(imgs)))
 
     def predict_stream(self, frames, batch_size: int = 8):
@@ -262,7 +284,8 @@ class DINOSeg:
                 batch = []
                 if fn is None:
                     fn = self._predict_batch_fn(imgs.shape)
-                fut = fn(self.vit_params, self.head_params, jnp.asarray(imgs))
+                fut = fn(self._serving_vit_params(), self.head_params,
+                         jnp.asarray(imgs))
                 yield from flush()
                 pending = (fut, batch_size)
         yield from flush()

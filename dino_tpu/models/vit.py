@@ -156,6 +156,9 @@ def layer_norm(p: Params, x: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "kernel_i8" in p:  # int8 serving params (ops/quant.py)
+        from dino_tpu.ops.quant import int8_dense
+        return int8_dense(p, x)
     y = jnp.dot(x, p["kernel"].astype(x.dtype), preferred_element_type=jnp.float32)
     return (y + p["bias"].astype(jnp.float32)).astype(x.dtype)
 
@@ -272,7 +275,7 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: ViTConfig,
         y = drop_path(y, drop_path_rate, r_dp1)
     x = x + y
     if (not train and x.dtype == jnp.bfloat16 and use_flash
-            and _on_tpu()):
+            and "kernel" in p["mlp"]["fc1"] and _on_tpu()):
         # fused LN+MLP+residual Pallas kernel (bf16 TPU fast path)
         from dino_tpu.ops.fused_mlp import fused_ln_mlp_residual
         return fused_ln_mlp_residual(p["norm2"], p["mlp"], x,

@@ -581,9 +581,13 @@ def multi_head_attention(p: Params, x: jnp.ndarray, *, num_heads: int,
     """
     b, n, c = x.shape
     hd = c // num_heads
-    qkv = jnp.dot(x, p["qkv"]["kernel"].astype(x.dtype),
-                  preferred_element_type=jnp.float32)
-    qkv = (qkv + p["qkv"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    if "kernel_i8" in p["qkv"]:  # int8 serving params (ops/quant.py)
+        from dino_tpu.ops.quant import int8_dense
+        qkv = int8_dense(p["qkv"], x)
+    else:
+        qkv = jnp.dot(x, p["qkv"]["kernel"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        qkv = (qkv + p["qkv"]["bias"].astype(jnp.float32)).astype(x.dtype)
     qkv = qkv.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
     q, k, v = qkv[0], qkv[1], qkv[2]  # (B, nh, N, hd)
 
@@ -605,7 +609,11 @@ def multi_head_attention(p: Params, x: jnp.ndarray, *, num_heads: int,
 
     nq = out.shape[2]
     out = out.transpose(0, 2, 1, 3).reshape(out.shape[0], nq, c)
-    out = jnp.dot(out, p["proj"]["kernel"].astype(out.dtype),
-                  preferred_element_type=jnp.float32)
-    out = (out + p["proj"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    if "kernel_i8" in p["proj"]:
+        from dino_tpu.ops.quant import int8_dense
+        out = int8_dense(p["proj"], out).astype(x.dtype)
+    else:
+        out = jnp.dot(out, p["proj"]["kernel"].astype(out.dtype),
+                      preferred_element_type=jnp.float32)
+        out = (out + p["proj"]["bias"].astype(jnp.float32)).astype(x.dtype)
     return out, probs
