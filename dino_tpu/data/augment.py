@@ -30,9 +30,18 @@ def resize_pair(img: np.ndarray, mask: Optional[np.ndarray],
     return img, mask
 
 
-def _random_resized_crop(rng: np.random.Generator, img, mask, size,
-                         scale=(0.25, 1.0), ratio=(0.9, 1.1)):
-    h, w = img.shape[:2]
+# ---------------------------------------------------------------------------
+# Parameter drawing — the SINGLE source of randomness.  The numpy Generator is
+# consumed here and only here, so the cv2 path below and the native C++ path
+# (native/dtloader.cpp dt_augment_batch) produce the same geometry/photometry
+# from the same per-sample seed (the resume-determinism contract).
+# ---------------------------------------------------------------------------
+
+def _draw_crop(rng: np.random.Generator, size: int,
+               scale=(0.25, 1.0), ratio=(0.9, 1.1)):
+    """RandomResizedCrop rect on a size x size canvas (albumentations'
+    rejection-sampling loop)."""
+    h = w = size
     area = h * w
     for _ in range(10):
         target_area = area * rng.uniform(*scale)
@@ -40,12 +49,9 @@ def _random_resized_crop(rng: np.random.Generator, img, mask, size,
         cw = int(round(math.sqrt(target_area * aspect)))
         ch = int(round(math.sqrt(target_area / aspect)))
         if 0 < cw <= w and 0 < ch <= h:
-            x0 = rng.integers(0, w - cw + 1)
-            y0 = rng.integers(0, h - ch + 1)
-            img = img[y0:y0 + ch, x0:x0 + cw]
-            mask = None if mask is None else mask[y0:y0 + ch, x0:x0 + cw]
-            return resize_pair(img, mask, size)
-    # fallback: center crop to the closest in-range aspect
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            return x0, y0, cw, ch
     in_ratio = w / h
     if in_ratio < ratio[0]:
         cw, ch = w, int(round(w / ratio[0]))
@@ -53,88 +59,137 @@ def _random_resized_crop(rng: np.random.Generator, img, mask, size,
         cw, ch = int(round(h * ratio[1])), h
     else:
         cw, ch = w, h
-    x0, y0 = (w - cw) // 2, (h - ch) // 2
-    img = img[y0:y0 + ch, x0:x0 + cw]
-    mask = None if mask is None else mask[y0:y0 + ch, x0:x0 + cw]
-    return resize_pair(img, mask, size)
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
 
 
-def _shift_scale_rotate(rng: np.random.Generator, img, mask,
-                        shift_limit=0.4, scale_limit=0.1, rotate_limit=15):
-    h, w = img.shape[:2]
+def _draw_affine(rng: np.random.Generator, size: int,
+                 shift_limit=0.4, scale_limit=0.1, rotate_limit=15):
+    """ShiftScaleRotate forward 2x3 matrix (cv2.getRotationMatrix2D about the
+    pixel-center (size/2-0.5, size/2-0.5), plus the shift)."""
+    h = w = size
     angle = rng.uniform(-rotate_limit, rotate_limit)
     scale = 1.0 + rng.uniform(-scale_limit, scale_limit)
     dx = rng.uniform(-shift_limit, shift_limit)
     dy = rng.uniform(-shift_limit, shift_limit)
-    m = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, scale)
-    m[0, 2] += dx * w
-    m[1, 2] += dy * h
-    img = cv2.warpAffine(img, m, (w, h), flags=cv2.INTER_LINEAR,
-                         borderMode=cv2.BORDER_REFLECT_101)
-    if mask is not None:
-        mask = cv2.warpAffine(mask.astype(np.int32), m, (w, h),
-                              flags=cv2.INTER_NEAREST,
-                              borderMode=cv2.BORDER_REFLECT_101)
-    return img, mask
+    cx, cy = w / 2 - 0.5, h / 2 - 0.5
+    a = math.radians(angle)
+    alpha, beta = scale * math.cos(a), scale * math.sin(a)
+    return np.array([[alpha, beta, (1 - alpha) * cx - beta * cy + dx * w],
+                     [-beta, alpha, beta * cx + (1 - alpha) * cy + dy * h]],
+                    np.float64)
 
 
-def _color_jitter(rng: np.random.Generator, img,
-                  brightness=0.5, contrast=0.2, saturation=0.2, hue=0.2):
-    """torchvision-style ColorJitter (albumentations default ranges except
-    brightness, which the reference widens to 0.5): factors sampled uniformly,
-    transforms applied in random order."""
-    ops = []
+def _draw_jitter(rng: np.random.Generator,
+                 brightness=0.5, contrast=0.2, saturation=0.2, hue=0.2):
     b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-    ops.append(("b", b))
     c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-    ops.append(("c", c))
     s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
-    ops.append(("s", s))
     hshift = rng.uniform(-hue, hue)
-    ops.append(("h", hshift))
-    order = rng.permutation(len(ops))
+    order = rng.permutation(4)
+    return order, (b, c, s, hshift)
 
+
+def draw_params(rng: np.random.Generator, size: int = 480) -> dict:
+    """Consume the rng exactly once per sample and return every decision the
+    pipeline needs: Resize -> RandomResizedCrop(p=.75) ->
+    ShiftScaleRotate(p=.25) -> HFlip(p=.5) -> ColorJitter(p=.5) ->
+    GaussianBlur(p=.25)."""
+    p = {"crop": None, "affine": None, "flip": False, "jitter": None,
+         "blur": None}
+    if rng.random() < 0.75:
+        p["crop"] = _draw_crop(rng, size)
+    if rng.random() < 0.25:
+        p["affine"] = _draw_affine(rng, size)
+    p["flip"] = bool(rng.random() < 0.5)
+    if rng.random() < 0.5:
+        p["jitter"] = _draw_jitter(rng)
+    if rng.random() < 0.25:
+        p["blur"] = int(rng.integers(3 // 2, 41 // 2 + 1)) * 2 + 1
+    return p
+
+
+PARAMS_LEN = 24  # packed float32 layout consumed by the C++ pipeline
+
+
+def pack_params(p: dict) -> np.ndarray:
+    """dict -> float32[PARAMS_LEN] for native/dtloader.cpp:dt_augment_batch."""
+    out = np.zeros((PARAMS_LEN,), np.float32)
+    if p["crop"] is not None:
+        out[0] = 1.0
+        out[1:5] = p["crop"]
+    if p["affine"] is not None:
+        out[5] = 1.0
+        out[6:12] = np.asarray(p["affine"], np.float64).ravel()
+    out[12] = 1.0 if p["flip"] else 0.0
+    if p["jitter"] is not None:
+        order, factors = p["jitter"]
+        out[13] = 1.0
+        out[14:18] = order
+        out[18:22] = factors
+    if p["blur"] is not None:
+        out[22] = 1.0
+        out[23] = p["blur"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cv2 application path (reference semantics; also the native path's oracle)
+# ---------------------------------------------------------------------------
+
+def _apply_jitter(img, order, factors):
+    b, c, s, hshift = factors
     x = img.astype(np.float32)
     for i in order:
-        kind, f = ops[i]
-        if kind == "b":
-            x = x * f
-        elif kind == "c":
+        if i == 0:
+            x = x * b
+        elif i == 1:
             gray = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
                                 cv2.COLOR_RGB2GRAY).mean()
-            x = x * f + gray * (1 - f)
-        elif kind == "s":
+            x = x * c + gray * (1 - c)
+        elif i == 2:
             gray = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
                                 cv2.COLOR_RGB2GRAY).astype(np.float32)
-            x = x * f + gray[..., None] * (1 - f)
-        elif kind == "h":
+            x = x * s + gray[..., None] * (1 - s)
+        else:
             hsv = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
                                cv2.COLOR_RGB2HSV)
-            hch = hsv[..., 0].astype(np.int32) + int(round(f * 180))
+            hch = hsv[..., 0].astype(np.int32) + int(round(hshift * 180))
             hsv[..., 0] = np.mod(hch, 180).astype(np.uint8)
             x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
         x = np.clip(x, 0, 255)
     return x.astype(np.uint8)
 
 
-def _gaussian_blur(rng: np.random.Generator, img, blur_limit=(3, 41)):
-    k = int(rng.integers(blur_limit[0] // 2, blur_limit[1] // 2 + 1)) * 2 + 1
-    return cv2.GaussianBlur(img, (k, k), sigmaX=0)
+def apply_params(p: dict, img: np.ndarray, mask: Optional[np.ndarray],
+                 size: int = 480) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Apply drawn parameters with cv2 (images bilinear, masks nearest,
+    affine borders reflect-101 — albumentations defaults)."""
+    img, mask = resize_pair(img, mask, size)
+    if p["crop"] is not None:
+        x0, y0, cw, ch = p["crop"]
+        img = img[y0:y0 + ch, x0:x0 + cw]
+        mask = None if mask is None else mask[y0:y0 + ch, x0:x0 + cw]
+        img, mask = resize_pair(img, mask, size)
+    if p["affine"] is not None:
+        m = np.asarray(p["affine"], np.float64)
+        img = cv2.warpAffine(img, m, (size, size), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REFLECT_101)
+        if mask is not None:
+            mask = cv2.warpAffine(mask.astype(np.int32), m, (size, size),
+                                  flags=cv2.INTER_NEAREST,
+                                  borderMode=cv2.BORDER_REFLECT_101)
+    if p["flip"]:
+        img = img[:, ::-1].copy()
+        mask = None if mask is None else mask[:, ::-1].copy()
+    if p["jitter"] is not None:
+        img = _apply_jitter(img, *p["jitter"])
+    if p["blur"] is not None:
+        k = p["blur"]
+        img = cv2.GaussianBlur(img, (k, k), sigmaX=0)
+    return img, mask
 
 
 def augment(rng: np.random.Generator, img: np.ndarray, mask: np.ndarray,
             size: int = 480) -> Tuple[np.ndarray, np.ndarray]:
     """Full training augmentation. img uint8 (H,W,3), mask int (H,W)."""
-    img, mask = resize_pair(img, mask, size)
-    if rng.random() < 0.75:
-        img, mask = _random_resized_crop(rng, img, mask, size)
-    if rng.random() < 0.25:
-        img, mask = _shift_scale_rotate(rng, img, mask)
-    if rng.random() < 0.5:
-        img = img[:, ::-1].copy()
-        mask = mask[:, ::-1].copy()
-    if rng.random() < 0.5:
-        img = _color_jitter(rng, img)
-    if rng.random() < 0.25:
-        img = _gaussian_blur(rng, img)
-    return img, mask
+    return apply_params(draw_params(rng, size), img, mask, size)

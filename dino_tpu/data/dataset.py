@@ -20,7 +20,8 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-from dino_tpu.data.augment import augment, resize_pair
+from dino_tpu.data.augment import (apply_params, draw_params, pack_params,
+                                   resize_pair)
 from dino_tpu.ops.resize import resize_nearest
 
 
@@ -55,9 +56,20 @@ class DuckieSegDataset:
     def get(self, idx: int, rng: Optional[np.random.Generator] = None
             ) -> Tuple[np.ndarray, np.ndarray]:
         if self.augmented:
-            img, mask = self._load_raw(idx)
             rng = rng if rng is not None else np.random.default_rng()
-            img, mask = augment(rng, img, mask, self.resolution)
+            # randomness is drawn HERE (numpy, seed-deterministic); pixel
+            # work runs in the native C++ pipeline when available, with the
+            # cv2 path as semantic fallback
+            p = draw_params(rng, self.resolution)
+            from dino_tpu.data import native_loader
+            native = native_loader.augment_batch(
+                [self.files[idx]], [self._load_mask(idx)], self.resolution,
+                pack_params(p)[None])
+            if native is not None:
+                img, mask = native[0][0], native[1][0]
+            else:
+                img, mask = apply_params(p, *self._load_raw(idx),
+                                         self.resolution)
         else:
             # eval path: decode+resize fuse inside the native loader
             # (identical bilinear semantics to the Python path)
@@ -124,6 +136,38 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
 
     seeds = (rng.integers(0, 2**63, size=len(indices))
              if rng is not None else [None] * len(indices))
+
+    # Augmented (train) epochs: one C++ thread-pool call per batch — decode,
+    # resize, crop, warp, flip, jitter, blur all run native; Python only
+    # draws the per-sample parameters (seed-deterministic) and downsamples
+    # the returned masks to the token grid.
+    from dino_tpu.data import native_loader
+    if dataset.augmented and native_loader.get_lib() is not None:
+        res = dataset.resolution
+        grid = res // dataset.patch_size
+        for start in range(0, len(indices), batch_size):
+            chunk = [int(i) for i in indices[start:start + batch_size]]
+            chunk_seeds = seeds[start:start + batch_size]
+            params = np.stack([
+                pack_params(draw_params(
+                    np.random.default_rng(s) if s is not None
+                    else np.random.default_rng(), res))
+                for s in chunk_seeds])
+            native = native_loader.augment_batch(
+                [dataset.files[i] for i in chunk],
+                [dataset._load_mask(i) for i in chunk], res, params)
+            if native is None:
+                # per-item fallback for this batch (and stop retrying native)
+                items = [dataset.get(i, np.random.default_rng(s)
+                                     if s is not None else None)
+                         for i, s in zip(chunk, chunk_seeds)]
+                xs, ys = zip(*items)
+                yield np.stack(xs), np.stack(ys)
+                continue
+            imgs, masks = native
+            yield imgs, np.stack([
+                resize_nearest(m, grid, grid).reshape(-1) for m in masks])
+        return
 
     def fetch(args):
         idx, seed = args

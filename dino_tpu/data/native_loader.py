@@ -32,8 +32,8 @@ def _build(src_dir: str) -> Optional[str]:
         return so
     try:
         subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-o", so, src,
-             "-ljpeg", "-lpthread"],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+             "-shared", "-std=c++17", "-o", so, src, "-ljpeg", "-lpthread"],
             check=True, capture_output=True, timeout=120)
         return so
     except Exception:
@@ -72,6 +72,14 @@ def get_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.dt_load_batch.restype = ctypes.c_int
+        lib.dt_augment_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int]
+        lib.dt_augment_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -102,6 +110,37 @@ def decode(path: str, max_h: int = 4096, max_w: int = 4096
     if rc != 0:
         return None
     return buf[:h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def augment_batch(paths: List[str], masks: List[np.ndarray], res: int,
+                  params: np.ndarray, n_threads: int = 0):
+    """Full training-augmentation batch on the C++ thread pool.
+
+    ``params`` is (n, PARAMS_LEN) float32 from data.augment.pack_params (all
+    randomness drawn in Python).  Returns (imgs u8 (n,res,res,3), masks i32
+    (n,res,res)) or None on any failure (caller falls back to cv2).
+    """
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    n = len(paths)
+    params = np.ascontiguousarray(params, np.float32)
+    assert params.shape == (n, 24), params.shape
+    masks = [np.ascontiguousarray(m, np.int32) for m in masks]
+    out_imgs = np.empty((n, res, res, 3), np.uint8)
+    out_masks = np.empty((n, res, res), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    mptrs = (ctypes.POINTER(ctypes.c_int32) * n)(
+        *[m.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)) for m in masks])
+    mh = (ctypes.c_int * n)(*[m.shape[0] for m in masks])
+    mw = (ctypes.c_int * n)(*[m.shape[1] for m in masks])
+    n_threads = n_threads or min(n, os.cpu_count() or 1)
+    failures = lib.dt_augment_batch(
+        arr, n, res, params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mptrs, mh, mw,
+        out_imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_masks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
+    return (out_imgs, out_masks) if failures == 0 else None
 
 
 def load_batch(paths: List[str], out_h: int, out_w: int,

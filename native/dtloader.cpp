@@ -119,9 +119,385 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Training augmentations (parameters drawn in Python — data/augment.py
+// draw_params/pack_params — pixels transformed here, off the GIL).
+// Pipeline per sample: decode -> resize(res) -> crop+resize -> warpAffine
+// (reflect-101) -> hflip -> color jitter -> gaussian blur.
+// ---------------------------------------------------------------------------
+
+inline int reflect101(int p, int n) {
+  if (n <= 1) return 0;
+  const int period = 2 * (n - 1);
+  p %= period;
+  if (p < 0) p += period;
+  return p < n ? p : period - p;
+}
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// Nearest resize of an int32 mask: src row = floor(dst * sh / dh)
+// (torchvision NEAREST, matching dino_tpu.ops.resize.nearest_resize_indices).
+void resize_nearest_i32(const int32_t* src, int sh, int sw, int32_t* dst,
+                        int dh, int dw) {
+  std::vector<int> ci(dw);
+  for (int x = 0; x < dw; ++x)
+    ci[x] = clampi(static_cast<int>(std::floor(
+        static_cast<double>(x) * sw / dw)), 0, sw - 1);
+  for (int y = 0; y < dh; ++y) {
+    const int sy = clampi(static_cast<int>(std::floor(
+        static_cast<double>(y) * sh / dh)), 0, sh - 1);
+    const int32_t* row = src + static_cast<size_t>(sy) * sw;
+    int32_t* out = dst + static_cast<size_t>(y) * dw;
+    for (int x = 0; x < dw; ++x) out[x] = row[ci[x]];
+  }
+}
+
+// Invert a forward 2x3 affine (cv2.warpAffine semantics: dst = M(src), so
+// sampling runs through M^-1).
+void invert_affine(const float m[6], double inv[6]) {
+  const double a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+  const double det = a * e - b * d;
+  const double s = det != 0.0 ? 1.0 / det : 0.0;
+  inv[0] = e * s;  inv[1] = -b * s;
+  inv[3] = -d * s; inv[4] = a * s;
+  inv[2] = -(inv[0] * c + inv[1] * f);
+  inv[5] = -(inv[3] * c + inv[4] * f);
+}
+
+void warp_affine_u8(const uint8_t* src, int h, int w, uint8_t* dst,
+                    const float m[6]) {
+  double inv[6];
+  invert_affine(m, inv);
+  for (int y = 0; y < h; ++y) {
+    uint8_t* out = dst + static_cast<size_t>(y) * w * 3;
+    // source coords advance linearly along the row
+    double sx = inv[1] * y + inv[2];
+    double sy = inv[4] * y + inv[5];
+    // Interior pixels (the vast majority) take a branch-free body; the
+    // border-reflected samples run the slow path.
+    auto sample = [&](int x, double sxx, double syy, bool interior) {
+      const int x0 = static_cast<int>(std::floor(sxx));
+      const int y0 = static_cast<int>(std::floor(syy));
+      const float tx = static_cast<float>(sxx - x0);
+      const float ty = static_cast<float>(syy - y0);
+      int xa, xb, ya, yb;
+      if (interior) {
+        xa = x0; xb = x0 + 1; ya = y0; yb = y0 + 1;
+      } else {
+        xa = reflect101(x0, w); xb = reflect101(x0 + 1, w);
+        ya = reflect101(y0, h); yb = reflect101(y0 + 1, h);
+      }
+      const uint8_t* r0 = src + static_cast<size_t>(ya) * w * 3;
+      const uint8_t* r1 = src + static_cast<size_t>(yb) * w * 3;
+      const float w00 = (1 - tx) * (1 - ty), w01 = tx * (1 - ty);
+      const float w10 = (1 - tx) * ty, w11 = tx * ty;
+      for (int c = 0; c < 3; ++c) {
+        const float v = r0[xa * 3 + c] * w00 + r0[xb * 3 + c] * w01 +
+                        r1[xa * 3 + c] * w10 + r1[xb * 3 + c] * w11;
+        out[x * 3 + c] = static_cast<uint8_t>(clampi(
+            static_cast<int>(v + 0.5f), 0, 255));
+      }
+    };
+    // find [xlo, xhi) where both sample coords are interior
+    int xlo = 0, xhi = w;
+    auto interior_at = [&](int x) {
+      const double sxx = sx + inv[0] * x, syy = sy + inv[3] * x;
+      const int x0 = static_cast<int>(std::floor(sxx));
+      const int y0 = static_cast<int>(std::floor(syy));
+      return x0 >= 0 && x0 + 1 < w && y0 >= 0 && y0 + 1 < h;
+    };
+    while (xlo < w && !interior_at(xlo)) ++xlo;
+    while (xhi > xlo && !interior_at(xhi - 1)) --xhi;
+    double sxx = sx, syy = sy;
+    for (int x = 0; x < xlo; ++x, sxx += inv[0], syy += inv[3])
+      sample(x, sxx, syy, false);
+    for (int x = xlo; x < xhi; ++x, sxx += inv[0], syy += inv[3])
+      sample(x, sxx, syy, true);
+    for (int x = xhi; x < w; ++x, sxx += inv[0], syy += inv[3])
+      sample(x, sxx, syy, false);
+  }
+}
+
+void warp_affine_i32_nearest(const int32_t* src, int h, int w, int32_t* dst,
+                             const float m[6]) {
+  double inv[6];
+  invert_affine(m, inv);
+  for (int y = 0; y < h; ++y) {
+    int32_t* out = dst + static_cast<size_t>(y) * w;
+    for (int x = 0; x < w; ++x) {
+      const double sx = inv[0] * x + inv[1] * y + inv[2];
+      const double sy = inv[3] * x + inv[4] * y + inv[5];
+      const int xi = reflect101(static_cast<int>(std::lround(sx)), w);
+      const int yi = reflect101(static_cast<int>(std::lround(sy)), h);
+      out[x] = src[static_cast<size_t>(yi) * w + xi];
+    }
+  }
+}
+
+// numpy astype(uint8) after clip TRUNCATES; cv2's u8 gray then rounds.
+inline uint8_t gray_u8(float r, float g, float b) {
+  const float v = 0.299f * static_cast<int>(r) + 0.587f * static_cast<int>(g)
+                + 0.114f * static_cast<int>(b);
+  return static_cast<uint8_t>(clampi(static_cast<int>(v + 0.5f), 0, 255));
+}
+
+// Reciprocal LUTs kill the per-pixel divisions in the HSV round-trip.
+struct HsvLuts {
+  float inv30[256];   // 30 / diff
+  float s255[256];    // 255 / v
+  HsvLuts() {
+    inv30[0] = s255[0] = 0.0f;
+    for (int i = 1; i < 256; ++i) {
+      inv30[i] = 30.0f / i;
+      s255[i] = 255.0f / i;
+    }
+  }
+};
+const HsvLuts kHsv;
+
+// cv2 uint8 HSV conventions (H in [0,180)).
+inline void rgb_to_hsv_u8(uint8_t r, uint8_t g, uint8_t b,
+                          uint8_t* hh, uint8_t* ss, uint8_t* vv) {
+  const int v = r > g ? (r > b ? r : b) : (g > b ? g : b);
+  const int mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
+  const int diff = v - mn;
+  *vv = static_cast<uint8_t>(v);
+  *ss = static_cast<uint8_t>(
+      static_cast<int>(diff * kHsv.s255[v] + 0.5f));
+  const float inv30 = kHsv.inv30[diff];  // 0 when diff==0 -> hdeg2 terms 0
+  // branchless channel selection (ternaries compile to cmov/blend)
+  const float hdeg2 = (v == r) ? (g - b) * inv30
+                    : (v == g) ? 60.0f + (b - r) * inv30
+                               : 120.0f + (r - g) * inv30;
+  const float hpos = hdeg2 < 0 ? hdeg2 + 180.0f : hdeg2;
+  int hq = static_cast<int>(hpos + 0.5f);
+  hq = hq >= 180 ? hq - 180 : hq;
+  *hh = static_cast<uint8_t>(diff == 0 ? 0 : hq);
+}
+
+// Branchless sector selection: vals = {v, p, q, t} indexed by per-sector
+// tables (a random hue sector mispredicts a switch on every pixel).
+inline void hsv_to_rgb_u8(uint8_t hh, uint8_t ss, uint8_t vv,
+                          uint8_t* r, uint8_t* g, uint8_t* b) {
+  static const uint8_t RSEL[6] = {0, 2, 1, 1, 3, 0};
+  static const uint8_t GSEL[6] = {3, 0, 0, 2, 1, 1};
+  static const uint8_t BSEL[6] = {1, 1, 3, 0, 0, 2};
+  const float h = hh * (1.0f / 30.0f);  // sector in [0, 6)
+  const float s = ss * (1.0f / 255.0f), v = static_cast<float>(vv);
+  int sector = static_cast<int>(h);
+  const float f = h - sector;
+  sector = sector >= 6 ? 0 : sector;
+  float vals[4];
+  vals[0] = v;
+  vals[1] = v * (1 - s);
+  vals[2] = v * (1 - s * f);
+  vals[3] = v * (1 - s * (1 - f));
+  *r = static_cast<uint8_t>(clampi(
+      static_cast<int>(vals[RSEL[sector]] + 0.5f), 0, 255));
+  *g = static_cast<uint8_t>(clampi(
+      static_cast<int>(vals[GSEL[sector]] + 0.5f), 0, 255));
+  *b = static_cast<uint8_t>(clampi(
+      static_cast<int>(vals[BSEL[sector]] + 0.5f), 0, 255));
+}
+
+// torchvision-style ColorJitter: factors applied in the drawn order, float
+// accumulator clipped to [0,255] after every op (matches data/augment.py).
+inline float clampf(float v) {  // plain ternaries vectorize (fmin/fmax's
+  return v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);  // NaN rules don't)
+}
+
+void color_jitter(float* x, int h, int w, const float order[4],
+                  float fb, float fc, float fs, float fh) {
+  const size_t n = static_cast<size_t>(h) * w;
+  for (int oi = 0; oi < 4; ++oi) {
+    const int kind = static_cast<int>(order[oi]);
+    if (kind == 0) {  // brightness
+      for (size_t i = 0; i < 3 * n; ++i) x[i] = clampf(x[i] * fb);
+    } else if (kind == 1) {  // contrast: blend with mean gray
+      double acc = 0.0;
+      for (size_t i = 0; i < n; ++i)
+        acc += gray_u8(x[3 * i], x[3 * i + 1], x[3 * i + 2]);
+      const float mean = static_cast<float>(acc / n);
+      const float add = mean * (1 - fc);
+      for (size_t i = 0; i < 3 * n; ++i) x[i] = clampf(x[i] * fc + add);
+    } else if (kind == 2) {  // saturation: blend with per-pixel gray
+      const float ks = 1 - fs;
+      for (size_t i = 0; i < n; ++i) {
+        const float gy = gray_u8(x[3 * i], x[3 * i + 1], x[3 * i + 2]) * ks;
+        x[3 * i] = clampf(x[3 * i] * fs + gy);
+        x[3 * i + 1] = clampf(x[3 * i + 1] * fs + gy);
+        x[3 * i + 2] = clampf(x[3 * i + 2] * fs + gy);
+      }
+    } else {  // hue shift through u8 HSV round-trip (numpy cast truncates)
+      const int shift = static_cast<int>(std::lround(fh * 180.0f));
+      for (size_t i = 0; i < n; ++i) {
+        uint8_t r = static_cast<uint8_t>(x[3 * i]);
+        uint8_t g = static_cast<uint8_t>(x[3 * i + 1]);
+        uint8_t b = static_cast<uint8_t>(x[3 * i + 2]);
+        uint8_t hh, ss, vv;
+        rgb_to_hsv_u8(r, g, b, &hh, &ss, &vv);
+        int hn = (hh + shift) % 180;
+        if (hn < 0) hn += 180;
+        hsv_to_rgb_u8(static_cast<uint8_t>(hn), ss, vv, &r, &g, &b);
+        x[3 * i] = r; x[3 * i + 1] = g; x[3 * i + 2] = b;
+      }
+    }
+  }
+}
+
+// Separable Gaussian blur, sigma from ksize like cv2 (sigma=0 convention),
+// reflect-101 borders.
+void gaussian_blur_u8(uint8_t* img, int h, int w, int k) {
+  if (k < 3) return;
+  const int half = k / 2;
+  const double sigma = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8;
+  std::vector<float> kern(k);
+  double sum = 0.0;
+  for (int i = 0; i < k; ++i) {
+    const double d = i - half;
+    kern[i] = static_cast<float>(std::exp(-d * d / (2 * sigma * sigma)));
+    sum += kern[i];
+  }
+  for (int i = 0; i < k; ++i) kern[i] = static_cast<float>(kern[i] / sum);
+
+  // Horizontal pass over a border-reflected padded row: tap-outer loops run
+  // contiguous FMA over the row (SIMD-friendly), no per-pixel reflect calls.
+  const int rowlen = w * 3;
+  std::vector<float> tmp(static_cast<size_t>(h) * rowlen);
+  std::vector<float> pad(static_cast<size_t>(w + 2 * half) * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img + static_cast<size_t>(y) * rowlen;
+    for (int x = -half; x < w + half; ++x) {
+      const int sx = reflect101(x, w);
+      float* p = pad.data() + static_cast<size_t>(x + half) * 3;
+      p[0] = row[sx * 3]; p[1] = row[sx * 3 + 1]; p[2] = row[sx * 3 + 2];
+    }
+    float* out = tmp.data() + static_cast<size_t>(y) * rowlen;
+    memset(out, 0, sizeof(float) * rowlen);
+    for (int i = 0; i < k; ++i) {
+      const float kv = kern[i];
+      const float* p = pad.data() + static_cast<size_t>(i) * 3;
+      for (int j = 0; j < rowlen; ++j) out[j] += kv * p[j];
+    }
+  }
+  // Vertical pass: row-wise AXPY over contiguous float rows.
+  std::vector<float> acc(rowlen);
+  for (int y = 0; y < h; ++y) {
+    memset(acc.data(), 0, sizeof(float) * rowlen);
+    for (int i = 0; i < k; ++i) {
+      const float kv = kern[i];
+      const float* row =
+          tmp.data() + static_cast<size_t>(reflect101(y + i - half, h)) * rowlen;
+      for (int j = 0; j < rowlen; ++j) acc[j] += kv * row[j];
+    }
+    uint8_t* out = img + static_cast<size_t>(y) * rowlen;
+    for (int j = 0; j < rowlen; ++j)
+      out[j] = static_cast<uint8_t>(clampi(
+          static_cast<int>(acc[j] + 0.5f), 0, 255));
+  }
+}
+
+// One sample through the full pipeline. params layout (float32[24], see
+// data/augment.py pack_params): [do_crop, x0, y0, cw, ch, do_affine, m00,
+// m01, m02, m10, m11, m12, do_flip, do_jitter, order0..3, fb, fc, fs, fh,
+// do_blur, k].
+int augment_one(const char* path, const int32_t* mask_in, int mh, int mw,
+                int res, const float* p, uint8_t* out_img, int32_t* out_mask) {
+  int sh, sw;
+  uint8_t* raw = decode_rgb(path, &sh, &sw);
+  if (!raw) return -1;
+
+  std::vector<uint8_t> img(static_cast<size_t>(res) * res * 3);
+  std::vector<int32_t> mask(static_cast<size_t>(res) * res);
+  resize_bilinear_u8(raw, sh, sw, img.data(), res, res);
+  free(raw);
+  resize_nearest_i32(mask_in, mh, mw, mask.data(), res, res);
+
+  std::vector<uint8_t> ibuf;
+  std::vector<int32_t> mbuf;
+  if (p[0] > 0.5f) {  // RandomResizedCrop
+    const int x0 = static_cast<int>(p[1]), y0 = static_cast<int>(p[2]);
+    const int cw = static_cast<int>(p[3]), ch = static_cast<int>(p[4]);
+    std::vector<uint8_t> ci(static_cast<size_t>(ch) * cw * 3);
+    std::vector<int32_t> cm(static_cast<size_t>(ch) * cw);
+    for (int y = 0; y < ch; ++y) {
+      memcpy(ci.data() + static_cast<size_t>(y) * cw * 3,
+             img.data() + (static_cast<size_t>(y0 + y) * res + x0) * 3,
+             static_cast<size_t>(cw) * 3);
+      for (int x = 0; x < cw; ++x)
+        cm[static_cast<size_t>(y) * cw + x] =
+            mask[static_cast<size_t>(y0 + y) * res + x0 + x];
+    }
+    resize_bilinear_u8(ci.data(), ch, cw, img.data(), res, res);
+    resize_nearest_i32(cm.data(), ch, cw, mask.data(), res, res);
+  }
+  if (p[5] > 0.5f) {  // ShiftScaleRotate
+    ibuf = img;
+    mbuf = mask;
+    warp_affine_u8(ibuf.data(), res, res, img.data(), p + 6);
+    warp_affine_i32_nearest(mbuf.data(), res, res, mask.data(), p + 6);
+  }
+  if (p[12] > 0.5f) {  // HorizontalFlip
+    for (int y = 0; y < res; ++y) {
+      uint8_t* row = img.data() + static_cast<size_t>(y) * res * 3;
+      int32_t* mrow = mask.data() + static_cast<size_t>(y) * res;
+      for (int x = 0; x < res / 2; ++x) {
+        for (int c = 0; c < 3; ++c)
+          std::swap(row[x * 3 + c], row[(res - 1 - x) * 3 + c]);
+        std::swap(mrow[x], mrow[res - 1 - x]);
+      }
+    }
+  }
+  if (p[13] > 0.5f) {  // ColorJitter
+    std::vector<float> xf(img.begin(), img.end());
+    color_jitter(xf.data(), res, res, p + 14, p[18], p[19], p[20], p[21]);
+    // numpy astype(uint8) truncates (values already clipped to [0,255])
+    for (size_t i = 0; i < xf.size(); ++i)
+      img[i] = static_cast<uint8_t>(xf[i]);
+  }
+  if (p[22] > 0.5f)  // GaussianBlur
+    gaussian_blur_u8(img.data(), res, res, static_cast<int>(p[23]));
+
+  memcpy(out_img, img.data(), img.size());
+  memcpy(out_mask, mask.data(), mask.size() * sizeof(int32_t));
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Augment a batch on the C++ thread pool. Returns the number of failures;
+// out_imgs is (n, res, res, 3) u8, out_masks (n, res, res) i32.
+int dt_augment_batch(const char** paths, int n, int res, const float* params,
+                     const int32_t** masks_in, const int* mask_h,
+                     const int* mask_w, uint8_t* out_imgs, int32_t* out_masks,
+                     int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int> failures(n_threads, 0);
+  const size_t iframe = static_cast<size_t>(res) * res * 3;
+  const size_t mframe = static_cast<size_t>(res) * res;
+
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      if (augment_one(paths[i], masks_in[i], mask_h[i], mask_w[i], res,
+                      params + static_cast<size_t>(i) * 24,
+                      out_imgs + iframe * i, out_masks + mframe * i) != 0)
+        failures[tid]++;
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : failures) total += f;
+  return total;
+}
 
 // Decode into caller buffer of capacity max_h*max_w*3. Returns 0 on success.
 int dt_decode_jpeg_file(const char* path, uint8_t* out, int* h, int* w,

@@ -1,0 +1,104 @@
+"""Native C++ augmentation pipeline vs the cv2 oracle.
+
+All randomness is drawn in Python (data.augment.draw_params), so both paths
+see identical geometry/photometry parameters; the C++ pixel math is checked
+against the cv2 implementation within tight tolerances (cv2 uses fixed-point
+interpolation internally, so bit-exactness is not expected).
+"""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dino_tpu.data import native_loader
+from dino_tpu.data.augment import apply_params, draw_params, pack_params
+
+pytestmark = pytest.mark.skipif(native_loader.get_lib() is None,
+                                reason="native loader unavailable")
+
+
+@pytest.fixture(scope="module")
+def sample(tmp_path_factory):
+    root = tmp_path_factory.mktemp("nat_aug")
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (300, 400, 3), np.uint8)
+    path = str(root / "img.jpg")
+    Image.fromarray(img).save(path, quality=95)
+    raw = np.array(Image.open(path).convert("RGB"))
+    mask = rs.randint(0, 7, (300, 400)).astype(np.int64)
+    return path, raw, mask
+
+
+@pytest.mark.parametrize("seed", list(range(10)))
+def test_native_matches_cv2_oracle(sample, seed):
+    path, raw, mask = sample
+    p = draw_params(np.random.default_rng(seed), 480)
+    native = native_loader.augment_batch([path], [mask], 480,
+                                         pack_params(p)[None])
+    assert native is not None
+    ni, nm = native[0][0], native[1][0]
+    pi, pm = apply_params(p, raw.copy(), mask.copy(), 480)
+    img_mad = np.abs(ni.astype(np.int32) - pi.astype(np.int32)).mean()
+    mask_agree = (nm == pm).mean()
+    assert img_mad < 2.5, (seed, img_mad)
+    assert mask_agree > 0.97, (seed, mask_agree)
+
+
+def test_forced_ops_match_oracle(sample):
+    path, raw, mask = sample
+    base = {"crop": None, "affine": None, "flip": False, "jitter": None,
+            "blur": None}
+    cases = [
+        {**base, "blur": 41},
+        {**base, "blur": 3},
+        {**base, "affine": np.array([[0.95, 0.26, 12.0],
+                                     [-0.26, 0.95, -30.0]])},
+        {**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
+        {**base, "jitter": (np.array([1, 2, 0, 3]), (0.6, 1.15, 0.85, 0.1))},
+        {**base, "crop": (5, 9, 333, 471), "flip": True},
+    ]
+    for p in cases:
+        native = native_loader.augment_batch([path], [mask], 480,
+                                             pack_params(p)[None])
+        pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
+        mad = np.abs(native[0][0].astype(np.int32)
+                     - pi.astype(np.int32)).mean()
+        assert mad < 3.0, (p, mad)
+
+
+def test_native_determinism(sample):
+    path, _, mask = sample
+    pa = pack_params(draw_params(np.random.default_rng(42), 480))[None]
+    a = native_loader.augment_batch([path], [mask], 480, pa)
+    b = native_loader.augment_batch([path], [mask], 480, pa)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+
+
+def test_batched_loader_native_train_epoch(sample, tmp_path):
+    """The augmented batched_loader goes through the native batch call and is
+    deterministic under the epoch rng."""
+    from dino_tpu.data.dataset import DuckieSegDataset, batched_loader
+    path, _, mask = sample
+    root = tmp_path / "dt_real_voc_train"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    for i in range(3):
+        os.link(path, str(root / "JPEGImages" / f"im{i}.jpg"))
+        np.save(str(root / "SegmentationClass" / f"im{i}.npy"), mask)
+    ds = DuckieSegDataset(str(root), augmented=True, resolution=480)
+    idx = np.array([0, 1, 2, 0, 1])
+
+    def epoch(seed):
+        return [(x.copy(), y.copy()) for x, y in
+                batched_loader(ds, idx, 2, rng=np.random.default_rng(seed))]
+
+    a, b = epoch(7), epoch(7)
+    assert len(a) == 3 and a[0][0].shape == (2, 480, 480, 3)
+    assert a[-1][0].shape == (1, 480, 480, 3)  # ragged tail preserved
+    for (xa, ya), (xb, yb) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+    c = epoch(8)
+    assert not np.array_equal(a[0][0], c[0][0])
