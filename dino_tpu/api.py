@@ -164,11 +164,11 @@ class DINOSeg:
             raise ValueError("Resolution should be a multiple of 8.")
         self.resolution = resolution
 
-    def _serving_vit_params(self):
+    def _serving_vit_params(self, precision: Optional[str] = None):
         """Backbone params for the inference paths: the f32 masters, or (in
         int8 mode) a per-output-channel-quantized tree derived from them,
         rebuilt lazily whenever the masters change (e.g. after fit)."""
-        if self.precision != "int8":
+        if (precision or self.precision) != "int8":
             return self.vit_params
         if (self._int8_cache is None
                 or self._int8_cache[0] is not self.vit_params):
@@ -184,12 +184,18 @@ class DINOSeg:
                            compute_dtype=self.compute_dtype,
                            backbone=self.backbone)
 
-    def _predict_fn(self, in_shape: Tuple[int, int]):
-        key = ("predict", in_shape, self.resolution)
+    def _compute_dtype_for(self, precision: Optional[str]):
+        if precision is None:
+            return self.compute_dtype
+        return jnp.bfloat16 if precision in ("bf16", "int8") else None
+
+    def _predict_fn(self, in_shape: Tuple[int, int],
+                    precision: Optional[str] = None):
+        key = ("predict", in_shape, self.resolution, precision)
         if key not in self._jit_cache:
             res = self.resolution
             cfg, head_type = self.cfg, self.head
-            cdt, bb = self.compute_dtype, self.backbone
+            cdt, bb = self._compute_dtype_for(precision), self.backbone
             out_size = res // 8
             factor = 480 // out_size
 
@@ -205,21 +211,27 @@ class DINOSeg:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def predict(self, x) -> np.ndarray:
-        """Single-image inference -> 480x480 int ndarray (ref :276-300)."""
+    def predict(self, x, precision: Optional[str] = None) -> np.ndarray:
+        """Single-image inference -> 480x480 int ndarray (ref :276-300).
+
+        ``precision`` overrides the model default for this call ('fp32'
+        removes bf16 batch-size-dependent argmax flips on near-tie patches).
+        """
         img = np.asarray(x)
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
-        fn = self._predict_fn(img.shape[:2])
-        return np.asarray(fn(self._serving_vit_params(), self.head_params,
+        fn = self._predict_fn(img.shape[:2], precision)
+        return np.asarray(fn(self._serving_vit_params(precision),
+                             self.head_params,
                              jnp.asarray(img)))
 
-    def _predict_batch_fn(self, batch_shape):
-        key = ("predict_batch", batch_shape, self.resolution)
+    def _predict_batch_fn(self, batch_shape,
+                          precision: Optional[str] = None):
+        key = ("predict_batch", batch_shape, self.resolution, precision)
         if key not in self._jit_cache:
             res = self.resolution
             cfg, head_type = self.cfg, self.head
-            cdt, bb = self.compute_dtype, self.backbone
+            cdt, bb = self._compute_dtype_for(precision), self.backbone
             out_size = res // 8
             factor = 480 // out_size
 
@@ -236,7 +248,8 @@ class DINOSeg:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def predict_batch(self, images) -> np.ndarray:
+    def predict_batch(self, images,
+                      precision: Optional[str] = None) -> np.ndarray:
         """Batched inference: uint8 (B, H, W, 3) -> (B, 480, 480) int maps.
 
         The serving-throughput path: one fused device program for the whole
@@ -250,8 +263,9 @@ class DINOSeg:
         imgs = np.asarray(images)
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
-        fn = self._predict_batch_fn(imgs.shape)
-        return np.asarray(fn(self._serving_vit_params(), self.head_params,
+        fn = self._predict_batch_fn(imgs.shape, precision)
+        return np.asarray(fn(self._serving_vit_params(precision),
+                             self.head_params,
                              jnp.asarray(imgs)))
 
     def predict_stream(self, frames, batch_size: int = 8):
@@ -541,7 +555,8 @@ class DINOSeg:
                         self.logger, "log_confusion_matrix"):
                     self.logger.log_confusion_matrix(
                         val_cm, title="val", step=epoch,
-                        labels=self.class_names)
+                        labels=self.class_names,
+                        file_name=f"val_epoch_{epoch}.json")
             if metrics["val_acc"] > best_acc:
                 best_acc = metrics["val_acc"]
                 self.save(ck_path, extra_hparams={"best_val_acc": best_acc,

@@ -2,22 +2,28 @@
 """Weight-porting parity harness: prove a converted torch checkpoint is
 numerically faithful.
 
-Given a PL .ckpt / DINO .pth, converts it and checks, stage by stage:
+Given a PL .ckpt / DINO .pth / native .npz (or nothing — the pretrained
+artifact is auto-discovered via $DINO_TPU_PRETRAINED, the torch-hub cache, or
+the converted-npz cache), converts it and checks, stage by stage:
   1. parameter-level roundtrip (shapes, exact values after layout transforms)
-  2. forward-activation closeness vs the torch implementation (per block),
-     when torch + a reference implementation are importable
+  2. forward-activation closeness vs the torch implementation (per
+     resolution), when torch + a reference implementation are importable
   3. BIT-IDENTICAL argmax label maps at the requested resolutions (fp32)
 
 Without torch/reference available it still runs stage 1 + a JAX
-self-consistency pass and says exactly what was skipped.
+self-consistency pass and says exactly what was skipped.  The final line is
+a machine-readable JSON verdict (also written to --json when given), so the
+moment real pretrained weights land (reference dt_utils.py:23-27 artifact),
+running `dt-verify-port` unattended produces the full parity record.
 
 Usage:
-    dt-verify-port ckpt.ckpt --resolutions 240 480 [--image frame.jpg]
+    dt-verify-port [ckpt.ckpt] [--resolutions 240 480 960] [--image f.jpg]
     (reference impl discovered via $DINO_REFERENCE_PATH or /root/reference)
 """
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -44,27 +50,70 @@ def _load_reference_vit():
     return sys.modules["dtrefsrc.vision_transformer"]
 
 
-def verify_port(checkpoint_path: str, resolutions=(240, 480),
-                image: str | None = None) -> bool:
-    import jax
+def discover_artifact():
+    """Find a pretrained artifact the way the runtime would (explicit env ->
+    torch-hub cache -> converted npz cache)."""
+    from dino_tpu.checkpointing.pretrained import (DINO_S8_NAME, _cache_dir,
+                                                   _hub_cache)
+    candidates = [os.environ.get("DINO_TPU_PRETRAINED"),
+                  _hub_cache(DINO_S8_NAME),
+                  os.path.join(_cache_dir(), f"{DINO_S8_NAME}.npz")]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def _load_model(checkpoint_path):
+    """DINOSeg (fp32) + the raw torch-layout state dict (None for npz).
+
+    Accepts full task checkpoints (PL .ckpt / native .npz with hparams) and
+    bare backbone artifacts (the dino_deitsmall8 .pth): the latter get a
+    seeded head so stage-3 argmax parity is still checkable.
+    """
     from dino_tpu.api import DINOSeg
     from dino_tpu.checkpointing.torch_convert import (load_torch_file,
                                                       state_dict_to_numpy)
+    raw = None
+    if checkpoint_path.endswith((".ckpt", ".pth")):
+        ckpt = load_torch_file(checkpoint_path)
+        if "state_dict" in ckpt:        # PL task checkpoint
+            raw = state_dict_to_numpy(ckpt["state_dict"])
+            return DINOSeg.load_from_checkpoint(
+                checkpoint_path, precision="fp32"), raw, "task"
+        raw = state_dict_to_numpy(ckpt.get("teacher", ckpt))
+        raw = {("dino." + k.replace("module.", "").replace("backbone.", "")):
+               v for k, v in raw.items()}
+        model = DINOSeg(head="mlp", n_blocks=3, seed=0, precision="fp32",
+                        pretrained_path=checkpoint_path)
+        return model, raw, "backbone"
+    return DINOSeg.load_from_checkpoint(
+        checkpoint_path, precision="fp32"), None, "task"
+
+
+def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
+                image: str | None = None):
+    """Returns (ok, report dict)."""
+    import jax
     from dino_tpu.models.vit import ViTConfig, vit_forward
 
-    ok = True
-    print(f"== weight-port verification: {checkpoint_path}")
+    report = {"checkpoint": checkpoint_path, "resolutions": list(resolutions),
+              "stages": [], "ok": True}
 
-    model = DINOSeg.load_from_checkpoint(checkpoint_path, precision="fp32")
+    def record(stage, ok, **kw):
+        report["stages"].append({"stage": stage, "ok": bool(ok), **kw})
+        report["ok"] &= bool(ok)
+
+    print(f"== weight-port verification: {checkpoint_path}")
+    model, raw, kind = _load_model(checkpoint_path)
     n_params = sum(np.asarray(x).size for x in jax.tree.leaves(
         model.vit_params))
-    print(f"[1] conversion: backbone={model.backbone} "
+    print(f"[1] conversion: kind={kind} backbone={model.backbone} "
           f"n_blocks={model.n_blocks} params={n_params:,} head={model.head}")
+    record("conversion", True, kind=kind, n_params=int(n_params),
+           n_blocks=model.n_blocks)
 
     # stage 1: layout roundtrip — re-derive a torch-layout tensor and compare
-    raw = state_dict_to_numpy(load_torch_file(checkpoint_path).get(
-        "state_dict", {})) if checkpoint_path.endswith((".ckpt", ".pth")) \
-        else None
     if raw:
         qkv_t = raw.get("dino.blocks.0.attn.qkv.weight")
         if qkv_t is not None:
@@ -72,7 +121,7 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480),
                               ["kernel"])
             same = np.array_equal(ours.T, np.asarray(qkv_t, np.float32))
             print(f"[1] qkv layout roundtrip exact: {same}")
-            ok &= same
+            record("layout_roundtrip", same)
 
     # torch-side oracle
     vt = None
@@ -81,19 +130,19 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480),
         vt = _load_reference_vit()
     except ImportError:
         torch = None
-    if vt is None or model.backbone != "vit":
-        print("[2,3] torch reference not importable (or cnn backbone) — "
-              "running JAX self-consistency only")
+    if vt is None or model.backbone != "vit" or raw is None:
+        print("[2,3] torch reference not importable (or cnn backbone / npz "
+              "input) — running JAX self-consistency only")
         for res in resolutions:
             model.set_resolution(res)
             x = (np.asarray(_read_image(image)) if image else
                  np.random.RandomState(0).randint(0, 255, (480, 640, 3),
                                                   np.uint8))
             p1, p2 = model.predict(x), model.predict(x)
-            same = np.array_equal(p1, p2)
-            print(f"[3*] {res}px deterministic predict: {same}")
-            ok &= same
-        return ok
+            same = np.array_equal(p1, p2) and p1.shape == (480, 480)
+            print(f"[3*] {res}px deterministic 480x480 predict: {same}")
+            record("self_consistency", same, resolution=res)
+        return report["ok"], report
 
     tm = vt.vit_small(patch_size=8, num_classes=0)
     tm.blocks = tm.blocks[:model.n_blocks]
@@ -111,9 +160,10 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480),
                 ref_tokens = tm(torch.from_numpy(xin)).numpy()
             our_tokens = np.asarray(vit_forward(
                 model.vit_params, xin.transpose(0, 2, 3, 1), cfg))
-            err = np.abs(our_tokens - ref_tokens).max()
+            err = float(np.abs(our_tokens - ref_tokens).max())
             print(f"[2] {res}px token max|err| = {err:.2e}")
-            ok &= err < 1e-3
+            record("activation_parity", err < 1e-3, resolution=res,
+                   max_abs_err=err)
 
             # argmax maps through the converted head
             from dino_tpu.models.heads import head_apply
@@ -134,8 +184,9 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480),
             mism = int((our_map != ref_map).sum())
             print(f"[3] {res}px argmax label map: "
                   f"{'BIT-IDENTICAL' if mism == 0 else f'{mism} mismatches'}")
-            ok &= mism == 0
-    return ok
+            record("argmax_parity", mism == 0, resolution=res,
+                   mismatches=mism, patches=int(our_map.size))
+    return report["ok"], report
 
 
 def _read_image(path):
@@ -146,14 +197,30 @@ def _read_image(path):
 def main():
     parser = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument("checkpoint", help="torch .ckpt/.pth or native .npz")
+    parser.add_argument("checkpoint", nargs="?", default=None,
+                        help="torch .ckpt/.pth or native .npz; omitted = "
+                             "auto-discover the pretrained artifact")
     parser.add_argument("--resolutions", nargs="+", type=int,
-                        default=[240, 480])
+                        default=[240, 480, 960])
     parser.add_argument("--image", default=None,
                         help="optional real frame for the predict checks")
+    parser.add_argument("--json", default=None,
+                        help="write the JSON verdict to this path")
     args = parser.parse_args()
-    ok = verify_port(args.checkpoint, tuple(args.resolutions), args.image)
+    ckpt = args.checkpoint or discover_artifact()
+    if ckpt is None:
+        verdict = {"checkpoint": None, "ok": False,
+                   "error": "no checkpoint given and no pretrained artifact "
+                            "found (set $DINO_TPU_PRETRAINED)"}
+        print(json.dumps(verdict))
+        sys.exit(2)
+    ok, report = verify_port(ckpt, tuple(args.resolutions), args.image)
+    line = json.dumps(report, sort_keys=True)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(line + "\n")
     print("PASS" if ok else "FAIL")
+    print(line)
     sys.exit(0 if ok else 1)
 
 

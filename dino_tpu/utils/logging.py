@@ -34,9 +34,10 @@ class JSONLLogger:
         self._write({"event": "params", **params})
 
     def log_confusion_matrix(self, cm, title: str, step: int,
-                             labels=None) -> None:
+                             labels=None, file_name=None) -> None:
         self._write({"event": "confusion_matrix", "title": title,
                      "step": step, "labels": list(labels) if labels else None,
+                     "file_name": file_name,
                      "matrix": [list(map(int, row)) for row in cm]})
 
     def log_asset(self, path: str) -> None:
@@ -56,8 +57,16 @@ class CometAdapter:  # pragma: no cover - requires comet_ml + network
     def log_params(self, params):
         self.exp.log_parameters(params)
 
-    def log_confusion_matrix(self, cm, title, step, labels=None):
-        self.exp.log_confusion_matrix(matrix=cm, title=title, labels=labels)
+    def log_confusion_matrix(self, cm, title, step, labels=None,
+                             file_name=None):
+        # the reference logs per-epoch CMs from per-patch probabilities
+        # (pl_torch_modules.py:326-330); Comet derives the same count
+        # matrix from them, so passing our on-device count matrix plus the
+        # per-epoch file_name yields the identical Comet artifact without
+        # hauling every probability to the host
+        self.exp.log_confusion_matrix(
+            matrix=cm, title=title, labels=labels,
+            file_name=file_name or f"{title}_epoch_{step}.json")
 
     def log_asset(self, path):
         self.exp.log_asset(path)

@@ -67,13 +67,19 @@ def has_batchnorms(params: Any) -> bool:
     Functional analog of the reference's module scan (utils.py:646-651); our
     ViT has none, ResNet params carry 'mean'/'var' leaves.
     """
-    found = []
+    def is_bn_dict(node: Any) -> bool:
+        # a BN param group carries BOTH running stats (plus scale/bias);
+        # matching on a lone 'mean'/'var' leaf would false-positive on
+        # optimizer states and metric pytrees
+        return (isinstance(node, dict) and "mean" in node and "var" in node)
 
-    def visit(path, _):
-        name = "/".join(str(p) for p in path).lower()
-        if "running_mean" in name or "running_var" in name or "batchnorm" in \
-                name or name.endswith("mean") or name.endswith("var"):
-            found.append(name)
+    def walk(node: Any) -> bool:
+        if is_bn_dict(node):
+            return True
+        if isinstance(node, dict):
+            return any(walk(v) for v in node.values())
+        if isinstance(node, (list, tuple)):
+            return any(walk(v) for v in node)
+        return False
 
-    jax.tree_util.tree_map_with_path(visit, params)
-    return bool(found)
+    return walk(params)

@@ -39,6 +39,32 @@ def test_quantize_vit_params_structure():
     assert rel < 0.05, rel
 
 
+def test_per_call_precision_override():
+    """predict(x, precision=...) overrides the model default per call; fp32
+    twice gives identical maps regardless of the model's default."""
+    from dino_tpu import DINOSeg
+    m = DINOSeg(backbone="vit", n_blocks=1, head="linear", n_classes=5,
+                random_init=True, seed=1, precision="bf16")
+    m.set_resolution(240)
+    img = np.random.RandomState(1).randint(0, 255, (240, 320, 3), np.uint8)
+    a = m.predict(img, precision="fp32")
+    b = m.predict(img, precision="fp32")
+    np.testing.assert_array_equal(a, b)
+    batch = m.predict_batch(img[None], precision="fp32")
+    np.testing.assert_array_equal(batch[0], a)  # batch-size independent @fp32
+    assert m.predict(img).shape == (480, 480)  # default path still cached
+
+
+def test_has_batchnorms_no_false_positives():
+    from dino_tpu.utils.misc import has_batchnorms
+    # optimizer-state-like pytree with mean/var-suffixed paths but no BN group
+    fake_opt = {"adam": {"running_mean_of_loss": np.zeros(3)},
+                "stats": {"grad_var": np.ones(2)}}
+    assert not has_batchnorms(fake_opt)
+    bn = {"layers": [{"bn1": {"scale": 1, "bias": 0, "mean": 0, "var": 1}}]}
+    assert has_batchnorms(bn)
+
+
 def test_int8_predict_agreement_with_bf16():
     """DINOSeg(precision='int8') label maps mostly agree with bf16 on the
     same inputs (random weights give near-uniform logits — the worst case

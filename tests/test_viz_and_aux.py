@@ -92,9 +92,58 @@ def test_verify_port_cli(tmp_path):
                                      "n_classes": 5, "backbone": "vit"}},
                ckpt)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    vout = str(tmp_path / "verdict.json")
     r = subprocess.run([sys.executable, "-m", "dino_tpu.cli.verify_port",
-                        ckpt, "--resolutions", "240"],
+                        ckpt, "--resolutions", "240", "--json", vout],
                        capture_output=True, text=True, env=env, cwd=REPO,
                        timeout=600)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "BIT-IDENTICAL" in r.stdout and "PASS" in r.stdout
+    import json
+    verdict = json.load(open(vout))
+    assert verdict["ok"] is True
+    stages = {s["stage"] for s in verdict["stages"]}
+    assert {"conversion", "layout_roundtrip", "activation_parity",
+            "argmax_parity"} <= stages
+    assert all(s["ok"] for s in verdict["stages"])
+
+
+def test_verify_port_autodiscovery_missing(tmp_path):
+    """No arg + no artifact anywhere -> clean JSON error, rc 2."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               HOME=str(tmp_path), DINO_TPU_CACHE=str(tmp_path / "cache"))
+    env.pop("DINO_TPU_PRETRAINED", None)
+    r = subprocess.run([sys.executable, "-m", "dino_tpu.cli.verify_port"],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=300)
+    assert r.returncode == 2, r.stdout + r.stderr
+    import json
+    verdict = json.loads(r.stdout.strip().splitlines()[-1])
+    assert verdict["ok"] is False and "error" in verdict
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"),
+                    reason="reference repo not mounted")
+def test_verify_port_backbone_pth_autodiscovered(tmp_path):
+    """A bare backbone .pth in $DINO_TPU_PRETRAINED is discovered and
+    verified (the real-weights-day path, dt_utils.py:23-27 artifact)."""
+    torch = pytest.importorskip("torch")
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from gen_goldens import load_reference_vit
+    vt = load_reference_vit()
+    torch.manual_seed(13)
+    m = vt.vit_small(patch_size=8, num_classes=0)
+    m.blocks = m.blocks[:3]
+    # full-depth artifact: pad blocks back so truncation logic is exercised
+    pth = str(tmp_path / "dino_deitsmall8_300ep_pretrain.pth")
+    torch.save(m.state_dict(), pth)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               DINO_TPU_PRETRAINED=pth,
+               DINO_TPU_CACHE=str(tmp_path / "cache"))
+    r = subprocess.run([sys.executable, "-m", "dino_tpu.cli.verify_port",
+                        "--resolutions", "240"],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "kind=backbone" in r.stdout and "PASS" in r.stdout
+    assert "BIT-IDENTICAL" in r.stdout
