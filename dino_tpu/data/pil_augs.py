@@ -1,5 +1,10 @@
-"""PIL-space augmentations (reference utils.py:36-68: GaussianBlur,
-Solarization) — used by the DINO multi-crop pretraining recipe."""
+"""PIL-space augmentations — used by the DINO multi-crop pretraining recipe.
+
+DERIVED from the reference's GaussianBlur/Solarization transforms
+(dt_segmentation/src/utils.py:36-68, themselves from facebookresearch/dino):
+each is a three-line PIL call whose parameters ARE the behavioral contract,
+so they are kept deliberately identical in effect.
+"""
 from __future__ import annotations
 
 import random

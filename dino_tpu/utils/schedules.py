@@ -1,4 +1,11 @@
-"""Parameter schedules (reference utils.py:187-198 cosine_scheduler parity)."""
+"""Parameter schedules.
+
+``cosine_scheduler`` is DERIVED from the reference's utility of the same name
+(dt_segmentation/src/utils.py:187-198, itself from facebookresearch/dino):
+linear-warmup-then-cosine admits essentially one spelling, and the API
+contract (a per-iteration value array) is the deliverable. Kept intentionally
+output-identical; pinned by tests/test_utils_parity.py.
+"""
 from __future__ import annotations
 
 import numpy as np
