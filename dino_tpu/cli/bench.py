@@ -78,6 +78,31 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lats, 50) * 1000)
 
+    # secondary: unfrozen finetune throughput (the round-2 Pallas flash
+    # backward win: 16 -> ~166 fps); steps chain through the param update
+    train_fps = None
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                         make_train_step)
+        opt = make_optimizer("adam", 1e-5)
+        opt_state = init_opt_state(opt, vit_p, head_p, freeze_backbone=False)
+        step = make_train_step(cfg, "mlp", n_classes, opt,
+                               freeze_backbone=False, donate=False,
+                               compute_dtype=dtype)
+        labels = jax.device_put(rs.randint(
+            0, n_classes, (batch, out_size * out_size)).astype(np.int32))
+        # train batches are square res x res (the loader's output shape)
+        timgs = jax.device_put(
+            rs.randint(0, 255, (batch, res, res, 3)).astype(np.uint8))
+        vp, hp, st = vit_p, head_p, opt_state
+        out = step(vp, hp, st, timgs, labels)
+        np.asarray(out[3])  # compile+warm
+        t0 = time.perf_counter()
+        for _ in range(8):
+            vp, hp, st, loss, _ = step(vp, hp, st, timgs, labels)
+        np.asarray(loss)
+        train_fps = batch * 8 / (time.perf_counter() - t0)
+
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", "..", "bench_baseline.json")
     baseline_fps = None
@@ -91,6 +116,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "p50_predict_latency_ms": round(p50_ms, 2),
+        "unfrozen_train_fps": round(train_fps, 1) if train_fps else None,
         "batch": batch,
         "backend": jax.default_backend(),
     }
