@@ -9,9 +9,11 @@ a DINO-pretrained ResNet-50 cut at
     ConvTranspose2d(1024->512, k=1, s=2, output_padding=1) + ReLU + a 3x3
     Conv(512->512) -> (B, 60, 60, 512)
 
-Layout: NHWC activations, HWIO conv kernels (TPU-native); BatchNorm runs in
-inference mode with folded running stats (the reference never trains BN in
-this pipeline).  The transposed conv is expressed as zero-insertion
+Layout: NHWC activations, HWIO conv kernels (TPU-native).  BatchNorm runs
+inference-mode (folded running stats) for eval/serving and batch-stat mode
+with EMA running updates inside train steps (torch/PL train() semantics;
+see batch_norm_train / update_bn_stats).  The transposed conv is expressed
+as zero-insertion
 upsampling + a 1x1 matmul — exact ConvTranspose2d(k=1,s=2,op=1) semantics,
 and XLA maps it onto the MXU.
 """
@@ -61,6 +63,29 @@ def batch_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x.astype(jnp.float32) * scale + bias).astype(x.dtype)
 
 
+def batch_norm_train(p: Params, x: jnp.ndarray, eps: float = 1e-5,
+                     momentum: float = 0.1):
+    """Train-mode BN: normalize with batch statistics and return the
+    EMA-updated running stats (torch semantics: biased variance normalizes,
+    unbiased variance feeds the running estimate, momentum 0.1).
+
+    Returns (y, {"mean": ..., "var": ...}); the new stats carry
+    stop_gradient (they are state, not a differentiable output).
+    """
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean_b = jnp.mean(xf, axis=axes)
+    var_b = jnp.mean(jnp.square(xf - mean_b), axis=axes)
+    y = ((xf - mean_b) * jax.lax.rsqrt(var_b + eps)
+         * p["scale"].astype(jnp.float32)
+         + p["bias"].astype(jnp.float32)).astype(x.dtype)
+    n = np.prod([x.shape[a] for a in axes])
+    var_unbiased = var_b * (n / max(n - 1, 1))
+    new = {"mean": (1 - momentum) * p["mean"] + momentum * mean_b,
+           "var": (1 - momentum) * p["var"] + momentum * var_unbiased}
+    return y, jax.tree.map(jax.lax.stop_gradient, new)
+
+
 def max_pool(x: jnp.ndarray, window: int = 3, stride: int = 2,
              padding: int = 1) -> jnp.ndarray:
     return jax.lax.reduce_window(
@@ -86,19 +111,23 @@ def conv_transpose_1x1_s2(x: jnp.ndarray, w: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def bottleneck_apply(p: Params, x: jnp.ndarray, stride: int,
-                     relu_on: bool = True) -> jnp.ndarray:
+                     relu_on: bool = True, bn=None) -> jnp.ndarray:
     """torchvision Bottleneck; ``relu_on=False`` replicates the reference's
-    relu->Identity swap (all three activation sites off in that block)."""
+    relu->Identity swap (all three activation sites off in that block).
+    ``bn(params, x, path)``-style callables let the train-mode forward
+    collect updated running stats."""
+    if bn is None:
+        bn = lambda p_, x_, path: batch_norm(p_, x_)
     act = jax.nn.relu if relu_on else (lambda y: y)
     identity = x
-    out = act(batch_norm(p["bn1"], conv2d(x, p["conv1"])))
-    out = act(batch_norm(p["bn2"], conv2d(out, p["conv2"], stride=stride,
-                                          padding=1)))
-    out = batch_norm(p["bn3"], conv2d(out, p["conv3"]))
+    out = act(bn(p["bn1"], conv2d(x, p["conv1"]), "bn1"))
+    out = act(bn(p["bn2"], conv2d(out, p["conv2"], stride=stride,
+                                  padding=1), "bn2"))
+    out = bn(p["bn3"], conv2d(out, p["conv3"]), "bn3")
     if "downsample" in p:
-        identity = batch_norm(p["downsample"]["bn"],
-                              conv2d(x, p["downsample"]["conv"],
-                                     stride=stride))
+        identity = bn(p["downsample"]["bn"],
+                      conv2d(x, p["downsample"]["conv"], stride=stride),
+                      "downsample/bn")
     return act(out + identity)
 
 
@@ -163,24 +192,65 @@ def init_resnet_params(key, variant: str = "cnn1") -> Params:
 
 
 def resnet_backbone_apply(params: Params, x: jnp.ndarray,
-                          variant: str = "cnn1") -> jnp.ndarray:
-    """(B, H, W, 3) normalized image -> (B, H/8, W/8, 512) patch features."""
-    x = jax.nn.relu(batch_norm(params["bn1"], conv2d(x, params["conv1"],
-                                                     stride=2, padding=3)))
+                          variant: str = "cnn1",
+                          bn_collect: Dict[str, Any] = None) -> jnp.ndarray:
+    """(B, H, W, 3) normalized image -> (B, H/8, W/8, 512) patch features.
+
+    Passing a dict as ``bn_collect`` switches BatchNorm to train mode (batch
+    statistics normalize, like the reference under PL's train() — even with
+    requires_grad off) and fills the dict with path-keyed updated running
+    stats; fold them back with ``update_bn_stats``."""
+    if bn_collect is None:
+        bn = lambda p_, x_, path: batch_norm(p_, x_)
+    else:
+        def bn(p_, x_, path):
+            y, new = batch_norm_train(p_, x_)
+            bn_collect[path] = new
+            return y
+    x = jax.nn.relu(bn(params["bn1"], conv2d(x, params["conv1"],
+                                             stride=2, padding=3), "bn1"))
     x = max_pool(x)
     n_stages = len(params["layers"])
     for si, stage in enumerate(params["layers"]):
         stride = _STAGES[si][3]
         for bi, block in enumerate(stage):
             last_block = (si == n_stages - 1 and bi == len(stage) - 1)
-            x = bottleneck_apply(block, x, stride if bi == 0 else 1,
-                                 relu_on=not last_block)
+            prefix = f"layers/{si}/{bi}/"
+            x = bottleneck_apply(
+                block, x, stride if bi == 0 else 1,
+                relu_on=not last_block,
+                bn=lambda p_, x_, path, _pre=prefix: bn(p_, x_, _pre + path))
     if variant == "cnn2":
         x = jax.nn.relu(conv_transpose_1x1_s2(
             x, params["upconv"]["kernel"], params["upconv"]["bias"]))
         x = conv2d(x, params["conv"]["kernel"], padding=1) + \
             params["conv"]["bias"].astype(x.dtype)
     return x
+
+
+def update_bn_stats(params: Params, bn_collect: Dict[str, Any]) -> Params:
+    """Fold path-keyed running-stat updates (from a train-mode forward) back
+    into the param pytree, leaving scale/bias untouched."""
+    def rebuild(node):  # fresh containers, shared (possibly traced) leaves
+        if isinstance(node, dict):
+            return {k: rebuild(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [rebuild(v) for v in node]
+        return node
+
+    out = rebuild(params)
+
+    def node_at(path: str):
+        parts = path.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node[int(p)] if p.isdigit() else node[p]
+        return node, parts[-1]
+
+    for path, stats in bn_collect.items():
+        parent, leaf = node_at(path)
+        parent[leaf] = dict(parent[leaf], **stats)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -48,7 +48,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 use_flash: bool = True,
                 compute_dtype: Optional[jnp.dtype] = None,
                 backbone: str = "vit",
-                remat: bool = False) -> jnp.ndarray:
+                remat: bool = False,
+                bn_collect=None) -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
@@ -69,7 +70,10 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                              remat=remat)
         feats = tokens[:, 1:, :]
     else:  # cnn1/cnn2 ResNet-50 feature maps, (B, H/8, W/8, C) row-major
-        feats = resnet_backbone_apply(vit_params, x, variant=backbone)
+        # bn_collect switches BatchNorm to train mode and collects the
+        # updated running stats (reference PL train() semantics)
+        feats = resnet_backbone_apply(vit_params, x, variant=backbone,
+                                      bn_collect=bn_collect)
     feats = feats.reshape(-1, feats.shape[-1])
     return head_apply(head_type, head_params, feats)
 
@@ -105,9 +109,10 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         # gets large (big batch x long sequence, e.g. 960px batch 16).
         n_tokens = images.shape[0] * (images.shape[1] // cfg.patch_size) ** 2
         remat = (not freeze_backbone) and n_tokens > 200_000
+        bn_collect = {} if backbone != "vit" else None
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
                            compute_dtype=compute_dtype, backbone=backbone,
-                           remat=remat)
+                           remat=remat, bn_collect=bn_collect)
         y = labels.reshape(-1)
         # per-sample mask -> per-patch weights (ragged tail batches are padded
         # to the static batch size; padding must not touch loss/grads/CM —
@@ -117,7 +122,8 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                              y.shape[0] // mask.shape[0]))
         loss = nll_loss(logp, y, w)
         preds = jnp.argmax(logp, axis=-1)
-        return loss, confusion_matrix(preds, y, n_classes, weights=w)
+        return loss, (confusion_matrix(preds, y, n_classes, weights=w),
+                      bn_collect)
 
     def step(vit_p, head_p, opt_state, images, labels, mask=None):
         if freeze_backbone:
@@ -126,12 +132,19 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         else:
             trainable = {"head": head_p, "vit": vit_p}
             static_vit = None
-        (loss, cm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, static_vit, images, labels, mask)
+        (loss, (cm, bn_collect)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, static_vit, images, labels,
+                                   mask)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         new_head = trainable["head"]
         new_vit = vit_p if freeze_backbone else trainable["vit"]
+        if bn_collect:
+            # cnn backbones: fold the train-mode BN running-stat updates
+            # back in (they update even when the backbone is frozen, like
+            # the reference under PL train())
+            from dino_tpu.models.resnet import update_bn_stats
+            new_vit = update_bn_stats(new_vit, bn_collect)
         return new_vit, new_head, opt_state, loss, cm
 
     donate_args = (0, 1, 2) if donate else ()

@@ -133,3 +133,64 @@ def test_dinoseg_cnn_end_to_end():
         pred = m.predict(img)
         assert pred.shape == (480, 480)
         assert pred.max() < 5
+
+
+def test_batch_norm_train_matches_torch():
+    """Train-mode BN (batch stats + EMA running update) == torch semantics."""
+    from dino_tpu.models.resnet import batch_norm_train
+    rs = np.random.RandomState(0)
+    x = rs.randn(4, 6, 5, 3).astype(np.float32)  # NHWC
+    p = {"scale": jnp.asarray(rs.rand(3).astype(np.float32) + 0.5),
+         "bias": jnp.asarray(rs.randn(3).astype(np.float32)),
+         "mean": jnp.asarray(rs.randn(3).astype(np.float32)),
+         "var": jnp.asarray(rs.rand(3).astype(np.float32) + 0.5)}
+    y, new = batch_norm_train(p, jnp.asarray(x))
+
+    bn = torch.nn.BatchNorm2d(3, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+        bn.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+        bn.running_mean.copy_(torch.from_numpy(np.asarray(p["mean"])))
+        bn.running_var.copy_(torch.from_numpy(np.asarray(p["var"])))
+    bn.train()
+    with torch.no_grad():
+        ty = bn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(y),
+                               ty.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new["mean"]),
+                               bn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new["var"]),
+                               bn.running_var.numpy(), atol=1e-5)
+
+
+def test_cnn_train_step_updates_running_stats():
+    """A train step on a cnn backbone updates BN running stats (even frozen,
+    matching PL train() semantics) while frozen convs stay fixed."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.models.vit import ViTConfig
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+    cfg = ViTConfig(patch_size=8)
+    vit_p = init_resnet_params(jax.random.PRNGKey(0), "cnn1")
+    head_p = init_head(jax.random.PRNGKey(1), "linear", 3, 512)
+    opt = make_optimizer("adam", 1e-3)
+    st = init_opt_state(opt, vit_p, head_p, freeze_backbone=True)
+    step = make_train_step(cfg, "linear", 3, opt, freeze_backbone=True,
+                           donate=False, backbone="cnn1")
+    rs = np.random.RandomState(0)
+    imgs = jnp.asarray(rs.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8))
+    labels = jnp.asarray(rs.randint(0, 3, (2, 64)).astype(np.int32))
+    new_vit, new_head, st, loss, cm = step(vit_p, head_p, st, imgs, labels)
+    assert np.isfinite(float(loss))
+    # running stats moved...
+    assert not np.allclose(np.asarray(new_vit["bn1"]["mean"]),
+                           np.asarray(vit_p["bn1"]["mean"]))
+    assert not np.allclose(
+        np.asarray(new_vit["layers"][1][0]["bn3"]["var"]),
+        np.asarray(vit_p["layers"][1][0]["bn3"]["var"]))
+    # ...but frozen weights did not
+    np.testing.assert_array_equal(np.asarray(new_vit["conv1"]),
+                                  np.asarray(vit_p["conv1"]))
+    np.testing.assert_array_equal(np.asarray(new_vit["bn1"]["scale"]),
+                                  np.asarray(vit_p["bn1"]["scale"]))
