@@ -127,6 +127,91 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
+def _flash_kernel_dyn(nmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      scale: float, block_k: int):
+    """Resident flash kernel with a *dynamic* valid-K bound (scalar-prefetch).
+
+    Ring attention's per-hop shards have a traced number of valid keys (the
+    global padding lives in whichever shard is currently held), so the mask
+    bound cannot be baked in at trace time like the single-chip kernels'.
+    Every chunk masks against the bound; costs one iota+select per chunk.
+    """
+    bound = nmask_ref[0]
+    qb = q_ref[0]
+    nk = k_ref.shape[1] // block_k
+
+    def s_of(i):
+        kb = k_ref[0, pl.ds(i * block_k, block_k), :]
+        return jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32) * scale
+
+    block_q, hd = qb.shape
+    m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, hd), jnp.float32)
+    s_next = s_of(0)
+    for i in range(nk):
+        s = s_next
+        if i + 1 < nk:
+            s_next = s_of(i + 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_k
+        s = jnp.where(col < bound, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_ref[0, pl.ds(i * block_k, block_k), :]
+        acc = acc * alpha + jnp.dot(p.astype(vb.dtype), vb,
+                                    preferred_element_type=jnp.float32)
+        m = m_new
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
+
+
+def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
+                                 interpret: bool = False):
+    """Resident flash attention with a traced valid-K bound.
+
+    q: (B, nh, Nq, hd); k/v: (B, nh, Nk, hd); valid_k: traced int32 scalar —
+    keys at positions >= valid_k are masked out.  Returns
+    (out (B,nh,Nq,hd), lse (B*nh, Nq_padded, 1) f32).  K/V must fit the VMEM
+    residency budget (ring shards are small by construction).
+    """
+    b, nh, n, hd = q.shape
+    n_k = k.shape[2]
+    block_q = _q_block(n)
+    block_k = _k_block(n_k)
+    qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
+    kf = _pad_to(k.reshape(b * nh, n_k, hd), 1, block_k)
+    vf = _pad_to(v.reshape(b * nh, n_k, hd), 1, block_k)
+    npq = qf.shape[1]
+
+    if pltpu is None and not interpret:  # pragma: no cover
+        raise RuntimeError("pallas TPU backend unavailable")
+    # index maps receive the scalar-prefetch ref as a trailing argument
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * nh, npq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq, nm: (bh, 0, 0)),
+            pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq, nm: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, nm: (bh, iq, 0)),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel_dyn, scale=scale, block_k=block_k),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b * nh, npq, hd), q.dtype),
+                   jax.ShapeDtypeStruct((b * nh, npq, 1), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(valid_k, jnp.int32).reshape(1), qf, kf, vf)
+    return out[:, :n, :].reshape(b, nh, n, hd), lse
+
+
 def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
     n = x.shape[axis]
     pad = (-n) % mult

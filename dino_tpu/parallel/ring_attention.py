@@ -67,16 +67,67 @@ def ring_self_attention(q, k, v, scale: float, n_real: int, axis_name: str):
     return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
 
 
+def ring_self_attention_flash(q, k, v, scale: float, n_real: int,
+                              axis_name: str, interpret: bool = False):
+    """Ring attention with the Pallas flash kernel per hop.
+
+    Each hop runs the resident flash kernel on the local Q shard against the
+    currently-held K/V shard (dynamic valid-key bound — the global padding
+    lives in whichever shard is in hand), returning a normalized partial and
+    its row log-sum-exp; partials merge online across hops exactly like the
+    single-chip resident-split path.  Shard-local memory never holds an
+    (N_local, N_local) score matrix, and each hop's QK^T runs at the flash
+    kernel's MXU/VPU overlap instead of an XLA einsum+softmax.
+    """
+    from dino_tpu.ops.attention import flash_attention_with_lse_dyn
+
+    d = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = q.shape[2]
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    b, nh, _, hd = q.shape
+
+    def body(carry, step):
+        m, l, acc, k_cur, v_cur = carry
+        src = (my - step) % d                    # whose K/V we hold
+        valid = jnp.clip(n_real - src * n_local, 0, n_local)
+        o_h, lse_h = flash_attention_with_lse_dyn(q, k_cur, v_cur, scale,
+                                                  valid, interpret=interpret)
+        lse_h = lse_h[:, :n_local, :].reshape(b, nh, n_local, 1)
+        # online merge of normalized partials keyed by their lse
+        m_new = jnp.maximum(m, lse_h)
+        r_old = jnp.exp(m - m_new)
+        r_new = jnp.exp(lse_h - m_new)
+        acc = acc * r_old + o_h.astype(jnp.float32) * r_new
+        l = l * r_old + r_new
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        return (m_new, l, acc, k_next, v_next), None
+
+    init = (jnp.full((b, nh, n_local, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((b, nh, n_local, 1), jnp.float32),
+            jnp.zeros((b, nh, n_local, hd), jnp.float32), k, v)
+    (m, l, acc, _, _), _ = jax.lax.scan(body, init, jnp.arange(d))
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+
+
 def _block_seq_parallel(p: Params, tokens, cfg: ViTConfig, n_real: int,
-                        axis_name: str):
+                        axis_name: str, flash: str = "auto"):
     """One transformer block on a token shard; only attention communicates."""
     h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
     b, n_local, c = h.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = dense(p["attn"]["qkv"], h).reshape(b, n_local, 3, nh, hd)
     qkv = qkv.transpose(2, 0, 3, 1, 4)
-    out = ring_self_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real,
-                              axis_name)
+    use_flash = (flash == "force" or
+                 (flash == "auto" and jax.default_backend() == "tpu"))
+    if use_flash:
+        out = ring_self_attention_flash(
+            qkv[0], qkv[1], qkv[2], cfg.scale, n_real, axis_name,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        out = ring_self_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real,
+                                  axis_name)
     out = out.transpose(0, 2, 1, 3).reshape(b, n_local, c)
     tokens = tokens + dense(p["attn"]["proj"], out)
     h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
@@ -87,12 +138,14 @@ def _block_seq_parallel(p: Params, tokens, cfg: ViTConfig, n_real: int,
 
 
 def vit_forward_seq_parallel(params: Params, x, cfg: ViTConfig, mesh: Mesh,
-                             seq_axis: str = "data") -> jnp.ndarray:
+                             seq_axis: str = "data",
+                             flash: str = "auto") -> jnp.ndarray:
     """Full ViT forward with the token axis sharded over ``seq_axis``.
 
     x: (B, H, W, 3) normalized image (replicated).  Returns the normed tokens
     (B, N+1, D), gathered.  Numerically matches vit_forward up to reduction
-    order.
+    order.  ``flash``: 'auto' (Pallas kernel per hop on TPU, XLA elsewhere),
+    'force' (kernel everywhere, interpret mode off-TPU), or 'off'.
     """
     d = mesh.shape[seq_axis]
     tokens = prepare_tokens(params, x, cfg)   # (B, N+1, D), replicated
@@ -111,7 +164,7 @@ def vit_forward_seq_parallel(params: Params, x, cfg: ViTConfig, mesh: Mesh,
     def run(tok_shard, blocks, norm):
         for blk in blocks:
             tok_shard = _block_seq_parallel(blk, tok_shard, cfg, n_real,
-                                            seq_axis)
+                                            seq_axis, flash=flash)
         return layer_norm(norm, tok_shard, cfg.ln_eps)
 
     out = run(tokens, params["blocks"], params["norm"])
