@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Self-supervised DINO pretraining CLI (main_dino-style recipe on TPU).
+
+Pretrains a ViT backbone on an unlabeled image folder with the
+student/teacher multi-crop recipe, then saves the backbone as a converted
+npz that `DINOSeg(pretrained_path=...)` / the acquisition cache consume
+directly — the in-framework alternative to downloading
+dino_deitsmall8_300ep_pretrain.pth.
+
+Usage:
+    dt-pretrain-dino --data_path images/ --write_path out/ --epochs 10 \
+        --batch_size 16 --arch vit_small --patch_size 8
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--data_path", required=True,
+                    help="folder of .jpg/.png images (recursively)")
+    ap.add_argument("--write_path", default="./dino_pretrain")
+    ap.add_argument("--arch", default="vit_small",
+                    choices=["vit_tiny", "vit_small", "vit_base"])
+    ap.add_argument("--patch_size", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override block count (e.g. small smoke runs)")
+    ap.add_argument("--out_dim", type=int, default=65536)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--warmup_epochs", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--n_local_crops", type=int, default=8)
+    ap.add_argument("--global_size", type=int, default=224)
+    ap.add_argument("--local_size", type=int, default=96)
+    ap.add_argument("--teacher_temp", type=float, default=0.04)
+    ap.add_argument("--warmup_teacher_temp_epochs", type=int, default=0)
+    ap.add_argument("--momentum_teacher", type=float, default=0.996)
+    ap.add_argument("--freeze_last_layer", type=int, default=1,
+                    help="epochs with the last-layer gradient cancelled")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dino_tpu import models
+    from dino_tpu.checkpointing.io import flatten_params
+    from dino_tpu.models import vit as vit_mod
+    from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.dino_pretrain import (DinoConfig, dino_multi_crop,
+                                              dino_schedules,
+                                              init_dino_opt_state,
+                                              init_dino_params,
+                                              make_dino_train_step)
+
+    files = sorted(
+        glob.glob(os.path.join(args.data_path, "**", "*.jpg"),
+                  recursive=True)
+        + glob.glob(os.path.join(args.data_path, "**", "*.png"),
+                    recursive=True))
+    if not files:
+        raise FileNotFoundError(f"no images under {args.data_path}")
+    os.makedirs(args.write_path, exist_ok=True)
+
+    vit_cfg = getattr(vit_mod, args.arch)(patch_size=args.patch_size)
+    dino_cfg = DinoConfig(out_dim=args.out_dim,
+                          n_local_crops=args.n_local_crops,
+                          global_size=args.global_size,
+                          local_size=args.local_size)
+    student, teacher = init_dino_params(jax.random.PRNGKey(args.seed),
+                                        vit_cfg, dino_cfg, depth=args.depth)
+    opt = optax.inject_hyperparams(optax.adamw)(
+        learning_rate=args.lr, weight_decay=0.04)
+    opt_state = init_dino_opt_state(opt, student)
+    step = make_dino_train_step(vit_cfg, dino_cfg, opt)
+    center = jnp.zeros((1, dino_cfg.out_dim), jnp.float32)
+
+    niter = max(1, len(files) // args.batch_size)
+    lr_s, wd_s, mom_s, tt_s = dino_schedules(
+        args.lr, args.epochs, niter, warmup_epochs=args.warmup_epochs,
+        momentum_base=args.momentum_teacher,
+        teacher_temp=args.teacher_temp,
+        warmup_teacher_temp_epochs=args.warmup_teacher_temp_epochs)
+
+    from PIL import Image
+    rng = np.random.default_rng(args.seed)
+    it = 0
+    for epoch in range(args.epochs):
+        order = rng.permutation(len(files))
+        t0 = time.time()
+        losses = []
+        for start in range(0, niter * args.batch_size, args.batch_size):
+            idx = order[start:start + args.batch_size]
+            gs, ls = [], []
+            for i in idx:
+                img = np.array(Image.open(files[i]).convert("RGB"))
+                g, l = dino_multi_crop(rng, img, dino_cfg)
+                gs.append(g)
+                ls.append(l)
+            g_crops = np.stack(
+                [np.stack([g[c] for g in gs]) for c in range(2)])
+            l_crops = np.stack(
+                [np.stack([l[c] for l in ls])
+                 for c in range(dino_cfg.n_local_crops)])
+            g_crops = np.asarray(
+                normalize_imagenet(jnp.asarray(g_crops.reshape(
+                    (-1,) + g_crops.shape[2:])))).reshape(
+                        g_crops.shape[:2] + g_crops.shape[2:])
+            l_crops = np.asarray(
+                normalize_imagenet(jnp.asarray(l_crops.reshape(
+                    (-1,) + l_crops.shape[2:])))).reshape(
+                        l_crops.shape[:2] + l_crops.shape[2:])
+            opt_state.hyperparams["learning_rate"] = jnp.float32(lr_s[it])
+            opt_state.hyperparams["weight_decay"] = jnp.float32(wd_s[it])
+            student, teacher, center, opt_state, loss = step(
+                student, teacher, center, opt_state, jnp.asarray(g_crops),
+                jnp.asarray(l_crops), jnp.float32(tt_s[it]),
+                jnp.float32(mom_s[it]),
+                jnp.float32(1.0 if epoch < args.freeze_last_layer else 0.0))
+            losses.append(float(loss))
+            it += 1
+        print(f"[epoch {epoch}] dino_loss={np.mean(losses):.4f} "
+              f"lr={lr_s[it-1]:.2e} m={mom_s[it-1]:.4f} "
+              f"({time.time()-t0:.1f}s)")
+
+    # save the TEACHER backbone (the better model, per the paper) in the
+    # converted-npz layout the rest of the framework loads directly
+    out = os.path.join(args.write_path, "dino_pretrained_backbone.npz")
+    np.savez(out, **flatten_params(teacher["vit"]))
+    print(f"saved backbone -> {out}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

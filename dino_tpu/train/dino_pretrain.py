@@ -1,0 +1,298 @@
+"""DINO self-supervised pretraining, TPU-native.
+
+The reference repo carries the DINO pretraining *components* — DINOHead,
+MultiCropWrapper, LARS, cosine schedules, per-param clipping, the PIL
+GaussianBlur/Solarization augs (vision_transformer.py:314-348,
+utils.py:36-68,187-198,553-629) — but not the training loop that uses them
+(they are dormant imports from facebookresearch/dino).  This module activates
+that layer into a working recipe so backbones can be pretrained on TPU
+instead of downloaded:
+
+  student/teacher ViT + DINOHead; the teacher is an EMA of the student
+  (momentum cosine-ramped to 1), its outputs sharpened with a low
+  temperature and debiased with an EMA center; the student learns to match
+  the teacher's distributions across multi-crop views (2 global + N local),
+  excluding same-view pairs.
+
+Everything compiles into one jitted step; schedules (lr, weight decay,
+teacher temperature, EMA momentum) are traced scalars so one program serves
+the whole run.  Multi-crop augmentation runs on the host (cv2 primitives,
+same determinism contract as the segmentation pipeline: all randomness from
+a numpy Generator).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dino_tpu.models.dino_head import (dino_head_apply, init_dino_head,
+                                       multi_crop_forward)
+from dino_tpu.models.vit import ViTConfig, init_vit_params, vit_forward
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoConfig:
+    out_dim: int = 65536
+    student_temp: float = 0.1
+    center_momentum: float = 0.9
+    n_local_crops: int = 8
+    global_size: int = 224
+    local_size: int = 96
+    norm_last_layer: bool = True
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+
+
+def init_dino_params(key, vit_cfg: ViTConfig, dino_cfg: DinoConfig,
+                     depth: Optional[int] = None) -> Tuple[Params, Params]:
+    """(student, teacher) — teacher starts as a copy of the student
+    (facebookresearch/dino initializes teacher.load_state_dict(student))."""
+    kv, kh = jax.random.split(key)
+    student = {
+        "vit": init_vit_params(kv, vit_cfg, depth=depth),
+        "head": init_dino_head(kh, vit_cfg.embed_dim, dino_cfg.out_dim,
+                               norm_last_layer=dino_cfg.norm_last_layer,
+                               hidden_dim=dino_cfg.hidden_dim,
+                               bottleneck_dim=dino_cfg.bottleneck_dim),
+    }
+    teacher = jax.tree.map(lambda x: x, student)
+    return student, teacher
+
+
+def dino_loss(student_out: jnp.ndarray, teacher_out: jnp.ndarray,
+              center: jnp.ndarray, student_temp: float,
+              teacher_temp: jnp.ndarray, n_crops: int,
+              n_global: int = 2) -> jnp.ndarray:
+    """Cross-entropy between centered/sharpened teacher distributions (global
+    views) and student log-probs (all views), same-view pairs excluded.
+
+    student_out: (n_crops*B, K); teacher_out: (n_global*B, K).
+    """
+    b = student_out.shape[0] // n_crops
+    s = jax.nn.log_softmax(
+        (student_out / student_temp).astype(jnp.float32), axis=-1)
+    s = s.reshape(n_crops, b, -1)
+    t = jax.nn.softmax(
+        ((teacher_out - center) / teacher_temp).astype(jnp.float32), axis=-1)
+    t = jax.lax.stop_gradient(t.reshape(n_global, b, -1))
+
+    total, n_terms = 0.0, 0
+    for iq in range(n_global):
+        for v in range(n_crops):
+            if v == iq:
+                continue  # skip same-view pairs (main_dino semantics)
+            total = total + jnp.mean(jnp.sum(-t[iq] * s[v], axis=-1))
+            n_terms += 1
+    return total / n_terms
+
+
+def update_center(center: jnp.ndarray, teacher_out: jnp.ndarray,
+                  momentum: float) -> jnp.ndarray:
+    """EMA of the teacher's batch mean (the anti-collapse centering);
+    multi-host runs would psum the batch mean first."""
+    batch_center = jnp.mean(teacher_out.astype(jnp.float32), axis=0,
+                            keepdims=True)
+    return center * momentum + batch_center * (1.0 - momentum)
+
+
+def ema_update(teacher: Params, student: Params, momentum) -> Params:
+    """teacher <- m * teacher + (1 - m) * student, leaf-wise."""
+    return jax.tree.map(
+        lambda t, s: (t * momentum + s.astype(jnp.float32) * (1 - momentum)
+                      ).astype(t.dtype) if jnp.issubdtype(
+                          jnp.asarray(t).dtype, jnp.floating) else t,
+        teacher, student)
+
+
+def _forward(params: Params, crops, vit_cfg: ViTConfig,
+             compute_dtype=None) -> jnp.ndarray:
+    def backbone(batch):
+        x = batch.astype(compute_dtype) if compute_dtype is not None else batch
+        return vit_forward(params["vit"], x, vit_cfg, all_tokens=False)
+
+    return multi_crop_forward(backbone,
+                              lambda f: dino_head_apply(params["head"], f),
+                              crops)
+
+
+def init_dino_opt_state(optimizer: optax.GradientTransformation,
+                        student: Params):
+    """Optimizer state over the differentiable leaves (head _meta stripped)."""
+    head = dict(student["head"])
+    head.pop("_meta")
+    return optimizer.init({"vit": student["vit"], "head": head})
+
+
+def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
+                         optimizer: optax.GradientTransformation,
+                         compute_dtype=None, clip: float = 3.0) -> Callable:
+    """Jitted step(student, teacher, center, opt_state, global_crops,
+    local_crops, teacher_temp, ema_momentum, freeze_last) ->
+    (student, teacher, center, opt_state, loss).
+
+    ``freeze_last`` (0/1) zeroes the last-layer gradient — the reference
+    recipe's freeze_last_layer epoch gate.  Per-parameter gradient clipping
+    matches utils.clip_gradients.
+    """
+    n_crops = 2 + dino_cfg.n_local_crops
+    # the head's "_meta" (python bool/int flags) is STATIC configuration:
+    # it stays outside the jitted step (bool tracers would break
+    # dino_head_apply's norm_last_layer branch and grad's dtype rules)
+    static_meta = {"norm_last_layer": dino_cfg.norm_last_layer, "nlayers": 3}
+
+    def _split(params):
+        head = dict(params["head"])
+        meta = head.pop("_meta")
+        return {"vit": params["vit"], "head": head}, meta
+
+    def _join(nometa, meta):
+        head = dict(nometa["head"], _meta=meta)
+        return {"vit": nometa["vit"], "head": head}
+
+    def loss_fn(s_p, t_p, center, g_crops, l_crops, teacher_temp):
+        crops = ([g_crops[i] for i in range(2)]
+                 + [l_crops[i] for i in range(l_crops.shape[0])])
+        s_out = _forward(_join(s_p, static_meta), crops, vit_cfg,
+                         compute_dtype)
+        t_out = _forward(_join(t_p, static_meta), [g_crops[0], g_crops[1]],
+                         vit_cfg, compute_dtype)
+        t_out = jax.lax.stop_gradient(t_out)
+        loss = dino_loss(s_out, t_out, center, dino_cfg.student_temp,
+                         teacher_temp, n_crops)
+        return loss, t_out
+
+    @jax.jit
+    def step_impl(s_p, t_p, center, opt_state, g_crops, l_crops,
+                  teacher_temp, ema_momentum, freeze_last):
+        (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            s_p, t_p, center, g_crops, l_crops, teacher_temp)
+        # per-parameter clip (reference utils.py:132-141 semantics)
+        grads = jax.tree.map(
+            lambda g: g * jnp.minimum(
+                1.0, clip / (jnp.linalg.norm(g.astype(jnp.float32)) + 1e-6)),
+            grads)
+        # cancel_gradients_last_layer: freeze the prototype directions early
+        grads["head"]["last_layer"] = jax.tree.map(
+            lambda g: g * (1.0 - freeze_last), grads["head"]["last_layer"])
+        updates, opt_state = optimizer.update(grads, opt_state, s_p)
+        s_p = optax.apply_updates(s_p, updates)
+        t_p = ema_update(t_p, s_p, ema_momentum)
+        center = update_center(center, t_out, dino_cfg.center_momentum)
+        return s_p, t_p, center, opt_state, loss
+
+    def step(student, teacher, center, opt_state, g_crops, l_crops,
+             teacher_temp, ema_momentum, freeze_last):
+        s_p, s_meta = _split(student)
+        t_p, t_meta = _split(teacher)
+        s_p, t_p, center, opt_state, loss = step_impl(
+            s_p, t_p, center, opt_state, g_crops, l_crops, teacher_temp,
+            ema_momentum, freeze_last)
+        return (_join(s_p, s_meta), _join(t_p, t_meta), center, opt_state,
+                loss)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Host-side multi-crop augmentation (DataAugmentationDINO semantics; the
+# PIL GaussianBlur/Solarization components live in data/pil_augs.py — this is
+# the cv2/numpy batch pipeline with the same distributions)
+# ---------------------------------------------------------------------------
+
+def _rrc(rng: np.random.Generator, img: np.ndarray, size: int, scale):
+    import cv2
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(10):
+        ta = area * rng.uniform(*scale)
+        aspect = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+        cw = int(round(np.sqrt(ta * aspect)))
+        ch = int(round(np.sqrt(ta / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            x0 = int(rng.integers(0, w - cw + 1))
+            y0 = int(rng.integers(0, h - ch + 1))
+            crop = img[y0:y0 + ch, x0:x0 + cw]
+            return cv2.resize(crop, (size, size),
+                              interpolation=cv2.INTER_CUBIC)
+    return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+
+
+def _photometric(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    import cv2
+    from dino_tpu.data.augment import _apply_jitter
+    if rng.random() < 0.8:  # ColorJitter(.4,.4,.2,.1)
+        factors = (rng.uniform(0.6, 1.4), rng.uniform(0.6, 1.4),
+                   rng.uniform(0.8, 1.2), rng.uniform(-0.1, 0.1))
+        img = _apply_jitter(img, rng.permutation(4), factors)
+    if rng.random() < 0.2:  # RandomGrayscale
+        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        img = np.repeat(g[..., None], 3, axis=-1)
+    return img
+
+
+def _blur(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
+    import cv2
+    radius = rng.uniform(0.1, 2.0)  # pil_augs.GaussianBlur radius range
+    k = max(3, int(radius * 4) | 1)
+    return cv2.GaussianBlur(img, (k, k), sigmaX=radius)
+
+
+def dino_multi_crop(rng: np.random.Generator, img: np.ndarray,
+                    cfg: DinoConfig):
+    """One image -> (2 global crops, n_local local crops), uint8 HWC.
+
+    Distributions follow DataAugmentationDINO: global RandomResizedCrop
+    scale (0.4, 1), local (0.05, 0.4); flip .5; jitter .8 / grayscale .2;
+    blur p=1.0 / 0.1 / 0.5 for global1/global2/locals is simplified to
+    (1.0, 0.1) globals and 0.5 locals; solarization .2 on global 2.
+    """
+    def base(size, scale):
+        out = _rrc(rng, img, size, scale)
+        if rng.random() < 0.5:
+            out = out[:, ::-1].copy()
+        return _photometric(rng, out)
+
+    g1 = base(cfg.global_size, (0.4, 1.0))
+    g1 = _blur(rng, g1)  # p = 1.0
+    g2 = base(cfg.global_size, (0.4, 1.0))
+    if rng.random() < 0.1:
+        g2 = _blur(rng, g2)
+    if rng.random() < 0.2:  # Solarization
+        g2 = np.where(g2 >= 128, 255 - g2.astype(np.int16), g2).astype(
+            np.uint8)
+    locals_ = []
+    for _ in range(cfg.n_local_crops):
+        lc = base(cfg.local_size, (0.05, 0.4))
+        if rng.random() < 0.5:
+            lc = _blur(rng, lc)
+        locals_.append(lc)
+    return [g1, g2], locals_
+
+
+def dino_schedules(base_lr: float, epochs: int, niter_per_ep: int,
+                   warmup_epochs: int = 10, final_lr: float = 1e-6,
+                   momentum_base: float = 0.996,
+                   teacher_temp: float = 0.04,
+                   warmup_teacher_temp: float = 0.04,
+                   warmup_teacher_temp_epochs: int = 0,
+                   wd_base: float = 0.04, wd_final: float = 0.4):
+    """The four schedules of the DINO recipe as per-iteration arrays
+    (cosine_scheduler is the reference utility)."""
+    from dino_tpu.utils.schedules import cosine_scheduler
+    lr = cosine_scheduler(base_lr, final_lr, epochs, niter_per_ep,
+                          warmup_epochs=min(warmup_epochs, epochs))
+    wd = cosine_scheduler(wd_base, wd_final, epochs, niter_per_ep)
+    momentum = cosine_scheduler(momentum_base, 1.0, epochs, niter_per_ep)
+    warm = np.linspace(warmup_teacher_temp, teacher_temp,
+                       warmup_teacher_temp_epochs * niter_per_ep)
+    rest = np.full(max(0, (epochs - warmup_teacher_temp_epochs)
+                       * niter_per_ep), teacher_temp)
+    t_temp = np.concatenate([warm, rest])[:epochs * niter_per_ep]
+    return lr, wd, momentum, t_temp

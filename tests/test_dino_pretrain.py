@@ -1,0 +1,131 @@
+"""DINO self-supervised pretraining: loss math, EMA/centering, end-to-end
+step sanity (loss decreases, teacher tracks student, no collapse guard)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dino_tpu.models.vit import ViTConfig
+from dino_tpu.train.dino_pretrain import (DinoConfig, dino_loss,
+                                          dino_multi_crop, dino_schedules,
+                                          ema_update, init_dino_opt_state,
+                                          init_dino_params,
+                                          make_dino_train_step, update_center)
+
+VIT = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+DINO = DinoConfig(out_dim=32, n_local_crops=2, global_size=32, local_size=16,
+                  hidden_dim=64, bottleneck_dim=16)
+
+
+def test_dino_loss_excludes_same_view_and_sharpens():
+    b, k = 4, 8
+    rs = np.random.RandomState(0)
+    t_out = jnp.asarray(rs.randn(2 * b, k).astype(np.float32))
+    center = jnp.zeros((1, k))
+    # student == teacher distributions view-for-view: same-view CE would be
+    # the entropy floor; excluding it, cross-view terms dominate
+    s_out = jnp.concatenate([t_out, jnp.asarray(rs.randn(2 * b, k),
+                                                jnp.float32)])
+    loss = dino_loss(s_out, t_out, center, 0.1, jnp.float32(0.04), 4)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # lower teacher temp -> sharper targets -> loss changes monotonically
+    loss_sharp = dino_loss(s_out, t_out, center, 0.1, jnp.float32(0.01), 4)
+    assert not np.isclose(float(loss), float(loss_sharp))
+
+
+def test_ema_and_center_updates():
+    t = {"w": jnp.zeros(3), "meta_like": jnp.arange(3)}  # int leaf untouched
+    s = {"w": jnp.ones(3), "meta_like": jnp.arange(3)}
+    out = ema_update(t, s, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.1 * np.ones(3),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["meta_like"]), np.arange(3))
+    c = update_center(jnp.zeros((1, 4)), jnp.ones((8, 4)), 0.9)
+    np.testing.assert_allclose(np.asarray(c), 0.1 * np.ones((1, 4)),
+                               rtol=1e-6)
+
+
+def test_dino_schedules_shapes():
+    lr, wd, mom, tt = dino_schedules(1e-3, epochs=4, niter_per_ep=10,
+                                     warmup_epochs=1,
+                                     warmup_teacher_temp=0.02,
+                                     teacher_temp=0.04,
+                                     warmup_teacher_temp_epochs=2)
+    assert len(lr) == len(wd) == len(mom) == len(tt) == 40
+    assert lr[0] == 0.0 and mom[-1] <= 1.0
+    assert tt[0] == pytest.approx(0.02) and tt[-1] == pytest.approx(0.04)
+
+
+def test_multi_crop_shapes_and_determinism():
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (100, 140, 3), np.uint8)
+    g, l = dino_multi_crop(np.random.default_rng(5), img, DINO)
+    assert len(g) == 2 and len(l) == DINO.n_local_crops
+    assert g[0].shape == (32, 32, 3) and l[0].shape == (16, 16, 3)
+    g2, l2 = dino_multi_crop(np.random.default_rng(5), img, DINO)
+    np.testing.assert_array_equal(g[0], g2[0])
+    np.testing.assert_array_equal(l[-1], l2[-1])
+
+
+def test_pretrain_loss_decreases_and_teacher_tracks():
+    student, teacher = init_dino_params(jax.random.PRNGKey(0), VIT, DINO,
+                                        depth=2)
+    opt = optax.adamw(3e-4)
+    opt_state = init_dino_opt_state(opt, student)
+    step = make_dino_train_step(VIT, DINO, opt)
+    center = jnp.zeros((1, DINO.out_dim), jnp.float32)
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randint(0, 255, (6, 64, 64, 3)).astype(np.uint8)
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(3):  # 3 fixed batches cycled -> learnable signal
+        gs, ls = [], []
+        for i in range(imgs.shape[0]):
+            g, l = dino_multi_crop(rng, imgs[i], DINO)
+            gs.append(g)
+            ls.append(l)
+        g_crops = (np.stack([np.stack([g[c] for g in gs]) for c in range(2)])
+                   .astype(np.float32) / 255.0)
+        l_crops = (np.stack([np.stack([l[c] for l in ls])
+                             for c in range(DINO.n_local_crops)])
+                   .astype(np.float32) / 255.0)
+        batches.append((jnp.asarray(g_crops), jnp.asarray(l_crops)))
+
+    losses = []
+    for it in range(12):
+        g_crops, l_crops = batches[it % len(batches)]
+        student, teacher, center, opt_state, loss = step(
+            student, teacher, center, opt_state, g_crops, l_crops,
+            jnp.float32(0.04), jnp.float32(0.99), jnp.float32(0.0))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+    # teacher moved toward the student but is not identical
+    s_leaf = np.asarray(student["vit"]["cls_token"])
+    t_leaf = np.asarray(teacher["vit"]["cls_token"])
+    assert not np.allclose(t_leaf, s_leaf)
+    # center accumulated signal
+    assert float(jnp.abs(center).sum()) > 0
+
+
+def test_freeze_last_layer_gate():
+    student, teacher = init_dino_params(jax.random.PRNGKey(1), VIT, DINO,
+                                        depth=1)
+    opt = optax.sgd(1e-2)
+    opt_state = init_dino_opt_state(opt, student)
+    step = make_dino_train_step(VIT, DINO, opt)
+    center = jnp.zeros((1, DINO.out_dim), jnp.float32)
+    rs = np.random.RandomState(0)
+    g = jnp.asarray(rs.rand(2, 3, 32, 32, 3).astype(np.float32))
+    l = jnp.asarray(rs.rand(DINO.n_local_crops, 3, 16, 16, 3)
+                    .astype(np.float32))
+    v0 = np.asarray(student["head"]["last_layer"]["v"])
+    out = step(student, teacher, center, opt_state, g, l,
+               jnp.float32(0.04), jnp.float32(0.996), jnp.float32(1.0))
+    np.testing.assert_array_equal(
+        np.asarray(out[0]["head"]["last_layer"]["v"]), v0)
+    out2 = step(student, teacher, center, opt_state, g, l,
+                jnp.float32(0.04), jnp.float32(0.996), jnp.float32(0.0))
+    assert not np.allclose(np.asarray(out2[0]["head"]["last_layer"]["v"]), v0)
