@@ -168,6 +168,7 @@ class DINOSeg:
         """Backbone params for the inference paths: the f32 masters, or (in
         int8 mode) a per-output-channel-quantized tree derived from them,
         rebuilt lazily whenever the masters change (e.g. after fit)."""
+        self._check_precision(precision)
         if (precision or self.precision) != "int8":
             return self.vit_params
         if (self._int8_cache is None
@@ -184,9 +185,19 @@ class DINOSeg:
                            compute_dtype=self.compute_dtype,
                            backbone=self.backbone)
 
+    def _check_precision(self, precision: Optional[str]):
+        if precision is None:
+            return
+        if precision not in ("bf16", "fp32", "int8"):
+            raise ValueError(f"unsupported precision {precision!r}")
+        if precision == "int8" and self.backbone != "vit":
+            raise ValueError("precision='int8' is only supported for the "
+                             "ViT backbone")
+
     def _compute_dtype_for(self, precision: Optional[str]):
         if precision is None:
             return self.compute_dtype
+        self._check_precision(precision)
         return jnp.bfloat16 if precision in ("bf16", "int8") else None
 
     def _predict_fn(self, in_shape: Tuple[int, int],

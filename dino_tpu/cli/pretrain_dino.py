@@ -78,8 +78,19 @@ def main():
                           local_size=args.local_size)
     student, teacher = init_dino_params(jax.random.PRNGKey(args.seed),
                                         vit_cfg, dino_cfg, depth=args.depth)
-    opt = optax.inject_hyperparams(optax.adamw)(
-        learning_rate=args.lr, weight_decay=0.04)
+
+    # reference recipe (utils.get_params_groups): biases and 1-D params —
+    # LayerNorm scales/biases, the head's weight-norm g — are exempt from
+    # weight decay; only matrices decay (wd cosine-ramps to 0.4)
+    import functools
+    from dino_tpu.train.optim import get_params_groups
+
+    def wd_mask(params):
+        return get_params_groups(params)[0]
+
+    opt = optax.inject_hyperparams(
+        functools.partial(optax.adamw, mask=wd_mask))(
+            learning_rate=args.lr, weight_decay=0.04)
     opt_state = init_dino_opt_state(opt, student)
     step = make_dino_train_step(vit_cfg, dino_cfg, opt)
     center = jnp.zeros((1, dino_cfg.out_dim), jnp.float32)

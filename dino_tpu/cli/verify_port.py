@@ -51,13 +51,13 @@ def _load_reference_vit():
 
 
 def discover_artifact():
-    """Find a pretrained artifact the way the runtime would (explicit env ->
-    torch-hub cache -> converted npz cache)."""
+    """Find a pretrained artifact the way the runtime ladder does
+    (explicit env -> converted npz cache -> torch-hub cache)."""
     from dino_tpu.checkpointing.pretrained import (DINO_S8_NAME, _cache_dir,
                                                    _hub_cache)
     candidates = [os.environ.get("DINO_TPU_PRETRAINED"),
-                  _hub_cache(DINO_S8_NAME),
-                  os.path.join(_cache_dir(), f"{DINO_S8_NAME}.npz")]
+                  os.path.join(_cache_dir(), f"{DINO_S8_NAME}.npz"),
+                  _hub_cache(DINO_S8_NAME)]
     for cand in candidates:
         if cand and os.path.exists(cand):
             return cand
@@ -74,6 +74,7 @@ def _load_model(checkpoint_path):
     from dino_tpu.api import DINOSeg
     from dino_tpu.checkpointing.torch_convert import (load_torch_file,
                                                       state_dict_to_numpy)
+    n_blocks = 3
     raw = None
     if checkpoint_path.endswith((".ckpt", ".pth")):
         ckpt = load_torch_file(checkpoint_path)
@@ -81,14 +82,46 @@ def _load_model(checkpoint_path):
             raw = state_dict_to_numpy(ckpt["state_dict"])
             return DINOSeg.load_from_checkpoint(
                 checkpoint_path, precision="fp32"), raw, "task"
+        # bare backbone artifact — possibly full-depth and/or a DINO
+        # pretraining checkpoint ('teacher' sub-dict with head.* keys);
+        # keep only the first n_blocks backbone blocks so the truncated
+        # torch oracle can load it strict=True
         raw = state_dict_to_numpy(ckpt.get("teacher", ckpt))
-        raw = {("dino." + k.replace("module.", "").replace("backbone.", "")):
-               v for k, v in raw.items()}
-        model = DINOSeg(head="mlp", n_blocks=3, seed=0, precision="fp32",
-                        pretrained_path=checkpoint_path)
+        raw = {k.replace("module.", "").replace("backbone.", ""): v
+               for k, v in raw.items() if not k.replace(
+                   "module.", "").startswith("head.")}
+
+        def keep(key: str) -> bool:
+            if key.startswith("blocks."):
+                return int(key.split(".")[1]) < n_blocks
+            return True
+
+        raw = {"dino." + k: v for k, v in raw.items() if keep(k)}
+        if "teacher" in ckpt:  # full DINO pretraining checkpoint
+            from dino_tpu.checkpointing.pretrained import \
+                load_pretrained_weights
+            from dino_tpu.models.vit import truncate_blocks
+            full = load_pretrained_weights(checkpoint_path,
+                                           checkpoint_key="teacher")
+            model = DINOSeg(head="mlp", n_blocks=n_blocks, seed=0,
+                            precision="fp32", random_init=True)
+            model.vit_params = truncate_blocks(full, n_blocks)
+        else:
+            model = DINOSeg(head="mlp", n_blocks=n_blocks, seed=0,
+                            precision="fp32",
+                            pretrained_path=checkpoint_path)
         return model, raw, "backbone"
-    return DINOSeg.load_from_checkpoint(
-        checkpoint_path, precision="fp32"), None, "task"
+    # .npz: a native task checkpoint (carries hparams) or a converted
+    # backbone from the acquisition cache / dt-pretrain-dino
+    import numpy as np_
+    with np_.load(checkpoint_path, allow_pickle=False) as z:
+        is_task = "__hparams_json__" in z.files
+    if is_task:
+        return DINOSeg.load_from_checkpoint(
+            checkpoint_path, precision="fp32"), None, "task"
+    model = DINOSeg(head="mlp", n_blocks=n_blocks, seed=0, precision="fp32",
+                    pretrained_path=checkpoint_path)
+    return model, None, "backbone-npz"
 
 
 def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
@@ -154,6 +187,18 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
 
     with jax.default_matmul_precision("highest"):
         for res in resolutions:
+            # the torch oracle materializes (1, 6, N, N) f32 probabilities
+            # per block (vanilla attention); guard hosts without the RAM
+            n_tok = (res // 8) ** 2 + 1
+            need = 2.5 * 6 * n_tok * n_tok * 4  # probs + softmax temporaries
+            avail = _available_ram_bytes()
+            if avail is not None and need > avail:
+                print(f"[2,3] {res}px skipped: torch oracle needs "
+                      f"~{need/2**30:.1f} GiB host RAM, {avail/2**30:.1f} "
+                      f"available")
+                record("activation_parity", True, resolution=res,
+                       skipped="insufficient host RAM for the torch oracle")
+                continue
             rs = np.random.RandomState(res)
             xin = rs.randn(1, 3, res, res).astype(np.float32)
             with torch.no_grad():
@@ -192,6 +237,17 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
 def _read_image(path):
     from PIL import Image
     return np.array(Image.open(path).convert("RGB"))
+
+
+def _available_ram_bytes():
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) * 1024
+    except Exception:
+        pass
+    return None
 
 
 def main():

@@ -157,10 +157,17 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
                 [dataset.files[i] for i in chunk],
                 [dataset._load_mask(i) for i in chunk], res, params)
             if native is None:
-                # per-item fallback for this batch (and stop retrying native)
-                items = [dataset.get(i, np.random.default_rng(s)
-                                     if s is not None else None)
-                         for i, s in zip(chunk, chunk_seeds)]
+                # cv2 fallback for this batch: apply the SAME drawn params
+                # through the Python pixel path (no repeat native-augment
+                # attempts; identical rng consumption to the native path)
+                items = []
+                for i, s in zip(chunk, chunk_seeds):
+                    r = (np.random.default_rng(s) if s is not None
+                         else np.random.default_rng())
+                    p = draw_params(r, res)
+                    img, mask = apply_params(p, *dataset._load_raw(i), res)
+                    items.append((img, resize_nearest(mask, grid,
+                                                      grid).reshape(-1)))
                 xs, ys = zip(*items)
                 yield np.stack(xs), np.stack(ys)
                 continue

@@ -20,7 +20,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from dino_tpu.models.vit import (ViTConfig, layer_norm, dense, prepare_tokens)
 
@@ -160,7 +160,7 @@ def vit_forward_seq_parallel(params: Params, x, cfg: ViTConfig, mesh: Mesh,
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, seq_axis, None), param_specs, norm_specs),
-        out_specs=P(None, seq_axis, None), check_rep=False)
+        out_specs=P(None, seq_axis, None), check_vma=False)
     def run(tok_shard, blocks, norm):
         for blk in blocks:
             tok_shard = _block_seq_parallel(blk, tok_shard, cfg, n_real,

@@ -55,6 +55,20 @@ def test_per_call_precision_override():
     assert m.predict(img).shape == (480, 480)  # default path still cached
 
 
+def test_per_call_precision_validation():
+    from dino_tpu import DINOSeg
+    import pytest as _pt
+    m = DINOSeg(backbone="cnn1", n_classes=3, head="linear",
+                random_init=True)
+    img = np.random.RandomState(0).randint(0, 255, (240, 240, 3), np.uint8)
+    with _pt.raises(ValueError, match="int8"):
+        m.predict(img, precision="int8")
+    v = DINOSeg(backbone="vit", n_blocks=1, head="linear", n_classes=3,
+                random_init=True)
+    with _pt.raises(ValueError, match="unsupported precision"):
+        v.predict(img, precision="bf-16")
+
+
 def test_has_batchnorms_no_false_positives():
     from dino_tpu.utils.misc import has_batchnorms
     # optimizer-state-like pytree with mean/var-suffixed paths but no BN group

@@ -133,8 +133,8 @@ def test_verify_port_backbone_pth_autodiscovered(tmp_path):
     vt = load_reference_vit()
     torch.manual_seed(13)
     m = vt.vit_small(patch_size=8, num_classes=0)
-    m.blocks = m.blocks[:3]
-    # full-depth artifact: pad blocks back so truncation logic is exercised
+    m.blocks = m.blocks[:5]  # deeper than the verifier's 3-block oracle:
+    # the real artifact is 12-block, so truncation filtering is load-bearing
     pth = str(tmp_path / "dino_deitsmall8_300ep_pretrain.pth")
     torch.save(m.state_dict(), pth)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
@@ -147,3 +147,27 @@ def test_verify_port_backbone_pth_autodiscovered(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "kind=backbone" in r.stdout and "PASS" in r.stdout
     assert "BIT-IDENTICAL" in r.stdout
+
+
+def test_verify_port_npz_backbone_autodiscovered(tmp_path):
+    """A converted-backbone npz in the cache (the state after the hub .pth
+    is cleaned up) is discovered and verified as kind=backbone-npz."""
+    import numpy as np
+    import jax
+    from dino_tpu.checkpointing.io import flatten_params
+    from dino_tpu.models.vit import ViTConfig, init_vit_params
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    p = init_vit_params(jax.random.PRNGKey(0), ViTConfig(patch_size=8),
+                        depth=3)
+    np.savez(str(cache / "dino_deitsmall8_300ep_pretrain.npz"),
+             **flatten_params(p))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO,
+               HOME=str(tmp_path), DINO_TPU_CACHE=str(cache))
+    env.pop("DINO_TPU_PRETRAINED", None)
+    r = subprocess.run([sys.executable, "-m", "dino_tpu.cli.verify_port",
+                        "--resolutions", "240"],
+                       capture_output=True, text=True, env=env, cwd=REPO,
+                       timeout=600)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "kind=backbone-npz" in r.stdout and "PASS" in r.stdout
