@@ -42,7 +42,7 @@ _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "batch_size", "lr", "optimizer", "freeze_backbone",
                 "max_epochs", "patience", "grayscale", "n_classes",
                 "pretrain_on_sim", "augmented", "random_init", "backbone",
-                "train_resolution", "precision")
+                "train_resolution", "precision", "n_experts")
 
 
 class DINOSeg:
@@ -59,7 +59,7 @@ class DINOSeg:
                  augmented: bool = True, random_init: bool = False,
                  backbone: str = "vit", pretrained_path: Optional[str] = None,
                  seed: int = 0, train_resolution: int = 480,
-                 precision: str = "bf16",
+                 precision: str = "bf16", n_experts: int = 4,
                  _vit_params=None, _head_params=None):
         if backbone != "vit":
             from dino_tpu.models.resnet import available as _resnet_available
@@ -78,7 +78,7 @@ class DINOSeg:
                 n_classes=n_classes, pretrain_on_sim=pretrain_on_sim,
                 augmented=augmented, random_init=random_init,
                 backbone=backbone, train_resolution=train_resolution,
-                precision=precision).items()}
+                precision=precision, n_experts=n_experts).items()}
         self.__dict__.update(self.hparams)
         self.class_names = tuple(class_names) if class_names else None
         self.logger = logger
@@ -144,7 +144,8 @@ class DINOSeg:
             else:
                 self.vit_params = truncate_blocks(full, n_blocks)
         self.head_params = (_head_params if _head_params is not None else
-                            init_head(kh, head, n_classes, self.mlp_input_dim))
+                            init_head(kh, head, n_classes, self.mlp_input_dim,
+                                      n_experts=n_experts))
 
         if data_path is not None:
             self.train_path = os.path.join(data_path, "dt_real_voc_train")
@@ -435,11 +436,56 @@ class DINOSeg:
                             ).reshape(-1, n_classes, n_classes).sum(0)
         return cm
 
+    def _cache_plan(self, cache_features, n_train: int, n_val: int):
+        """(cache_train, cache_val) for the frozen-feature cache.
+
+        'auto' engages whenever it is numerics-safe: ViT backbone (BN-free),
+        frozen, single host.  Train features additionally require a
+        non-augmented pipeline (augmented pixels change every draw).  A
+        per-dataset HBM budget ($DINO_TPU_FEATURE_CACHE_BYTES, default 2GB)
+        guards against huge datasets; over budget falls back silently to the
+        recompute path.
+        """
+        if cache_features is False:
+            return False, False
+        eligible = (self.backbone == "vit" and self.freeze_backbone
+                    and jax.process_count() == 1)
+        if not eligible:
+            return False, False
+        n_patches = (self.train_resolution // 8) ** 2
+        cap = int(os.environ.get("DINO_TPU_FEATURE_CACHE_BYTES",
+                                 2_000_000_000))
+
+        def fits(n_items):
+            return n_items * n_patches * self.mlp_input_dim * 4 <= cap
+
+        return (not self.augmented) and fits(n_train), fits(n_val)
+
+    def _precompute_features(self, ds, feature_fn):
+        """Run every unique dataset image through the frozen backbone once;
+        returns device-resident ((M, N, D) feats, (M, N) labels)."""
+        feats, labels = [], []
+        for xb, yb in batched_loader(ds, np.arange(len(ds)),
+                                     self.batch_size):
+            feats.append(feature_fn(self.vit_params, jnp.asarray(xb)))
+            labels.append(np.asarray(yb))
+        return (jnp.concatenate(feats, axis=0),
+                jnp.asarray(np.concatenate(labels, axis=0).astype(np.int32)))
+
     def fit(self, ck_file_name: Optional[str] = None,
             samples_per_epoch: int = 1000, seed: int = 0,
-            resume: bool = False) -> Dict[str, float]:
+            resume: bool = False, cache_features="auto") -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
-        last finished epoch (params + optimizer state + counters restored)."""
+        last finished epoch (params + optimizer state + counters restored).
+
+        ``cache_features`` ('auto'/True/False): with a frozen ViT backbone,
+        per-image backbone features are epoch-constant, so they are computed
+        once and epochs train only the head on the device-resident cache —
+        no per-epoch decode or backbone recompute.  'auto' engages it
+        whenever numerically safe (frozen ViT; train cache additionally
+        needs augmented=False since augmented pixels change every draw).
+        Results match the recompute path (tests/test_feature_cache.py).
+        """
         if ck_file_name is None:
             ck_file_name = (str(self.n_blocks) + "_" + self.head
                             + ("_frozen" if self.freeze_backbone
@@ -451,10 +497,12 @@ class DINOSeg:
         if self.pretrain_on_sim:
             print("Pretraining on simulation data...")
             self._fit_phase(self.train_path_sim, self.val_path, ck_path,
-                            samples_per_epoch, seed, log=False)
+                            samples_per_epoch, seed, log=False,
+                            cache_features=cache_features)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
-                        samples_per_epoch, seed, log=True, resume=resume)
+                        samples_per_epoch, seed, log=True, resume=resume,
+                        cache_features=cache_features)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -477,7 +525,7 @@ class DINOSeg:
 
     def _fit_phase(self, train_path: str, val_path: str, ck_path: str,
                    samples_per_epoch: int, seed: int, log: bool,
-                   resume: bool = False) -> None:
+                   resume: bool = False, cache_features="auto") -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -486,6 +534,30 @@ class DINOSeg:
             raise FileNotFoundError(f"no training images under {train_path}")
 
         optimizer = make_optimizer(self.optimizer, self.lr)
+        cache_train, cache_val = self._cache_plan(cache_features,
+                                                  len(train_ds), len(val_ds))
+        train_feats = val_feats = None
+        if cache_train or cache_val:
+            from dino_tpu.train.loop import (make_cached_head_eval_step,
+                                             make_cached_head_train_step,
+                                             make_feature_fn)
+            feature_fn = make_feature_fn(self.cfg,
+                                         compute_dtype=self.compute_dtype)
+            if cache_val:
+                val_feats, val_labels_c = self._precompute_features(
+                    val_ds, feature_fn)
+                cached_eval_step = make_cached_head_eval_step(self.head,
+                                                              self.n_classes)
+            if cache_train:
+                train_feats, train_labels_c = self._precompute_features(
+                    train_ds, feature_fn)
+                cached_train_step = make_cached_head_train_step(
+                    self.head, self.n_classes, optimizer)
+            mb = sum(int(np.prod(f.shape)) * 4 for f in
+                     (train_feats, val_feats) if f is not None) / 1e6
+            print(f"feature cache: train={cache_train} val={cache_val} "
+                  f"({mb:.0f} MB device-resident; frozen backbone runs once "
+                  f"per unique image)")
         train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                      optimizer, self.freeze_backbone,
                                      compute_dtype=self.compute_dtype,
@@ -535,25 +607,52 @@ class DINOSeg:
             idx = epoch_indices(rng, len(train_ds), samples_per_epoch)
             train_cm = np.zeros((self.n_classes, self.n_classes), np.int64)
             losses = []
-            for xb, yb in batched_loader(train_ds, idx, self.batch_size,
-                                         rng=rng):
-                n_real = xb.shape[0]
-                mask = np.zeros((self.batch_size,), np.float32)
-                mask[:n_real] = 1.0
-                if n_real != self.batch_size:
-                    # pad the ragged tail batch to the static batch size and
-                    # mask the padding out of loss/grads/CM (the reference
-                    # trains on partial batches, pl_torch_modules.py:354)
-                    pad = self.batch_size - n_real
-                    xb = np.concatenate([xb, np.repeat(xb[-1:], pad, axis=0)])
-                    yb = np.concatenate([yb, np.repeat(yb[-1:], pad, axis=0)])
-                (self.vit_params, self.head_params, opt_state, loss, cm
-                 ) = train_step(self.vit_params, self.head_params, opt_state,
-                                put(xb), put(yb), put(mask))
-                losses.append(loss)
-                train_cm += np.asarray(cm)
+            if train_feats is not None:
+                # cached path: the epoch is pure head math over the resident
+                # features — no decode, no backbone recompute, no transfers
+                for start in range(0, len(idx), self.batch_size):
+                    ids = idx[start:start + self.batch_size].astype(np.int32)
+                    n_real = len(ids)
+                    mask = np.zeros((self.batch_size,), np.float32)
+                    mask[:n_real] = 1.0
+                    if n_real != self.batch_size:
+                        ids = np.concatenate(
+                            [ids, np.repeat(ids[-1:],
+                                            self.batch_size - n_real)])
+                    (self.head_params, opt_state, loss, cm
+                     ) = cached_train_step(self.head_params, opt_state,
+                                           train_feats, train_labels_c,
+                                           jnp.asarray(ids),
+                                           jnp.asarray(mask))
+                    losses.append(loss)
+                    train_cm += np.asarray(cm)
+            else:
+                for xb, yb in batched_loader(train_ds, idx, self.batch_size,
+                                             rng=rng):
+                    n_real = xb.shape[0]
+                    mask = np.zeros((self.batch_size,), np.float32)
+                    mask[:n_real] = 1.0
+                    if n_real != self.batch_size:
+                        # pad the ragged tail batch to the static batch size
+                        # and mask the padding out of loss/grads/CM (the
+                        # reference trains on partial batches,
+                        # pl_torch_modules.py:354)
+                        pad = self.batch_size - n_real
+                        xb = np.concatenate(
+                            [xb, np.repeat(xb[-1:], pad, axis=0)])
+                        yb = np.concatenate(
+                            [yb, np.repeat(yb[-1:], pad, axis=0)])
+                    (self.vit_params, self.head_params, opt_state, loss, cm
+                     ) = train_step(self.vit_params, self.head_params,
+                                    opt_state, put(xb), put(yb), put(mask))
+                    losses.append(loss)
+                    train_cm += np.asarray(cm)
 
-            val_cm = self._run_eval(eval_step, val_ds, self.batch_size)
+            if val_feats is not None:
+                val_cm = np.asarray(cached_eval_step(self.head_params,
+                                                     val_feats, val_labels_c))
+            else:
+                val_cm = self._run_eval(eval_step, val_ds, self.batch_size)
             metrics = segmentation_metrics(val_cm, prefix="val")
             metrics.update(segmentation_metrics(train_cm, prefix="train"))
             metrics["train_loss"] = float(np.mean([float(l) for l in losses]))

@@ -56,17 +56,103 @@ def linear_head_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Mixture-of-experts head (expert parallelism) — a parity-plus capability.
+# The reference's heads are single MLPs (pl_torch_modules.py:108-138); this
+# keeps their per-patch map + log_softmax contract but routes each patch to
+# one of E expert MLPs (Switch-style top-1 routing, gate-prob scaling, and
+# the load-balance auxiliary).  The expert axis shards over the mesh 'model'
+# axis (parallel/mesh.py:head_param_spec), so each device holds and computes
+# only its own experts and GSPMD inserts the combine all-reduce: EP over ICI.
+# ---------------------------------------------------------------------------
+
+def init_moe_head(key, n_classes: int, input_dim: int = 384,
+                  n_experts: int = 4) -> Params:
+    kr, k1, k2, k3 = jax.random.split(key, 4)
+
+    def stacked(kk, fan_in, fan_out):
+        ps = [_torch_linear_init(k, fan_in, fan_out)
+              for k in jax.random.split(kk, n_experts)]
+        return {"kernel": jnp.stack([p["kernel"] for p in ps]),
+                "bias": jnp.stack([p["bias"] for p in ps])}
+
+    return {
+        # router init: small normal so early routing is near-uniform
+        "router": {"kernel": jax.random.normal(
+            kr, (input_dim, n_experts), jnp.float32) * 0.02,
+            "bias": jnp.zeros((n_experts,), jnp.float32)},
+        "layer_1": stacked(k1, input_dim, 200),
+        "layer_2": stacked(k2, 200, 100),
+        "layer_3": stacked(k3, 100, n_classes),
+    }
+
+
+def moe_gate(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, D) -> (M, E) router probabilities (f32)."""
+    r = p["router"]
+    logits = jnp.dot(x.astype(jnp.float32), r["kernel"]) + r["bias"]
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def moe_balance_loss(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Switch-transformer load-balance auxiliary: E * sum_e f_e * P_e, where
+    f_e is the fraction of patches routed to expert e and P_e the mean gate
+    probability.  Minimized (=1) at uniform routing."""
+    gate = moe_gate(p, x)
+    n_experts = gate.shape[-1]
+    f = jnp.mean(jax.nn.one_hot(jnp.argmax(gate, axis=-1), n_experts,
+                                dtype=jnp.float32), axis=0)
+    pbar = jnp.mean(gate, axis=0)
+    # f is argmax-derived (piecewise constant): the gradient flows via pbar
+    return n_experts * jnp.sum(f * pbar)
+
+
+def moe_head_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """(M, input_dim) -> (M, n_classes) log-probs via top-1 expert routing.
+
+    Dense-over-experts formulation: every expert computes every patch and a
+    one-hot dispatch picks the routed result.  Per device that is E_local
+    tiny matmuls (the head is ~100k params), and under the EP sharding each
+    device only computes its local experts — the one-hot contraction over
+    the expert axis becomes the combine all-reduce.  Gradients reach the
+    router through the top-1 gate-prob scaling (Switch semantics).
+    """
+    gate = moe_gate(p, x)                                     # (M, E) f32
+    best = jnp.argmax(gate, axis=-1)
+    top_w = jnp.take_along_axis(gate, best[:, None], axis=1)  # (M, 1)
+    dispatch = jax.nn.one_hot(best, gate.shape[-1], dtype=jnp.float32)
+
+    def expert_affine(layer, h):                              # (E, M, i)->(E, M, o)
+        y = jnp.einsum("emi,eio->emo", h,
+                       layer["kernel"].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return y + layer["bias"][:, None, :].astype(jnp.float32)
+
+    h = jnp.broadcast_to(x, (gate.shape[-1],) + x.shape)      # (E, M, D)
+    h = jax.nn.relu(expert_affine(p["layer_1"], h).astype(x.dtype))
+    h = jax.nn.relu(expert_affine(p["layer_2"], h).astype(x.dtype))
+    y = expert_affine(p["layer_3"], h)                        # (E, M, C) f32
+    out = jnp.einsum("me,emc->mc", dispatch, y)               # combine
+    out = out * top_w                                         # gate-prob scale
+    return jax.nn.log_softmax(out, axis=-1)
+
+
 def head_apply(head_type: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
     if head_type == "mlp":
         return mlp_head_apply(p, x)
     if head_type == "linear":
         return linear_head_apply(p, x)
+    if head_type == "moe":
+        return moe_head_apply(p, x)
     raise ValueError(f"unknown head {head_type!r}")
 
 
-def init_head(key, head_type: str, n_classes: int, input_dim: int = 384) -> Params:
+def init_head(key, head_type: str, n_classes: int, input_dim: int = 384,
+              n_experts: int = 4) -> Params:
     if head_type == "mlp":
         return init_mlp_head(key, n_classes, input_dim)
     if head_type == "linear":
         return init_linear_head(key, n_classes, input_dim)
+    if head_type == "moe":
+        return init_moe_head(key, n_classes, input_dim, n_experts)
     raise ValueError(f"unknown head {head_type!r}")

@@ -50,7 +50,15 @@ def vit_param_spec(n_blocks: int) -> Any:
 
 
 def head_param_spec(head_type: str) -> Any:
-    # The head is tiny (384->200->100->C); replicate it.
+    if head_type == "moe":
+        # Expert parallelism: the stacked expert axis shards over 'model',
+        # so each device holds/computes only its experts; the router is
+        # tiny and replicated.  The one-hot combine in moe_head_apply
+        # contracts over the expert axis -> GSPMD inserts the all-reduce.
+        ex = {"kernel": P("model", None, None), "bias": P("model", None)}
+        return {"router": {"kernel": P(), "bias": P()},
+                "layer_1": ex, "layer_2": ex, "layer_3": ex}
+    # The MLP/Linear heads are tiny (384->200->100->C); replicate them.
     layers = ["layer_1"] if head_type == "linear" else ["layer_1", "layer_2",
                                                         "layer_3"]
     return {name: {"kernel": P(), "bias": P()} for name in layers}

@@ -49,7 +49,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 compute_dtype: Optional[jnp.dtype] = None,
                 backbone: str = "vit",
                 remat: bool = False,
-                bn_collect=None) -> jnp.ndarray:
+                bn_collect=None,
+                feat_sink=None) -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
@@ -75,6 +76,10 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
         feats = resnet_backbone_apply(vit_params, x, variant=backbone,
                                       bn_collect=bn_collect)
     feats = feats.reshape(-1, feats.shape[-1])
+    if feat_sink is not None:
+        # train-time aux losses (e.g. the MoE router balance term) need the
+        # pre-head features; sink them like bn_collect does for BN stats
+        feat_sink["feats"] = feats
     return head_apply(head_type, head_params, feats)
 
 
@@ -110,9 +115,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         n_tokens = images.shape[0] * (images.shape[1] // cfg.patch_size) ** 2
         remat = (not freeze_backbone) and n_tokens > 200_000
         bn_collect = {} if backbone != "vit" else None
+        feat_sink = {} if head_type == "moe" else None
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
                            compute_dtype=compute_dtype, backbone=backbone,
-                           remat=remat, bn_collect=bn_collect)
+                           remat=remat, bn_collect=bn_collect,
+                           feat_sink=feat_sink)
         y = labels.reshape(-1)
         # per-sample mask -> per-patch weights (ragged tail batches are padded
         # to the static batch size; padding must not touch loss/grads/CM —
@@ -121,6 +128,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
              else jnp.repeat(mask.astype(logp.dtype),
                              y.shape[0] // mask.shape[0]))
         loss = nll_loss(logp, y, w)
+        if head_type == "moe":
+            from dino_tpu.models.heads import moe_balance_loss
+            # Switch-style router load-balance auxiliary (coefficient 0.01)
+            loss = loss + 0.01 * moe_balance_loss(trainable["head"],
+                                                  feat_sink["feats"])
         preds = jnp.argmax(logp, axis=-1)
         return loss, (confusion_matrix(preds, y, n_classes, weights=w),
                       bn_collect)
@@ -149,6 +161,79 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
     donate_args = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_feature_fn(cfg: ViTConfig, compute_dtype=None) -> Callable:
+    """Jitted uint8 (B,res,res,3) -> (B, N_patches, D) backbone features —
+    exactly the tensor seg_forward feeds the head (reference folds patches
+    onto the batch axis at pl_torch_modules.py:253).
+
+    Used by the frozen-backbone feature cache: with the backbone frozen and
+    inputs non-augmented, these features are constant across epochs, so each
+    unique image runs through the ViT once per fit() instead of once per
+    epoch draw.  ViT only — BatchNorm backbones update running stats even
+    when frozen (torch train() semantics), so their features are not
+    epoch-constant.
+    """
+    def fn(vit_p, images_u8):
+        x = normalize_imagenet(images_u8)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        tokens = vit_forward(vit_p, x, cfg)
+        return tokens[:, 1:, :]
+    return jax.jit(fn)
+
+
+def make_cached_head_train_step(head_type: str, n_classes: int,
+                                optimizer: optax.GradientTransformation,
+                                donate: bool = True) -> Callable:
+    """Head-only train step over a device-resident feature cache.
+
+    step(head_p, opt_state, feats_all, labels_all, ids, mask) ->
+    (head_p, opt_state, loss, cm).  ``feats_all`` is (M, N, D) for the whole
+    dataset; the batch gathers by ``ids`` on device, so an epoch moves no
+    pixels at all.  Loss/grad/CM semantics (incl. ragged-tail masking) are
+    identical to make_train_step's frozen mode, and the optimizer state
+    layout matches init_opt_state(freeze_backbone=True), so resume files
+    are interchangeable between the cached and uncached paths.
+    """
+
+    def loss_fn(trainable, feats, labels, mask):
+        flat = feats.reshape(-1, feats.shape[-1])
+        logp = head_apply(head_type, trainable["head"], flat)
+        y = labels.reshape(-1)
+        w = (None if mask is None
+             else jnp.repeat(mask.astype(logp.dtype),
+                             y.shape[0] // mask.shape[0]))
+        loss = nll_loss(logp, y, w)
+        if head_type == "moe":
+            from dino_tpu.models.heads import moe_balance_loss
+            loss = loss + 0.01 * moe_balance_loss(trainable["head"], flat)
+        preds = jnp.argmax(logp, axis=-1)
+        return loss, confusion_matrix(preds, y, n_classes, weights=w)
+
+    def step(head_p, opt_state, feats_all, labels_all, ids, mask=None):
+        feats = jnp.take(feats_all, ids, axis=0)
+        labels = jnp.take(labels_all, ids, axis=0)
+        (loss, cm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            {"head": head_p}, feats, labels, mask)
+        updates, opt_state = optimizer.update(grads, opt_state,
+                                              {"head": head_p})
+        new = optax.apply_updates({"head": head_p}, updates)
+        return new["head"], opt_state, loss, cm
+
+    donate_args = (0, 1) if donate else ()
+    return jax.jit(step, donate_argnums=donate_args)
+
+
+def make_cached_head_eval_step(head_type: str, n_classes: int) -> Callable:
+    """Head-only eval over the full cached feature set in one device call."""
+    def step(head_p, feats_all, labels_all):
+        logp = head_apply(head_type, head_p,
+                          feats_all.reshape(-1, feats_all.shape[-1]))
+        preds = jnp.argmax(logp, axis=-1)
+        return confusion_matrix(preds, labels_all.reshape(-1), n_classes)
+    return jax.jit(step)
 
 
 def make_eval_step(cfg: ViTConfig, head_type: str, n_classes: int,
