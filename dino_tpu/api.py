@@ -276,9 +276,17 @@ class DINOSeg:
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
         fn = self._predict_batch_fn(imgs.shape, precision)
+        x = jnp.asarray(imgs)
+        if (jax.device_count() > 1
+                and imgs.shape[0] % jax.device_count() == 0):
+            # multi-chip serving: shard the batch over the data mesh; params
+            # replicate and GSPMD runs each frame on its own chip
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from dino_tpu.parallel.mesh import make_mesh
+            x = jax.device_put(imgs, NamedSharding(make_mesh(model_axis=1),
+                                                   P("data")))
         return np.asarray(fn(self._serving_vit_params(precision),
-                             self.head_params,
-                             jnp.asarray(imgs)))
+                             self.head_params, x))
 
     def predict_stream(self, frames, batch_size: int = 8):
         """Continuous inference over a frame iterator (robot-camera trace).
@@ -605,7 +613,10 @@ class DINOSeg:
             # per-epoch derived rng => deterministic mid-run resume
             rng = np.random.default_rng([seed, epoch])
             idx = epoch_indices(rng, len(train_ds), samples_per_epoch)
-            train_cm = np.zeros((self.n_classes, self.n_classes), np.int64)
+            # losses/CMs stay device-side until the epoch ends: forcing a
+            # host fetch per step would serialize dispatch and stop the
+            # host data pipeline from overlapping device compute
+            cms = []
             losses = []
             if train_feats is not None:
                 # cached path: the epoch is pure head math over the resident
@@ -625,7 +636,7 @@ class DINOSeg:
                                            jnp.asarray(ids),
                                            jnp.asarray(mask))
                     losses.append(loss)
-                    train_cm += np.asarray(cm)
+                    cms.append(cm)
             else:
                 for xb, yb in batched_loader(train_ds, idx, self.batch_size,
                                              rng=rng):
@@ -646,7 +657,11 @@ class DINOSeg:
                      ) = train_step(self.vit_params, self.head_params,
                                     opt_state, put(xb), put(yb), put(mask))
                     losses.append(loss)
-                    train_cm += np.asarray(cm)
+                    cms.append(cm)
+
+            train_cm = (np.sum([np.asarray(c) for c in cms], axis=0)
+                        if cms else
+                        np.zeros((self.n_classes, self.n_classes), np.int64))
 
             if val_feats is not None:
                 val_cm = np.asarray(cached_eval_step(self.head_params,

@@ -34,6 +34,21 @@ def test_predict_stream_order_and_ragged(model, frames):
         np.testing.assert_array_equal(out, model.predict(frames[i]))
 
 
+def test_predict_batch_dp_sharded_matches_single(model, frames):
+    """Batch divisible by the device count -> the batch shards over the data
+    mesh (one frame per device on the 8-dev CPU mesh); per-frame outputs are
+    unchanged."""
+    import jax
+    if jax.device_count() < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = jax.device_count()
+    batch = np.concatenate([frames, frames])[:n]
+    out = model.predict_batch(batch)
+    assert out.shape == (n, 480, 480)
+    for i in range(n):
+        np.testing.assert_array_equal(out[i], model.predict(batch[i]))
+
+
 def test_predict_batch_accepts_pil_list(model, frames):
     from PIL import Image
     pils = [Image.fromarray(f) for f in frames[:2]]
