@@ -45,7 +45,10 @@ _enable_debug_nans()
 
 from dino_tpu.api import DINOSeg  # noqa: E402
 from dino_tpu.data.dataset import DuckieSegDataset  # noqa: E402
+from dino_tpu.serving import (export_predict,  # noqa: E402
+                              load_exported_predict)
 from dino_tpu.utils.labels import parse_class_names  # noqa: E402
 
 __version__ = "0.1.0"
-__all__ = ["DINOSeg", "DuckieSegDataset", "parse_class_names", "__version__"]
+__all__ = ["DINOSeg", "DuckieSegDataset", "parse_class_names",
+           "export_predict", "load_exported_predict", "__version__"]

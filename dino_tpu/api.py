@@ -38,6 +38,18 @@ from dino_tpu.train.loop import (init_opt_state, make_eval_step,
                                  make_optimizer, make_train_step, seg_forward)
 from dino_tpu.train.metrics import segmentation_metrics
 
+def _matmul_ctx(compute_dtype):
+    """fp32 serving means *real* f32 matmuls: on TPU the default matmul
+    precision rounds f32 operands to bf16 on the MXU, so two differently
+    tiled programs (batch-1 vs batch-N, live vs AOT-exported) can flip
+    argmax on near-tie patches even in "fp32".  Forcing 'highest' inside
+    the traced serving fns makes every fp32 program bit-identical."""
+    import contextlib
+    if compute_dtype is None:
+        return jax.default_matmul_precision("highest")
+    return contextlib.nullcontext()
+
+
 _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "batch_size", "lr", "optimizer", "freeze_backbone",
                 "max_epochs", "patience", "grayscale", "n_classes",
@@ -213,10 +225,11 @@ class DINOSeg:
 
             @jax.jit
             def fn(vit_p, head_p, img_u8):
-                x = preprocess(img_u8[None], res)
-                logp = seg_forward(vit_p, head_p, cfg, head_type,
-                                   images_u8=None, pre_normalized=x,
-                                   compute_dtype=cdt, backbone=bb)
+                with _matmul_ctx(cdt):
+                    x = preprocess(img_u8[None], res)
+                    logp = seg_forward(vit_p, head_p, cfg, head_type,
+                                       images_u8=None, pre_normalized=x,
+                                       compute_dtype=cdt, backbone=bb)
                 low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
                 return kron_upsample(low.astype(jnp.int32), factor)
 
@@ -249,10 +262,11 @@ class DINOSeg:
 
             @jax.jit
             def fn(vit_p, head_p, imgs_u8):
-                x = preprocess(imgs_u8, res)
-                logp = seg_forward(vit_p, head_p, cfg, head_type,
-                                   images_u8=None, pre_normalized=x,
-                                   compute_dtype=cdt, backbone=bb)
+                with _matmul_ctx(cdt):
+                    x = preprocess(imgs_u8, res)
+                    logp = seg_forward(vit_p, head_p, cfg, head_type,
+                                       images_u8=None, pre_normalized=x,
+                                       compute_dtype=cdt, backbone=bb)
                 low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
                 return jax.vmap(
                     lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
@@ -267,8 +281,9 @@ class DINOSeg:
         The serving-throughput path: one fused device program for the whole
         batch (the single-frame reference API generalized for TPU batching).
         In bf16 mode, batch-N and batch-1 programs may flip argmax on
-        near-tie patches (different matmul tilings); precision='fp32' makes
-        them exactly equal.
+        near-tie patches (different matmul tilings); precision='fp32' runs
+        true-f32 matmuls (matmul precision 'highest'), making every serving
+        program — batch-1, batch-N, AOT-exported — bit-identical.
         """
         if isinstance(images, (list, tuple)):  # PIL images / mixed arrays
             images = np.stack([np.asarray(im) for im in images])

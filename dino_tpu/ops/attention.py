@@ -28,6 +28,16 @@ Params = Dict[str, Any]
 
 _NEG_INF = -1e30
 
+# Kernel-internal dots pin their precision explicitly: the kernels define
+# their own numerics (inputs in the input dtype, f32 accumulation), and an
+# ambient jax.default_matmul_precision("highest") — set by the fp32 serving
+# paths and the parity harness — must not leak into kernel tracing (f32
+# dots would lower to the multi-pass MXU decomposition, blowing the scoped
+# VMEM limit at 480px and slowing the kernel ~6x for no accuracy gain:
+# per-cell kernel math is already bit-identical across batch shapes and
+# AOT-exported programs).
+_KERNEL_PREC = jax.lax.Precision.DEFAULT
+
 
 def _on_tpu() -> bool:
     try:
@@ -89,7 +99,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
     def s_of(i):
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]
         return jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32) * scale
+                                   preferred_element_type=jnp.float32,
+                                   precision=_KERNEL_PREC) * scale
 
     def update(i, carry, s, masked):
         m, l, acc = carry
@@ -102,7 +113,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *,
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         acc_new = acc * alpha + jnp.dot(p.astype(vb.dtype), vb,
-                                        preferred_element_type=jnp.float32)
+                                        preferred_element_type=jnp.float32,
+                                        precision=_KERNEL_PREC)
         return m_new, l_new, acc_new
 
     block_q, hd = qb.shape
@@ -143,7 +155,8 @@ def _flash_kernel_dyn(nmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     def s_of(i):
         kb = k_ref[0, pl.ds(i * block_k, block_k), :]
         return jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32) * scale
+                                   preferred_element_type=jnp.float32,
+                                   precision=_KERNEL_PREC) * scale
 
     block_q, hd = qb.shape
     m = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
@@ -162,7 +175,8 @@ def _flash_kernel_dyn(nmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         vb = v_ref[0, pl.ds(i * block_k, block_k), :]
         acc = acc * alpha + jnp.dot(p.astype(vb.dtype), vb,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=_KERNEL_PREC)
         m = m_new
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
     lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
@@ -312,7 +326,8 @@ def _flash_kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     vb = v_ref[0]
     block_k = kb.shape[0]
     s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=_KERNEL_PREC) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
     s = jnp.where(col < n_real, s, _NEG_INF)
 
@@ -323,7 +338,8 @@ def _flash_kernel_chunked(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     p = jnp.exp(s - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jnp.dot(
-        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32,
+        precision=_KERNEL_PREC)
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
@@ -537,7 +553,8 @@ def _flash_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
         kb = k_ref[0, sl, :]
         vb = v_ref[0, sl, :]
         s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+                                preferred_element_type=jnp.float32,
+                                precision=_KERNEL_PREC) * scale
         p = jnp.exp(s - lse)
         if i == nk - 1 and needs_mask:  # zero padded k columns
             col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + i * block_k
@@ -545,14 +562,16 @@ def _flash_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
         pc = p.astype(gb.dtype)
         dv_ref[0, sl, :] += jax.lax.dot_general(
             pc, gb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
         dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                                 precision=_KERNEL_PREC)
         ds = (p * (dp - dsum) * scale).astype(qb.dtype)
         dk_ref[0, sl, :] += jax.lax.dot_general(
             ds, qb, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dq_i = jnp.dot(ds, kb, preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
+        dq_i = jnp.dot(ds, kb, preferred_element_type=jnp.float32,
+                       precision=_KERNEL_PREC)
         if i == 0:
             dq_acc = dq_i
         else:

@@ -1,0 +1,115 @@
+"""AOT serving artifacts: export the fused predict program as StableHLO.
+
+The reference's "serving" is synchronous Python `DINOSeg.predict()` inside a
+live torch process (pl_torch_modules.py:276-300).  On TPU the whole predict
+path already compiles to ONE device program (resize -> normalize -> patchify
+-> ViT -> head -> argmax -> kron upsample, api.py:_predict_batch_fn); this
+module serializes that program — weights baked in as constants — with
+`jax.export`, so a robot/server deployment needs only jax + the artifact
+file: no model code, no checkpoint loading, no Python-side tracing, and a
+stable input/output contract (uint8 frames in, int32 480x480 label maps
+out).
+
+Artifacts are platform-bound (exported for the platform that traces them,
+TPU in production) and shape-bound per (batch, height, width, resolution),
+matching the framework's static-shape compilation policy.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = "dino_tpu_serving_v1"
+
+
+def export_predict(model, path: str, batch_size: int = 1,
+                   in_shape: Tuple[int, int] = (480, 640),
+                   precision: Optional[str] = None,
+                   platforms=None) -> str:
+    """Serialize `model.predict_batch`'s device program for a fixed input
+    shape; weights are baked in as program constants.
+
+    Writes `<path>` (StableHLO bytes) and `<path>.json` (the I/O contract).
+    Returns the artifact path.
+    """
+    from dino_tpu.ops.preprocess import preprocess
+    from dino_tpu.ops.upsample import kron_upsample
+    from dino_tpu.train.loop import seg_forward
+
+    res = model.resolution
+    out_size = res // 8
+    factor = 480 // out_size
+    cfg, head_type = model.cfg, model.head
+    cdt = model._compute_dtype_for(precision)
+    vit_p = model._serving_vit_params(precision)
+    head_p = model.head_params
+
+    def fn(imgs_u8):
+        from dino_tpu.api import _matmul_ctx
+        with _matmul_ctx(cdt):
+            x = preprocess(imgs_u8, res)
+            logp = seg_forward(vit_p, head_p, cfg, head_type,
+                               images_u8=None, pre_normalized=x,
+                               compute_dtype=cdt, backbone=model.backbone)
+        low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
+        return jax.vmap(lambda m: kron_upsample(m, factor))(
+            low.astype(jnp.int32))
+
+    spec = jax.ShapeDtypeStruct((batch_size, in_shape[0], in_shape[1], 3),
+                                jnp.uint8)
+    kwargs = {"platforms": platforms} if platforms else {}
+    exported = jax.export.export(jax.jit(fn), **kwargs)(spec)
+    blob = exported.serialize()
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    contract = {
+        "magic": _MAGIC,
+        "input": {"shape": [batch_size, in_shape[0], in_shape[1], 3],
+                  "dtype": "uint8"},
+        "output": {"shape": [batch_size, 480, 480], "dtype": "int32"},
+        "resolution": res,
+        "head": head_type,
+        "backbone": model.backbone,
+        "precision": precision or model.precision,
+        "platforms": list(exported.platforms),
+    }
+    with open(path + ".json", "w") as fh:
+        json.dump(contract, fh, indent=1)
+    return path
+
+
+class ExportedPredictor:
+    """Callable wrapper over a deserialized serving artifact."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as fh:
+            self.exported = jax.export.deserialize(fh.read())
+        self.contract = None
+        if os.path.exists(path + ".json"):
+            with open(path + ".json") as fh:
+                self.contract = json.load(fh)
+            if self.contract.get("magic") != _MAGIC:
+                raise ValueError(f"{path}.json is not a dino_tpu serving "
+                                 "contract")
+        self._call = jax.jit(self.exported.call)
+
+    def __call__(self, frames: np.ndarray) -> np.ndarray:
+        imgs = np.asarray(frames)
+        if imgs.dtype != np.uint8:
+            imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+        if self.contract is not None:
+            want = tuple(self.contract["input"]["shape"])
+            if tuple(imgs.shape) != want:
+                raise ValueError(
+                    f"artifact expects input {want}, got {imgs.shape} "
+                    "(artifacts are shape-bound; export one per shape)")
+        return np.asarray(self._call(imgs))
+
+
+def load_exported_predict(path: str) -> ExportedPredictor:
+    return ExportedPredictor(path)

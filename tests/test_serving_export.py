@@ -1,0 +1,59 @@
+"""AOT serving artifacts: export -> deserialize -> run matches live predict.
+
+The exported StableHLO program bakes the weights in, so the artifact runs
+with no model code or checkpoint — the deployment contract is uint8 frames
+in, int32 480x480 label maps out (reference invariant,
+pl_torch_modules.py:294-298).
+"""
+import numpy as np
+import pytest
+
+from dino_tpu import DINOSeg, export_predict, load_exported_predict
+
+
+@pytest.fixture(scope="module")
+def model():
+    m = DINOSeg(head="mlp", n_blocks=1, n_classes=5, random_init=True,
+                seed=0, precision="fp32")
+    m.set_resolution(64)
+    return m
+
+
+def test_export_roundtrip(model, tmp_path):
+    path = str(tmp_path / "predict.shlo")
+    out_path = export_predict(model, path, batch_size=3, in_shape=(100, 120))
+    assert out_path == path
+
+    rs = np.random.RandomState(0)
+    frames = rs.randint(0, 255, (3, 100, 120, 3), np.uint8)
+    served = load_exported_predict(path)
+    out = served(frames)
+    assert out.shape == (3, 480, 480) and out.dtype == np.int32
+    np.testing.assert_array_equal(out, model.predict_batch(frames))
+
+    # the contract sidecar records the I/O binding
+    assert served.contract["input"]["shape"] == [3, 100, 120, 3]
+    assert served.contract["resolution"] == 64
+    assert served.contract["precision"] == "fp32"
+
+
+def test_export_shape_bound(model, tmp_path):
+    path = str(tmp_path / "predict.shlo")
+    export_predict(model, path, batch_size=2, in_shape=(100, 120))
+    served = load_exported_predict(path)
+    bad = np.zeros((4, 100, 120, 3), np.uint8)
+    with pytest.raises(ValueError, match="shape-bound"):
+        served(bad)
+
+
+def test_export_moe_head(tmp_path):
+    """The MoE head exports too (routing compiles into the program)."""
+    m = DINOSeg(head="moe", n_experts=2, n_blocks=1, n_classes=4,
+                random_init=True, seed=1, precision="fp32")
+    m.set_resolution(64)
+    path = str(tmp_path / "moe.shlo")
+    export_predict(m, path, batch_size=1, in_shape=(64, 64))
+    frames = np.random.RandomState(0).randint(0, 255, (1, 64, 64, 3),
+                                              np.uint8)
+    out = load_exported_predict(path)(frames)
+    np.testing.assert_array_equal(out, m.predict_batch(frames))
