@@ -203,8 +203,12 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
             xin = rs.randn(1, 3, res, res).astype(np.float32)
             with torch.no_grad():
                 ref_tokens = tm(torch.from_numpy(xin)).numpy()
+            # use_flash=False: the parity oracle needs true-f32 attention
+            # (the ambient 'highest' applies to XLA dots; the flash kernel
+            # pins its own MXU precision and is not an f32 oracle)
             our_tokens = np.asarray(vit_forward(
-                model.vit_params, xin.transpose(0, 2, 3, 1), cfg))
+                model.vit_params, xin.transpose(0, 2, 3, 1), cfg,
+                use_flash=False))
             err = float(np.abs(our_tokens - ref_tokens).max())
             print(f"[2] {res}px token max|err| = {err:.2e}")
             record("activation_parity", err < 1e-3, resolution=res,
