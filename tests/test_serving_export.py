@@ -46,6 +46,34 @@ def test_export_shape_bound(model, tmp_path):
         served(bad)
 
 
+def test_export_cli(model, tmp_path):
+    """dt-export: checkpoint in -> artifact + JSON contract line out."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from dino_tpu.cli.export import main as export_main
+
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    model.save(ckpt)
+    out = str(tmp_path / "cli.shlo")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        export_main([ckpt, out, "--resolution", "64", "--batch-size", "2",
+                     "--in-height", "100", "--in-width", "120",
+                     "--precision", "fp32"])
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["artifact"] == out
+    assert line["input"]["shape"] == [2, 100, 120, 3]
+    assert line["precision"] == "fp32"
+
+    frames = np.random.RandomState(3).randint(0, 255, (2, 100, 120, 3),
+                                              np.uint8)
+    served = load_exported_predict(out)
+    np.testing.assert_array_equal(served(frames),
+                                  model.predict_batch(frames))
+
+
 def test_export_moe_head(tmp_path):
     """The MoE head exports too (routing compiles into the program)."""
     m = DINOSeg(head="moe", n_experts=2, n_blocks=1, n_classes=4,
