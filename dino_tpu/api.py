@@ -250,28 +250,35 @@ class DINOSeg:
                              self.head_params,
                              jnp.asarray(img)))
 
+    def _predict_batch_traced(self, precision: Optional[str] = None):
+        """The untraced batched-predict body: (vit_p, head_p, imgs_u8) ->
+        (B, out, out) int32 label maps.  Shared by the live jit path and the
+        AOT export (dino_tpu/serving.py) so the two programs are the same
+        math by construction."""
+        res = self.resolution
+        cfg, head_type = self.cfg, self.head
+        cdt, bb = self._compute_dtype_for(precision), self.backbone
+        out_size = res // 8
+        factor = 480 // out_size
+
+        def fn(vit_p, head_p, imgs_u8):
+            with _matmul_ctx(cdt):
+                x = preprocess(imgs_u8, res)
+                logp = seg_forward(vit_p, head_p, cfg, head_type,
+                                   images_u8=None, pre_normalized=x,
+                                   compute_dtype=cdt, backbone=bb)
+            low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
+            return jax.vmap(
+                lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
+
+        return fn
+
     def _predict_batch_fn(self, batch_shape,
                           precision: Optional[str] = None):
         key = ("predict_batch", batch_shape, self.resolution, precision)
         if key not in self._jit_cache:
-            res = self.resolution
-            cfg, head_type = self.cfg, self.head
-            cdt, bb = self._compute_dtype_for(precision), self.backbone
-            out_size = res // 8
-            factor = 480 // out_size
-
-            @jax.jit
-            def fn(vit_p, head_p, imgs_u8):
-                with _matmul_ctx(cdt):
-                    x = preprocess(imgs_u8, res)
-                    logp = seg_forward(vit_p, head_p, cfg, head_type,
-                                       images_u8=None, pre_normalized=x,
-                                       compute_dtype=cdt, backbone=bb)
-                low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
-                return jax.vmap(
-                    lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
-
-            self._jit_cache[key] = fn
+            self._jit_cache[key] = jax.jit(
+                self._predict_batch_traced(precision))
         return self._jit_cache[key]
 
     def predict_batch(self, images,

@@ -156,6 +156,28 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
             print(f"[1] qkv layout roundtrip exact: {same}")
             record("layout_roundtrip", same)
 
+    # stage 2b: the production Pallas flash kernel vs the XLA attention.
+    # The f32 torch oracle below deliberately runs use_flash=False (the
+    # kernel pins its own MXU precision and is not an f32 oracle), so this
+    # stage is what exercises the real serving kernel on the chip: bf16
+    # MXU rounding puts the expected deviation at ~1e-2 on O(5) tokens
+    # (measured); 0.1 is a 10x-margin gate that still catches any real
+    # kernel regression (wrong rescale, masking, block handling).
+    if jax.default_backend() == "tpu" and model.backbone == "vit":
+        cfg2b = ViTConfig(patch_size=8)
+        for res in [r for r in resolutions if r <= 480]:
+            rs = np.random.RandomState(res + 1)
+            xin = rs.randn(1, res, res, 3).astype(np.float32)
+            t_flash = np.asarray(vit_forward(model.vit_params, xin, cfg2b,
+                                             use_flash=True))
+            t_xla = np.asarray(vit_forward(model.vit_params, xin, cfg2b,
+                                           use_flash=False))
+            err = float(np.abs(t_flash - t_xla).max())
+            print(f"[2b] {res}px flash-kernel vs XLA token max|err| = "
+                  f"{err:.2e}")
+            record("flash_kernel_consistency", err < 0.1, resolution=res,
+                   max_abs_err=err)
+
     # torch-side oracle
     vt = None
     try:

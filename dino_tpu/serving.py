@@ -37,28 +37,18 @@ def export_predict(model, path: str, batch_size: int = 1,
     Writes `<path>` (StableHLO bytes) and `<path>.json` (the I/O contract).
     Returns the artifact path.
     """
-    from dino_tpu.ops.preprocess import preprocess
-    from dino_tpu.ops.upsample import kron_upsample
-    from dino_tpu.train.loop import seg_forward
-
     res = model.resolution
     out_size = res // 8
-    factor = 480 // out_size
-    cfg, head_type = model.cfg, model.head
-    cdt = model._compute_dtype_for(precision)
+    # always 480x480 at the reference resolutions (240/480/960); for other
+    # legal resolutions the kron factor floors, exactly like the reference's
+    # np.kron(pred, ones(480 // out)) (pl_torch_modules.py:297-298)
+    out_hw = out_size * (480 // out_size)
     vit_p = model._serving_vit_params(precision)
     head_p = model.head_params
+    traced = model._predict_batch_traced(precision)  # same body as live
 
     def fn(imgs_u8):
-        from dino_tpu.api import _matmul_ctx
-        with _matmul_ctx(cdt):
-            x = preprocess(imgs_u8, res)
-            logp = seg_forward(vit_p, head_p, cfg, head_type,
-                               images_u8=None, pre_normalized=x,
-                               compute_dtype=cdt, backbone=model.backbone)
-        low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
-        return jax.vmap(lambda m: kron_upsample(m, factor))(
-            low.astype(jnp.int32))
+        return traced(vit_p, head_p, imgs_u8)
 
     spec = jax.ShapeDtypeStruct((batch_size, in_shape[0], in_shape[1], 3),
                                 jnp.uint8)
@@ -71,9 +61,9 @@ def export_predict(model, path: str, batch_size: int = 1,
         "magic": _MAGIC,
         "input": {"shape": [batch_size, in_shape[0], in_shape[1], 3],
                   "dtype": "uint8"},
-        "output": {"shape": [batch_size, 480, 480], "dtype": "int32"},
+        "output": {"shape": [batch_size, out_hw, out_hw], "dtype": "int32"},
         "resolution": res,
-        "head": head_type,
+        "head": model.head,
         "backbone": model.backbone,
         "precision": precision or model.precision,
         "platforms": list(exported.platforms),

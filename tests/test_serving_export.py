@@ -46,6 +46,24 @@ def test_export_shape_bound(model, tmp_path):
         served(bad)
 
 
+def test_export_contract_nondivisible_resolution(tmp_path):
+    """Resolutions whose patch grid doesn't divide 480 floor the kron factor
+    (reference semantics, pl_torch_modules.py:297-298); the contract sidecar
+    must record the true output shape, not assume 480."""
+    m = DINOSeg(head="linear", n_blocks=1, n_classes=3, random_init=True,
+                seed=2, precision="fp32")
+    m.set_resolution(72)          # out 9x9, kron factor 53 -> 477x477
+    path = str(tmp_path / "odd.shlo")
+    export_predict(m, path, batch_size=1, in_shape=(72, 72))
+    served = load_exported_predict(path)
+    assert served.contract["output"]["shape"] == [1, 477, 477]
+    frames = np.random.RandomState(5).randint(0, 255, (1, 72, 72, 3),
+                                              np.uint8)
+    out = served(frames)
+    assert out.shape == (1, 477, 477)
+    np.testing.assert_array_equal(out, m.predict_batch(frames))
+
+
 def test_export_cli(model, tmp_path):
     """dt-export: checkpoint in -> artifact + JSON contract line out."""
     import io
