@@ -28,6 +28,9 @@ def main(argv=None) -> None:
     p.add_argument("--precision", default=None,
                    choices=["bf16", "fp32", "int8"],
                    help="override the checkpoint's serving precision")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="export DP-sharded over this many chips (batch "
+                        "shards, params replicate)")
     args = p.parse_args(argv)
 
     from dino_tpu import DINOSeg, export_predict
@@ -35,7 +38,8 @@ def main(argv=None) -> None:
     model.set_resolution(args.resolution)
     path = export_predict(model, args.output, batch_size=args.batch_size,
                           in_shape=(args.in_height, args.in_width),
-                          precision=args.precision)
+                          precision=args.precision,
+                          n_devices=args.n_devices)
     with open(path + ".json") as fh:
         contract = json.load(fh)
     print(json.dumps({"artifact": path, **contract}))

@@ -30,9 +30,15 @@ _MAGIC = "dino_tpu_serving_v1"
 def export_predict(model, path: str, batch_size: int = 1,
                    in_shape: Tuple[int, int] = (480, 640),
                    precision: Optional[str] = None,
-                   platforms=None) -> str:
+                   platforms=None, n_devices: Optional[int] = None) -> str:
     """Serialize `model.predict_batch`'s device program for a fixed input
     shape; weights are baked in as program constants.
+
+    With ``n_devices`` the program exports DP-sharded over a
+    ``(data=n_devices, model=1)`` mesh: the frame batch shards over chips,
+    params replicate, and the serialized StableHLO carries the sharding
+    (load-time requirement: the serving host exposes exactly that many
+    devices).  ``batch_size`` must divide by ``n_devices``.
 
     Writes `<path>` (StableHLO bytes) and `<path>.json` (the I/O contract).
     Returns the artifact path.
@@ -50,10 +56,22 @@ def export_predict(model, path: str, batch_size: int = 1,
     def fn(imgs_u8):
         return traced(vit_p, head_p, imgs_u8)
 
-    spec = jax.ShapeDtypeStruct((batch_size, in_shape[0], in_shape[1], 3),
-                                jnp.uint8)
+    in_sh = (batch_size, in_shape[0], in_shape[1], 3)
     kwargs = {"platforms": platforms} if platforms else {}
-    exported = jax.export.export(jax.jit(fn), **kwargs)(spec)
+    if n_devices and n_devices > 1:
+        if batch_size % n_devices:
+            raise ValueError(f"batch_size {batch_size} must divide by "
+                             f"n_devices {n_devices}")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dino_tpu.parallel.mesh import make_mesh
+        sh = NamedSharding(make_mesh(n_devices, model_axis=1), P("data"))
+        jf = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)
+        spec = jax.ShapeDtypeStruct(in_sh, jnp.uint8, sharding=sh)
+    else:
+        jf = jax.jit(fn)
+        spec = jax.ShapeDtypeStruct(in_sh, jnp.uint8)
+    exported = jax.export.export(jf, **kwargs)(spec)
     blob = exported.serialize()
     with open(path, "wb") as fh:
         fh.write(blob)
@@ -67,6 +85,7 @@ def export_predict(model, path: str, batch_size: int = 1,
         "backbone": model.backbone,
         "precision": precision or model.precision,
         "platforms": list(exported.platforms),
+        "nr_devices": exported.nr_devices,
     }
     with open(path + ".json", "w") as fh:
         json.dump(contract, fh, indent=1)
@@ -86,6 +105,17 @@ class ExportedPredictor:
             if self.contract.get("magic") != _MAGIC:
                 raise ValueError(f"{path}.json is not a dino_tpu serving "
                                  "contract")
+        self._sharding = None
+        if self.exported.nr_devices > 1:
+            if len(jax.devices()) < self.exported.nr_devices:
+                raise ValueError(
+                    f"artifact was exported for {self.exported.nr_devices} "
+                    f"devices; runtime has {len(jax.devices())}")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from dino_tpu.parallel.mesh import make_mesh
+            self._sharding = NamedSharding(
+                make_mesh(self.exported.nr_devices, model_axis=1), P("data"))
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, frames: np.ndarray) -> np.ndarray:
@@ -98,7 +128,9 @@ class ExportedPredictor:
                 raise ValueError(
                     f"artifact expects input {want}, got {imgs.shape} "
                     "(artifacts are shape-bound; export one per shape)")
-        return np.asarray(self._call(imgs))
+        x = (jax.device_put(imgs, self._sharding)
+             if self._sharding is not None else imgs)
+        return np.asarray(self._call(x))
 
 
 def load_exported_predict(path: str) -> ExportedPredictor:

@@ -92,6 +92,29 @@ def test_export_cli(model, tmp_path):
                                   model.predict_batch(frames))
 
 
+def test_export_dp_sharded(model, tmp_path):
+    """n_devices exports the program DP-sharded over the mesh; the loaded
+    artifact shards inputs over all chips and matches the single-device
+    program exactly (fp32)."""
+    import jax
+
+    n = jax.device_count()
+    assert n == 8  # conftest forces the virtual 8-device CPU mesh
+    path = str(tmp_path / "dp.shlo")
+    export_predict(model, path, batch_size=n, in_shape=(100, 120),
+                   n_devices=n)
+    served = load_exported_predict(path)
+    assert served.contract["nr_devices"] == n
+    frames = np.random.RandomState(1).randint(0, 255, (n, 100, 120, 3),
+                                              np.uint8)
+    out = served(frames)
+    np.testing.assert_array_equal(out, model.predict_batch(frames))
+
+    with pytest.raises(ValueError, match="divide"):
+        export_predict(model, str(tmp_path / "bad.shlo"), batch_size=3,
+                       in_shape=(100, 120), n_devices=n)
+
+
 def test_export_moe_head(tmp_path):
     """The MoE head exports too (routing compiles into the program)."""
     m = DINOSeg(head="moe", n_experts=2, n_blocks=1, n_classes=4,
