@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     ap.add_argument("--data_path", required=True,
@@ -46,7 +46,7 @@ def main():
     ap.add_argument("--freeze_last_layer", type=int, default=1,
                     help="epochs with the last-layer gradient cancelled")
     ap.add_argument("--seed", type=int, default=0)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import jax
     import jax.numpy as jnp

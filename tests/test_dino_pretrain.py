@@ -129,3 +129,34 @@ def test_freeze_last_layer_gate():
     out2 = step(student, teacher, center, opt_state, g, l,
                 jnp.float32(0.04), jnp.float32(0.996), jnp.float32(0.0))
     assert not np.allclose(np.asarray(out2[0]["head"]["last_layer"]["v"]), v0)
+
+
+def test_pretrain_cli_to_dinoseg_handoff(tmp_path):
+    """dt-pretrain-dino end-to-end: image folder -> training -> teacher
+    backbone npz -> loadable as a DINOSeg pretrained backbone."""
+    from PIL import Image
+
+    from dino_tpu.api import DINOSeg
+    from dino_tpu.cli.pretrain_dino import main as pretrain_main
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (72, 96, 3), np.uint8)).save(
+            data / f"{i}.jpg")
+    write = tmp_path / "out"
+    pretrain_main(["--data_path", str(data), "--write_path", str(write),
+                   "--arch", "vit_small", "--depth", "1", "--out_dim", "32",
+                   "--epochs", "1", "--warmup_epochs", "0",
+                   "--batch_size", "2", "--n_local_crops", "2",
+                   "--global_size", "32", "--local_size", "16"])
+    ckpt = write / "dino_pretrained_backbone.npz"
+    assert ckpt.exists()
+
+    model = DINOSeg(head="linear", n_blocks=1, n_classes=3, seed=0,
+                    pretrained_path=str(ckpt))
+    model.set_resolution(64)
+    img = rs.randint(0, 255, (64, 64, 3), np.uint8)
+    out = model.predict(img)
+    assert out.shape == (480, 480)
