@@ -72,7 +72,9 @@ class DINOSeg:
                  backbone: str = "vit", pretrained_path: Optional[str] = None,
                  seed: int = 0, train_resolution: int = 480,
                  precision: str = "bf16", n_experts: int = 4,
-                 _vit_params=None, _head_params=None):
+                 comet_logger=None, _vit_params=None, _head_params=None):
+        if logger is None and comet_logger is not None:
+            logger = comet_logger  # reference kwarg name (:144-147)
         if backbone != "vit":
             from dino_tpu.models.resnet import available as _resnet_available
             if not _resnet_available(backbone):
