@@ -300,17 +300,22 @@ class DINOSeg:
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
         fn = self._predict_batch_fn(imgs.shape, precision)
-        x = jnp.asarray(imgs)
+        return np.asarray(fn(self._serving_vit_params(precision),
+                             self.head_params, self._place_batch(imgs)))
+
+    @staticmethod
+    def _place_batch(imgs: np.ndarray):
+        """One host->device transfer: DP-sharded over the data mesh when the
+        batch divides the device count (params replicate and GSPMD runs each
+        frame on its own chip), plain placement otherwise."""
         if (jax.device_count() > 1
                 and imgs.shape[0] % jax.device_count() == 0):
-            # multi-chip serving: shard the batch over the data mesh; params
-            # replicate and GSPMD runs each frame on its own chip
             from jax.sharding import NamedSharding, PartitionSpec as P
+
             from dino_tpu.parallel.mesh import make_mesh
-            x = jax.device_put(imgs, NamedSharding(make_mesh(model_axis=1),
-                                                   P("data")))
-        return np.asarray(fn(self._serving_vit_params(precision),
-                             self.head_params, x))
+            return jax.device_put(imgs, NamedSharding(
+                make_mesh(model_axis=1), P("data")))
+        return jnp.asarray(imgs)
 
     def predict_stream(self, frames, batch_size: int = 8):
         """Continuous inference over a frame iterator (robot-camera trace).
@@ -343,7 +348,7 @@ class DINOSeg:
                 if fn is None:
                     fn = self._predict_batch_fn(imgs.shape)
                 fut = fn(self._serving_vit_params(), self.head_params,
-                         jnp.asarray(imgs))
+                         self._place_batch(imgs))
                 yield from flush()
                 pending = (fut, batch_size)
         yield from flush()
@@ -473,10 +478,10 @@ class DINOSeg:
 
         'auto' engages whenever it is numerics-safe: ViT backbone (BN-free),
         frozen, single host.  Train features additionally require a
-        non-augmented pipeline (augmented pixels change every draw).  A
-        per-dataset HBM budget ($DINO_TPU_FEATURE_CACHE_BYTES, default 2GB)
-        guards against huge datasets; over budget falls back silently to the
-        recompute path.
+        non-augmented pipeline (augmented pixels change every draw).  An HBM
+        budget over the combined residency ($DINO_TPU_FEATURE_CACHE_BYTES,
+        default 2GB) guards against huge datasets; over budget the train
+        cache drops first, then the val cache (recompute path fallback).
         """
         if cache_features is False:
             return False, False
@@ -487,11 +492,23 @@ class DINOSeg:
         n_patches = (self.train_resolution // 8) ** 2
         cap = int(os.environ.get("DINO_TPU_FEATURE_CACHE_BYTES",
                                  2_000_000_000))
+        itemsize = 2 if self.compute_dtype == jnp.bfloat16 else 4
 
-        def fits(n_items):
-            return n_items * n_patches * self.mlp_input_dim * 4 <= cap
+        def nbytes(n_items):
+            return n_items * n_patches * self.mlp_input_dim * itemsize
 
-        return (not self.augmented) and fits(n_train), fits(n_val)
+        # the budget bounds the COMBINED residency of both caches; when over,
+        # the train cache (the larger of the two) is dropped first
+        want_train = (not self.augmented) and n_train > 0
+        want_val = n_val > 0
+        total = ((nbytes(n_train) if want_train else 0)
+                 + (nbytes(n_val) if want_val else 0))
+        if total > cap and want_train:
+            want_train = False
+            total = nbytes(n_val) if want_val else 0
+        if total > cap:
+            want_val = False
+        return want_train, want_val
 
     def _precompute_features(self, ds, feature_fn):
         """Run every unique dataset image through the frozen backbone once;
@@ -499,7 +516,9 @@ class DINOSeg:
         feats, labels = [], []
         for xb, yb in batched_loader(ds, np.arange(len(ds)),
                                      self.batch_size):
-            feats.append(feature_fn(self.vit_params, jnp.asarray(xb)))
+            # the backbone forward (the expensive part) DP-shards over the
+            # mesh when the batch divides the device count
+            feats.append(feature_fn(self.vit_params, self._place_batch(xb)))
             labels.append(np.asarray(yb))
         return (jnp.concatenate(feats, axis=0),
                 jnp.asarray(np.concatenate(labels, axis=0).astype(np.int32)))
@@ -585,7 +604,7 @@ class DINOSeg:
                     train_ds, feature_fn)
                 cached_train_step = make_cached_head_train_step(
                     self.head, self.n_classes, optimizer)
-            mb = sum(int(np.prod(f.shape)) * 4 for f in
+            mb = sum(int(np.prod(f.shape)) * f.dtype.itemsize for f in
                      (train_feats, val_feats) if f is not None) / 1e6
             print(f"feature cache: train={cache_train} val={cache_val} "
                   f"({mb:.0f} MB device-resident; frozen backbone runs once "

@@ -8,7 +8,7 @@ log_softmax.  Init matches torch.nn.Linear defaults (kaiming-uniform a=sqrt(5)
 from __future__ import annotations
 
 import math
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -94,15 +94,27 @@ def moe_gate(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.softmax(logits, axis=-1)
 
 
-def moe_balance_loss(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def moe_balance_loss(p: Params, x: jnp.ndarray,
+                     weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Switch-transformer load-balance auxiliary: E * sum_e f_e * P_e, where
     f_e is the fraction of patches routed to expert e and P_e the mean gate
-    probability.  Minimized (=1) at uniform routing."""
+    probability.  Minimized (=1) at uniform routing.
+
+    ``weights`` (M,) excludes padded patches (ragged-tail batches) from the
+    routing statistics, matching the nll/CM masking semantics.
+    """
     gate = moe_gate(p, x)
     n_experts = gate.shape[-1]
-    f = jnp.mean(jax.nn.one_hot(jnp.argmax(gate, axis=-1), n_experts,
-                                dtype=jnp.float32), axis=0)
-    pbar = jnp.mean(gate, axis=0)
+    one_hot = jax.nn.one_hot(jnp.argmax(gate, axis=-1), n_experts,
+                             dtype=jnp.float32)
+    if weights is None:
+        f = jnp.mean(one_hot, axis=0)
+        pbar = jnp.mean(gate, axis=0)
+    else:
+        w = weights.astype(jnp.float32)[:, None]
+        denom = jnp.maximum(jnp.sum(w), 1.0)
+        f = jnp.sum(one_hot * w, axis=0) / denom
+        pbar = jnp.sum(gate * w, axis=0) / denom
     # f is argmax-derived (piecewise constant): the gradient flows via pbar
     return n_experts * jnp.sum(f * pbar)
 

@@ -130,9 +130,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         loss = nll_loss(logp, y, w)
         if head_type == "moe":
             from dino_tpu.models.heads import moe_balance_loss
-            # Switch-style router load-balance auxiliary (coefficient 0.01)
+            # Switch-style router load-balance auxiliary (coefficient 0.01);
+            # padded tail patches are excluded via w like the nll/CM
             loss = loss + 0.01 * moe_balance_loss(trainable["head"],
-                                                  feat_sink["feats"])
+                                                  feat_sink["feats"],
+                                                  weights=w)
         preds = jnp.argmax(logp, axis=-1)
         return loss, (confusion_matrix(preds, y, n_classes, weights=w),
                       bn_collect)
@@ -208,7 +210,8 @@ def make_cached_head_train_step(head_type: str, n_classes: int,
         loss = nll_loss(logp, y, w)
         if head_type == "moe":
             from dino_tpu.models.heads import moe_balance_loss
-            loss = loss + 0.01 * moe_balance_loss(trainable["head"], flat)
+            loss = loss + 0.01 * moe_balance_loss(trainable["head"], flat,
+                                                  weights=w)
         preds = jnp.argmax(logp, axis=-1)
         return loss, confusion_matrix(preds, y, n_classes, weights=w)
 

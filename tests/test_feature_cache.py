@@ -92,6 +92,43 @@ def test_cache_engages_only_when_safe(voc_root):
         del os.environ["DINO_TPU_FEATURE_CACHE_BYTES"]
 
 
+def test_cache_plan_budget_and_empty_splits(voc_root):
+    m = DINOSeg(data_path=voc_root, write_path="/tmp/x", n_classes=N_CLASSES,
+                random_init=True, augmented=False, freeze_backbone=True,
+                train_resolution=RES)
+    # empty splits never cache (an empty cache would crash the precompute)
+    assert m._cache_plan("auto", 0, 4) == (False, True)
+    assert m._cache_plan("auto", 10, 0) == (True, False)
+    # the budget bounds the COMBINED residency: a cap that fits either
+    # dataset alone but not both drops the (larger) train cache first
+    n_patches = (RES // 8) ** 2
+    itemsize = 2  # default precision is bf16
+    one_item = n_patches * m.mlp_input_dim * itemsize
+    os.environ["DINO_TPU_FEATURE_CACHE_BYTES"] = str(12 * one_item)
+    try:
+        assert m._cache_plan("auto", 10, 4) == (False, True)
+        os.environ["DINO_TPU_FEATURE_CACHE_BYTES"] = str(3 * one_item)
+        assert m._cache_plan("auto", 10, 4) == (False, False)
+    finally:
+        del os.environ["DINO_TPU_FEATURE_CACHE_BYTES"]
+
+
+def test_fit_with_empty_val_split(tmp_path):
+    """A present-but-empty val dir must not crash the cached path
+    (regression: jnp.concatenate([]) in _precompute_features)."""
+    root = str(tmp_path / "voc")
+    _make_split(root, "train", 6, 0)
+    _make_split(root, "test", 2, 2)
+    os.makedirs(os.path.join(root, "dt_real_voc_val", "JPEGImages"),
+                exist_ok=True)
+    m = DINOSeg(data_path=root, write_path=str(tmp_path / "w"), head="linear",
+                n_blocks=1, n_classes=N_CLASSES, batch_size=3, lr=1e-3,
+                freeze_backbone=True, max_epochs=1, random_init=True,
+                augmented=False, train_resolution=RES, seed=0)
+    metrics = m.fit(samples_per_epoch=6, cache_features="auto")
+    assert 0.0 <= metrics["test_acc"] <= 1.0
+
+
 def test_augmented_run_still_caches_val(voc_root, tmp_path):
     """augmented=True: train recomputes (fresh pixels every draw) but the
     val set is still served from the cache; fit stays healthy end-to-end."""
