@@ -72,8 +72,13 @@ def fused_ln_mlp_residual(norm_p: Params, mlp_p: Params, x: jnp.ndarray,
                           eps: float) -> jnp.ndarray:
     """x: (..., D) bf16 -> x + fc2(gelu(fc1(LN(x)))), one VMEM-resident pass.
 
-    Backward recomputes the XLA composition and differentiates it (same
-    trade as the flash-attention bwd: no extra kernel surface).
+    The kernel is the *inference* fast path (one HBM round-trip for the
+    whole block half).  Under differentiation the fwd rule runs the XLA
+    composition instead: standard autodiff then saves the intermediates,
+    which measures faster end-to-end than kernel-fwd + recompute-bwd
+    (train step 95.9 -> 91.8 ms at 480px batch 16 — the kernel's HBM
+    saving is smaller than the cost of re-running the forward in the
+    backward pass).
     """
     orig_shape = x.shape
     d = x.shape[-1]
@@ -109,13 +114,14 @@ def fused_ln_mlp_residual(norm_p: Params, mlp_p: Params, x: jnp.ndarray,
 
 
 def _fwd_rule(norm_p, mlp_p, x, eps):
-    return fused_ln_mlp_residual(norm_p, mlp_p, x, eps), (norm_p, mlp_p, x)
+    # jax.vjp's Partial is a registered pytree, so the saved intermediates
+    # ride in the residuals; the backward is then grad-math only.
+    out, vjp = jax.vjp(lambda n, m, x_: _xla_reference(n, m, x_, eps),
+                       norm_p, mlp_p, x)
+    return out, vjp
 
 
-def _bwd_rule(eps, res, g):
-    norm_p, mlp_p, x = res
-    _, vjp = jax.vjp(lambda n, m, x_: _xla_reference(n, m, x_, eps),
-                     norm_p, mlp_p, x)
+def _bwd_rule(eps, vjp, g):
     return vjp(g)
 
 
