@@ -238,19 +238,55 @@ class DINOSeg:
             self._jit_cache[key] = fn
         return self._jit_cache[key]
 
-    def predict(self, x, precision: Optional[str] = None) -> np.ndarray:
+    def predict(self, x, precision: Optional[str] = None,
+                parallelism: Optional[str] = None) -> np.ndarray:
         """Single-image inference -> 480x480 int ndarray (ref :276-300).
 
         ``precision`` overrides the model default for this call ('fp32'
         removes bf16 batch-size-dependent argmax flips on near-tie patches).
+        ``parallelism='tp'`` runs the frame tensor-parallel over every
+        visible chip (Megatron-style block sharding) — the multi-chip
+        batch-1 *latency* mode, where DP cannot help.
         """
         img = np.asarray(x)
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
         fn = self._predict_fn(img.shape[:2], precision)
-        return np.asarray(fn(self._serving_vit_params(precision),
-                             self.head_params,
-                             jnp.asarray(img)))
+        vit_p, head_p = self._serving_params(precision, parallelism)
+        return np.asarray(fn(vit_p, head_p, jnp.asarray(img)))
+
+    def _serving_params(self, precision: Optional[str],
+                        parallelism: Optional[str]):
+        """(vit_p, head_p) placed for the requested serving parallelism.
+
+        ``parallelism=None`` returns the plain (replicated) params;
+        ``'tp'`` returns them sharded Megatron-style over a model-axis mesh
+        spanning every visible device (parallel/mesh.py:_vit_block_spec),
+        cached until the underlying params change.  GSPMD then partitions
+        the same jitted predict program — qkv/fc1 column-parallel, proj/fc2
+        row-parallel, one all-reduce per sub-layer riding ICI.
+        """
+        if parallelism is None:
+            return self._serving_vit_params(precision), self.head_params
+        if parallelism != "tp":
+            raise ValueError(f"unsupported parallelism {parallelism!r}")
+        if self.backbone != "vit":
+            raise ValueError("parallelism='tp' requires the ViT backbone")
+        if (precision or self.precision) == "int8":
+            raise ValueError("parallelism='tp' is not supported with int8 "
+                             "params (quantized tree has no sharding rules)")
+        vit_p = self._serving_vit_params(precision)
+        cached = getattr(self, "_tp_cache", None)
+        if cached is not None and cached[0] is vit_p:
+            return cached[1], cached[2]
+        from dino_tpu.parallel.mesh import (head_param_spec, make_mesh,
+                                            shard_params, vit_param_spec)
+        mesh = make_mesh(model_axis=jax.device_count())
+        vit_s = shard_params(vit_p, vit_param_spec(self.n_blocks), mesh)
+        head_s = shard_params(self.head_params, head_param_spec(self.head),
+                              mesh)
+        self._tp_cache = (vit_p, vit_s, head_s)
+        return vit_s, head_s
 
     def _predict_batch_traced(self, precision: Optional[str] = None):
         """The untraced batched-predict body: (vit_p, head_p, imgs_u8) ->
@@ -283,8 +319,8 @@ class DINOSeg:
                 self._predict_batch_traced(precision))
         return self._jit_cache[key]
 
-    def predict_batch(self, images,
-                      precision: Optional[str] = None) -> np.ndarray:
+    def predict_batch(self, images, precision: Optional[str] = None,
+                      parallelism: Optional[str] = None) -> np.ndarray:
         """Batched inference: uint8 (B, H, W, 3) -> (B, 480, 480) int maps.
 
         The serving-throughput path: one fused device program for the whole
@@ -293,6 +329,9 @@ class DINOSeg:
         near-tie patches (different matmul tilings); precision='fp32' runs
         true-f32 matmuls (matmul precision 'highest'), making every serving
         program — batch-1, batch-N, AOT-exported — bit-identical.
+        ``parallelism='tp'`` shards the *model* over all chips instead of
+        the batch — the latency mode for batches smaller than the device
+        count (DP engages automatically for divisible batches).
         """
         if isinstance(images, (list, tuple)):  # PIL images / mixed arrays
             images = np.stack([np.asarray(im) for im in images])
@@ -300,8 +339,10 @@ class DINOSeg:
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
         fn = self._predict_batch_fn(imgs.shape, precision)
-        return np.asarray(fn(self._serving_vit_params(precision),
-                             self.head_params, self._place_batch(imgs)))
+        vit_p, head_p = self._serving_params(precision, parallelism)
+        x = (jnp.asarray(imgs) if parallelism == "tp"
+             else self._place_batch(imgs))
+        return np.asarray(fn(vit_p, head_p, x))
 
     @staticmethod
     def _place_batch(imgs: np.ndarray):

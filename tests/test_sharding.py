@@ -71,3 +71,31 @@ def test_tp_forward_matches_replicated():
     out = jax.jit(lambda v, h, x: seg_forward(v, h, CFG, "mlp", x))(
         vit_s, head_s, img_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_tp_serving_mode():
+    """predict/predict_batch(parallelism='tp'): Megatron-sharded params over
+    all 8 devices, same program — the batch-1 multi-chip latency mode."""
+    from dino_tpu import DINOSeg
+
+    m = DINOSeg(head="mlp", n_blocks=2, n_classes=5, random_init=True,
+                seed=0, precision="fp32")
+    m.set_resolution(64)
+    rs = np.random.RandomState(0)
+    frames = rs.randint(0, 255, (3, 64, 64, 3), np.uint8)  # 3 !% 8: no DP
+
+    ref = m.predict_batch(frames)
+    tp = m.predict_batch(frames, parallelism="tp")
+    assert tp.shape == ref.shape == (3, 480, 480)
+    # same math modulo all-reduce summation order; near-ties may flip on
+    # random weights, so gate on overwhelming agreement rather than equality
+    assert float((tp == ref).mean()) > 0.99
+
+    single = m.predict(frames[0], parallelism="tp")
+    assert float((single == tp[0]).mean()) > 0.99
+
+    # the sharded param cache invalidates when params change
+    v1 = m._serving_params("fp32", "tp")[0]
+    assert m._serving_params("fp32", "tp")[0] is v1
+    with pytest.raises(ValueError, match="unsupported parallelism"):
+        m.predict(frames[0], parallelism="pp")
