@@ -17,6 +17,7 @@ Replicates the reference DINOSeg LightningModule surface
 """
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Any, Dict, Optional, Tuple
@@ -44,7 +45,6 @@ def _matmul_ctx(compute_dtype):
     tiled programs (batch-1 vs batch-N, live vs AOT-exported) can flip
     argmax on near-tie patches even in "fp32".  Forcing 'highest' inside
     the traced serving fns makes every fp32 program bit-identical."""
-    import contextlib
     if compute_dtype is None:
         return jax.default_matmul_precision("highest")
     return contextlib.nullcontext()
@@ -107,6 +107,7 @@ class DINOSeg:
         self.compute_dtype = (jnp.bfloat16 if precision in ("bf16", "int8")
                               else None)
         self._int8_cache = None  # (master_params_id, quantized_tree)
+        self._tp_cache = None    # (master_params_id, vit_sharded, head_sharded)
         self.mlp_input_dim = self.cfg.embed_dim  # cnn backbones override
         self.resolution = 480
         self.best_ck: Optional[str] = None
@@ -276,9 +277,8 @@ class DINOSeg:
             raise ValueError("parallelism='tp' is not supported with int8 "
                              "params (quantized tree has no sharding rules)")
         vit_p = self._serving_vit_params(precision)
-        cached = getattr(self, "_tp_cache", None)
-        if cached is not None and cached[0] is vit_p:
-            return cached[1], cached[2]
+        if self._tp_cache is not None and self._tp_cache[0] is vit_p:
+            return self._tp_cache[1], self._tp_cache[2]
         from dino_tpu.parallel.mesh import (head_param_spec, make_mesh,
                                             shard_params, vit_param_spec)
         mesh = make_mesh(model_axis=jax.device_count())
@@ -351,11 +351,8 @@ class DINOSeg:
         frame on its own chip), plain placement otherwise."""
         if (jax.device_count() > 1
                 and imgs.shape[0] % jax.device_count() == 0):
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from dino_tpu.parallel.mesh import make_mesh
-            return jax.device_put(imgs, NamedSharding(
-                make_mesh(model_axis=1), P("data")))
+            from dino_tpu.parallel.mesh import data_sharding
+            return jax.device_put(imgs, data_sharding())
         return jnp.asarray(imgs)
 
     def predict_stream(self, frames, batch_size: int = 8):

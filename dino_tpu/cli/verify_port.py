@@ -163,14 +163,14 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
     # MXU rounding puts the expected deviation at ~1e-2 on O(5) tokens
     # (measured); 0.1 is a 10x-margin gate that still catches any real
     # kernel regression (wrong rescale, masking, block handling).
+    cfg = ViTConfig(patch_size=8)
     if jax.default_backend() == "tpu" and model.backbone == "vit":
-        cfg2b = ViTConfig(patch_size=8)
         for res in [r for r in resolutions if r <= 480]:
             rs = np.random.RandomState(res + 1)
             xin = rs.randn(1, res, res, 3).astype(np.float32)
-            t_flash = np.asarray(vit_forward(model.vit_params, xin, cfg2b,
+            t_flash = np.asarray(vit_forward(model.vit_params, xin, cfg,
                                              use_flash=True))
-            t_xla = np.asarray(vit_forward(model.vit_params, xin, cfg2b,
+            t_xla = np.asarray(vit_forward(model.vit_params, xin, cfg,
                                            use_flash=False))
             err = float(np.abs(t_flash - t_xla).max())
             print(f"[2b] {res}px flash-kernel vs XLA token max|err| = "
@@ -205,7 +205,6 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
           raw.items() if k.startswith("dino.")}
     tm.load_state_dict(sd, strict=True)
     tm.eval()
-    cfg = ViTConfig(patch_size=8)
 
     with jax.default_matmul_precision("highest"):
         for res in resolutions:

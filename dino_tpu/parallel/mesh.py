@@ -68,6 +68,13 @@ def batch_spec() -> P:
     return P("data")
 
 
+def data_sharding(n_devices: Optional[int] = None) -> NamedSharding:
+    """Batch-axis (DP) sharding over a pure-data mesh of the first n devices
+    — the placement used by sharded serving, feature precompute, and
+    DP-exported artifacts."""
+    return NamedSharding(make_mesh(n_devices, model_axis=1), P("data"))
+
+
 def shard_params(params: Any, spec: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec,

@@ -62,10 +62,8 @@ def export_predict(model, path: str, batch_size: int = 1,
         if batch_size % n_devices:
             raise ValueError(f"batch_size {batch_size} must divide by "
                              f"n_devices {n_devices}")
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from dino_tpu.parallel.mesh import make_mesh
-        sh = NamedSharding(make_mesh(n_devices, model_axis=1), P("data"))
+        from dino_tpu.parallel.mesh import data_sharding
+        sh = data_sharding(n_devices)
         jf = jax.jit(fn, in_shardings=(sh,), out_shardings=sh)
         spec = jax.ShapeDtypeStruct(in_sh, jnp.uint8, sharding=sh)
     else:
@@ -77,8 +75,7 @@ def export_predict(model, path: str, batch_size: int = 1,
         fh.write(blob)
     contract = {
         "magic": _MAGIC,
-        "input": {"shape": [batch_size, in_shape[0], in_shape[1], 3],
-                  "dtype": "uint8"},
+        "input": {"shape": list(in_sh), "dtype": "uint8"},
         "output": {"shape": [batch_size, out_hw, out_hw], "dtype": "int32"},
         "resolution": res,
         "head": model.head,
@@ -107,15 +104,12 @@ class ExportedPredictor:
                                  "contract")
         self._sharding = None
         if self.exported.nr_devices > 1:
-            if len(jax.devices()) < self.exported.nr_devices:
+            if jax.device_count() < self.exported.nr_devices:
                 raise ValueError(
                     f"artifact was exported for {self.exported.nr_devices} "
-                    f"devices; runtime has {len(jax.devices())}")
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from dino_tpu.parallel.mesh import make_mesh
-            self._sharding = NamedSharding(
-                make_mesh(self.exported.nr_devices, model_axis=1), P("data"))
+                    f"devices; runtime has {jax.device_count()}")
+            from dino_tpu.parallel.mesh import data_sharding
+            self._sharding = data_sharding(self.exported.nr_devices)
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, frames: np.ndarray) -> np.ndarray:
