@@ -657,19 +657,30 @@ class DINOSeg:
         opt_state = init_opt_state(optimizer, self.vit_params,
                                    self.head_params, self.freeze_backbone)
 
-        # Data parallelism: shard the batch over all local devices when it
-        # divides evenly (single-chip degenerates to no-op).
+        # Data parallelism: shard the batch over all devices when it divides
+        # evenly (single-chip degenerates to no-op).  Multi-host: the mesh
+        # spans every process's devices; each host loads only its slab of
+        # each global batch (put_global below), so IO and compute both
+        # divide by the host count.
         batch_sharding = None
         if jax.device_count() > 1 and self.batch_size % jax.device_count() == 0:
-            from dino_tpu.parallel.mesh import make_mesh
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            mesh = make_mesh(model_axis=1)
-            batch_sharding = NamedSharding(mesh, P("data"))
+            from dino_tpu.parallel.mesh import data_sharding
+            batch_sharding = data_sharding()
+        n_proc = jax.process_count()
+        multi_host = batch_sharding is not None and n_proc > 1
 
         def put(x):
             x = jnp.asarray(x)
             return (jax.device_put(x, batch_sharding)
                     if batch_sharding is not None else x)
+
+        def put_global(local_rows):
+            """Host-local slab (rows for this process's devices) -> global
+            batch array sharded over the whole mesh."""
+            from jax.experimental import multihost_utils
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(local_rows), batch_sharding.mesh,
+                batch_sharding.spec)
 
         # Resume support (upgraded reference restart_from_checkpoint).
         from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
@@ -718,6 +729,32 @@ class DINOSeg:
                                            jnp.asarray(mask))
                     losses.append(loss)
                     cms.append(cm)
+            elif multi_host:
+                # every process iterates the SAME global batch windows
+                # (identical rng) but loads/feeds only its own slab; the
+                # jitted step runs SPMD over the global mesh, so gradients
+                # aggregate across hosts inside the program
+                b = self.batch_size
+                b_loc = b // n_proc
+                p_i = jax.process_index()
+                for start in range(0, len(idx), b):
+                    window = idx[start:start + b]
+                    n_real = len(window)
+                    mask = np.zeros((b,), np.float32)
+                    mask[:n_real] = 1.0
+                    if n_real != b:
+                        window = np.concatenate(
+                            [window, np.repeat(window[-1:], b - n_real)])
+                    rows = window[p_i * b_loc:(p_i + 1) * b_loc]
+                    xb, yb = next(iter(batched_loader(
+                        train_ds, rows, b_loc, rng=rng)))
+                    m_loc = mask[p_i * b_loc:(p_i + 1) * b_loc]
+                    (self.vit_params, self.head_params, opt_state, loss, cm
+                     ) = train_step(self.vit_params, self.head_params,
+                                    opt_state, put_global(xb),
+                                    put_global(yb), put_global(m_loc))
+                    losses.append(loss)
+                    cms.append(cm)
             else:
                 for xb, yb in batched_loader(train_ds, idx, self.batch_size,
                                              rng=rng):
@@ -763,16 +800,27 @@ class DINOSeg:
                         val_cm, title="val", step=epoch,
                         labels=self.class_names,
                         file_name=f"val_epoch_{epoch}.json")
-            if metrics["val_acc"] > best_acc:
-                best_acc = metrics["val_acc"]
-                self.save(ck_path, extra_hparams={"best_val_acc": best_acc,
-                                                  "epoch": epoch})
-            if resume:
-                save_train_state(
-                    resume_path,
-                    {"vit": self.vit_params, "head": self.head_params,
-                     "opt_state": opt_state},
-                    run_variables={"epoch": epoch, "best_acc": best_acc})
+            # multi-host: params/metrics are identical on every process, so
+            # only host 0 writes (a shared filesystem would race otherwise);
+            # the barrier keeps other hosts from reading a half-written file
+            if jax.process_index() == 0:
+                if metrics["val_acc"] > best_acc:
+                    self.save(ck_path,
+                              extra_hparams={"best_val_acc":
+                                             metrics["val_acc"],
+                                             "epoch": epoch})
+                if resume:
+                    save_train_state(
+                        resume_path,
+                        {"vit": self.vit_params, "head": self.head_params,
+                         "opt_state": opt_state},
+                        run_variables={"epoch": epoch,
+                                       "best_acc": max(best_acc,
+                                                       metrics["val_acc"])})
+            best_acc = max(best_acc, metrics["val_acc"])
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices(f"dt_epoch_{epoch}")
         # the resume point is left in place: re-running with a larger
         # max_epochs continues training; with the same value it's a no-op
 

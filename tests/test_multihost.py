@@ -1,0 +1,115 @@
+"""Multi-host training: a real 2-process jax.distributed cluster on CPU.
+
+Spawns two processes (2 local devices each) that run the SAME `fit()` over a
+4-device global mesh — each host loads only its slab of every global batch
+(api.py:_fit_phase multi-host branch) and gradients aggregate inside the
+SPMD program — plus one single-process 4-device reference run.  The trained
+parameters and metrics must agree: multi-host DP is a pure execution-layout
+change, not a numerics change.
+
+This is the live replacement for the reference's dormant NCCL scaffolding
+(reference utils.py:467-499) exercised as an actual multi-process cluster.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from tests.test_train_smoke import N_CLASSES, RES, _make_split
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    model = DINOSeg(data_path=cfg["data"], write_path=cfg["write"],
+                    head="linear", n_blocks=1, n_classes=cfg["n_classes"],
+                    batch_size=4, lr=1e-2, optimizer="adam",
+                    freeze_backbone=True, max_epochs=2, random_init=True,
+                    augmented=False, train_resolution=cfg["res"],
+                    precision="fp32", seed=0)
+    metrics = model.fit(samples_per_epoch=8, cache_features=False)
+    if jax.process_index() == 0:
+        head = {k: np.asarray(v) for k, v in
+                {"k1": model.head_params["layer_1"]["kernel"],
+                 "b1": model.head_params["layer_1"]["bias"]}.items()}
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"], **head)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(cfgs, timeout=600):
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _RUNNER, json.dumps(c)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        cwd=REPO) for c in cfgs]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=timeout)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    return outs
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc_mh"))
+    _make_split(root, "train", 8, 0)
+    _make_split(root, "val", 4, 1)
+    _make_split(root, "test", 4, 2)
+    return root
+
+
+def test_two_process_fit_matches_single_process(voc_root, tmp_path):
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")])
+
+    w_mh = str(tmp_path / "mh")
+    port = _free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)])
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    # same global batches, same math — only the psum layout differs
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mh["b1"], ref["b1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)
