@@ -103,51 +103,90 @@ def main(argv=None):
         warmup_teacher_temp_epochs=args.warmup_teacher_temp_epochs)
 
     from PIL import Image
-    rng = np.random.default_rng(args.seed)
+
+    # Multi-host (the reference DINO recipe trains multi-GPU DDP;
+    # facebookresearch/dino main_dino.py): crops shard on the batch axis
+    # over a global mesh, each host loading only its slab; the SPMD step
+    # aggregates gradients and the centering batch-mean globally.  Crop
+    # randomness is keyed per (seed, epoch, image-index), so the pixel
+    # stream is identical for every host topology.
+    n_proc = jax.process_count()
+    p_i = jax.process_index()
+    if args.batch_size % max(1, n_proc):
+        raise ValueError(f"batch_size {args.batch_size} must divide by the "
+                         f"process count {n_proc}")
+    b_loc = args.batch_size // max(1, n_proc)
+    dp_sharding = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dino_tpu.parallel.mesh import data_sharding
+        # crops carry the batch on axis 1: (n_views, B, H, W, 3)
+        dp_sharding = NamedSharding(data_sharding().mesh, P(None, "data"))
+
+    def place(crops):
+        if dp_sharding is None:
+            return jnp.asarray(crops)
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(crops), dp_sharding.mesh, dp_sharding.spec)
+        return jax.device_put(jnp.asarray(crops), dp_sharding)
+
+    def load_crops(rows, epoch):
+        gs, ls = [], []
+        for i in rows:
+            img = np.array(Image.open(files[i]).convert("RGB"))
+            g, l = dino_multi_crop(
+                np.random.default_rng([args.seed, epoch, int(i)]), img,
+                dino_cfg)
+            gs.append(g)
+            ls.append(l)
+        g_crops = np.stack([np.stack([g[c] for g in gs]) for c in range(2)])
+        l_crops = np.stack([np.stack([l[c] for l in ls])
+                            for c in range(dino_cfg.n_local_crops)])
+
+        def norm(crops):
+            flat = crops.reshape((-1,) + crops.shape[2:])
+            return np.asarray(normalize_imagenet(jnp.asarray(flat))).reshape(
+                crops.shape[:2] + crops.shape[2:])
+
+        return norm(g_crops), norm(l_crops)
+
     it = 0
     for epoch in range(args.epochs):
-        order = rng.permutation(len(files))
+        order = np.random.default_rng([args.seed, epoch]).permutation(
+            len(files))
         t0 = time.time()
         losses = []
         for start in range(0, niter * args.batch_size, args.batch_size):
             idx = order[start:start + args.batch_size]
-            gs, ls = [], []
-            for i in idx:
-                img = np.array(Image.open(files[i]).convert("RGB"))
-                g, l = dino_multi_crop(rng, img, dino_cfg)
-                gs.append(g)
-                ls.append(l)
-            g_crops = np.stack(
-                [np.stack([g[c] for g in gs]) for c in range(2)])
-            l_crops = np.stack(
-                [np.stack([l[c] for l in ls])
-                 for c in range(dino_cfg.n_local_crops)])
-            g_crops = np.asarray(
-                normalize_imagenet(jnp.asarray(g_crops.reshape(
-                    (-1,) + g_crops.shape[2:])))).reshape(
-                        g_crops.shape[:2] + g_crops.shape[2:])
-            l_crops = np.asarray(
-                normalize_imagenet(jnp.asarray(l_crops.reshape(
-                    (-1,) + l_crops.shape[2:])))).reshape(
-                        l_crops.shape[:2] + l_crops.shape[2:])
+            rows = idx[p_i * b_loc:(p_i + 1) * b_loc]  # this host's slab
+            g_crops, l_crops = load_crops(rows, epoch)
             opt_state.hyperparams["learning_rate"] = jnp.float32(lr_s[it])
             opt_state.hyperparams["weight_decay"] = jnp.float32(wd_s[it])
             student, teacher, center, opt_state, loss = step(
-                student, teacher, center, opt_state, jnp.asarray(g_crops),
-                jnp.asarray(l_crops), jnp.float32(tt_s[it]),
+                student, teacher, center, opt_state, place(g_crops),
+                place(l_crops), jnp.float32(tt_s[it]),
                 jnp.float32(mom_s[it]),
                 jnp.float32(1.0 if epoch < args.freeze_last_layer else 0.0))
             losses.append(float(loss))
             it += 1
-        print(f"[epoch {epoch}] dino_loss={np.mean(losses):.4f} "
-              f"lr={lr_s[it-1]:.2e} m={mom_s[it-1]:.4f} "
-              f"({time.time()-t0:.1f}s)")
+        if p_i == 0:
+            print(f"[epoch {epoch}] dino_loss={np.mean(losses):.4f} "
+                  f"lr={lr_s[it-1]:.2e} m={mom_s[it-1]:.4f} "
+                  f"({time.time()-t0:.1f}s)")
 
     # save the TEACHER backbone (the better model, per the paper) in the
     # converted-npz layout the rest of the framework loads directly
     out = os.path.join(args.write_path, "dino_pretrained_backbone.npz")
-    np.savez(out, **flatten_params(teacher["vit"]))
-    print(f"saved backbone -> {out}")
+    if p_i == 0:
+        np.savez(out, **flatten_params(
+            jax.tree.map(np.asarray, teacher["vit"])))
+        print(f"saved backbone -> {out}")
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("dt_pretrain_save")
     return out
 
 

@@ -67,12 +67,12 @@ def _free_port():
     return port
 
 
-def _run(cfgs, timeout=600):
+def _run(cfgs, timeout=600, runner=None):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = REPO
     procs = [subprocess.Popen(
-        [sys.executable, "-c", _RUNNER, json.dumps(c)],
+        [sys.executable, "-c", runner or _RUNNER, json.dumps(c)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         cwd=REPO) for c in cfgs]
     outs = []
@@ -91,6 +91,61 @@ def voc_root(tmp_path_factory):
     _make_split(root, "val", 4, 1)
     _make_split(root, "test", 4, 2)
     return root
+
+
+_PRETRAIN_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    from dino_tpu.cli.pretrain_dino import main as pretrain_main
+    pretrain_main(["--data_path", cfg["data"], "--write_path", cfg["write"],
+                   "--arch", "vit_small", "--depth", "1", "--out_dim", "16",
+                   "--epochs", "1", "--warmup_epochs", "0",
+                   "--batch_size", "4", "--n_local_crops", "2",
+                   "--global_size", "32", "--local_size", "16"])
+""")
+
+
+def test_two_process_pretrain_matches_single_process(tmp_path):
+    """dt-pretrain-dino under a 2-process cluster: crop randomness is keyed
+    per (seed, epoch, image), so both topologies see the same pixels and
+    the trained teacher backbones must agree."""
+    from PIL import Image
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 255, (64, 80, 3), np.uint8)).save(
+            data / f"{i}.jpg")
+    base = dict(data=str(data))
+
+    w_ref = str(tmp_path / "ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_PRETRAIN_RUNNER)
+
+    w_mh = str(tmp_path / "mh")
+    port = _free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_PRETRAIN_RUNNER)
+
+    ref = np.load(os.path.join(w_ref, "dino_pretrained_backbone.npz"))
+    mh = np.load(os.path.join(w_mh, "dino_pretrained_backbone.npz"))
+    assert set(ref.files) == set(mh.files)
+    for k in ref.files:
+        np.testing.assert_allclose(mh[k], ref[k], rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
 
 
 def test_two_process_fit_matches_single_process(voc_root, tmp_path):
