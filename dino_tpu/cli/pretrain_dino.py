@@ -46,6 +46,13 @@ def main(argv=None):
     ap.add_argument("--freeze_last_layer", type=int, default=1,
                     help="epochs with the last-layer gradient cancelled")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resume", action="store_true",
+                    help="continue an interrupted run from the epoch "
+                         "checkpoint in write_path")
+    ap.add_argument("--stop_after", type=int, default=None,
+                    help="checkpoint and exit after this epoch index "
+                         "(chunk a long run across job allocations; "
+                         "schedules still span --epochs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -153,8 +160,31 @@ def main(argv=None):
 
         return norm(g_crops), norm(l_crops)
 
-    it = 0
-    for epoch in range(args.epochs):
+    # resume: per-epoch keyed rngs (shuffle + crops) make a restart
+    # bit-deterministic — epoch k replays identically whether or not the
+    # process died after epoch k-1
+    from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
+                                               save_train_state)
+    resume_path = os.path.join(args.write_path, "pretrain_resume.npz")
+    start_epoch = 0
+    if args.resume and os.path.exists(resume_path):
+        run_vars = {"epoch": 0}
+        restored = restart_from_checkpoint(
+            resume_path, run_vars, student=student, teacher=teacher,
+            center=center, opt_state=opt_state)
+        meta = student["head"]["_meta"]  # static config, not train state
+        student = jax.tree.map(jnp.asarray, restored["student"])
+        teacher = jax.tree.map(jnp.asarray, restored["teacher"])
+        student["head"]["_meta"] = dict(meta)
+        teacher["head"]["_meta"] = dict(meta)
+        center = jnp.asarray(restored["center"])
+        opt_state = jax.tree.unflatten(
+            jax.tree.structure(opt_state),
+            [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
+        start_epoch = int(run_vars["epoch"]) + 1
+
+    it = start_epoch * niter
+    for epoch in range(start_epoch, args.epochs):
         order = np.random.default_rng([args.seed, epoch]).permutation(
             len(files))
         t0 = time.time()
@@ -176,6 +206,17 @@ def main(argv=None):
             print(f"[epoch {epoch}] dino_loss={np.mean(losses):.4f} "
                   f"lr={lr_s[it-1]:.2e} m={mom_s[it-1]:.4f} "
                   f"({time.time()-t0:.1f}s)")
+            save_train_state(resume_path,
+                             {"student": student, "teacher": teacher,
+                              "center": center, "opt_state": opt_state},
+                             run_variables={"epoch": epoch})
+        if n_proc > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"dt_pretrain_ep{epoch}")
+        if args.stop_after is not None and epoch >= args.stop_after:
+            print(f"stopping after epoch {epoch} (--stop_after); resume "
+                  "with --resume")
+            break
 
     # save the TEACHER backbone (the better model, per the paper) in the
     # converted-npz layout the rest of the framework loads directly

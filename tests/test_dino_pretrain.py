@@ -1,5 +1,6 @@
 """DINO self-supervised pretraining: loss math, EMA/centering, end-to-end
 step sanity (loss decreases, teacher tracks student, no collapse guard)."""
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,3 +161,38 @@ def test_pretrain_cli_to_dinoseg_handoff(tmp_path):
     img = rs.randint(0, 255, (64, 64, 3), np.uint8)
     out = model.predict(img)
     assert out.shape == (480, 480)
+
+
+def test_pretrain_resume_matches_uninterrupted(tmp_path):
+    """--stop_after + --resume reproduces an uninterrupted run exactly
+    (schedules span --epochs in both legs; per-epoch keyed shuffle/crop
+    rngs make the replay deterministic)."""
+    from PIL import Image
+
+    from dino_tpu.cli.pretrain_dino import main as pretrain_main
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rs = np.random.RandomState(1)
+    for i in range(4):
+        Image.fromarray(rs.randint(0, 255, (64, 80, 3), np.uint8)).save(
+            data / f"{i}.jpg")
+    common = ["--data_path", str(data), "--arch", "vit_small", "--depth",
+              "1", "--out_dim", "16", "--warmup_epochs", "0",
+              "--batch_size", "2", "--n_local_crops", "2",
+              "--global_size", "32", "--local_size", "16"]
+
+    w_full = str(tmp_path / "full")
+    pretrain_main(common + ["--write_path", w_full, "--epochs", "2"])
+
+    w_resume = str(tmp_path / "resume")
+    pretrain_main(common + ["--write_path", w_resume, "--epochs", "2",
+                            "--stop_after", "0"])
+    pretrain_main(common + ["--write_path", w_resume, "--epochs", "2",
+                            "--resume"])
+
+    a = np.load(os.path.join(w_full, "dino_pretrained_backbone.npz"))
+    b = np.load(os.path.join(w_resume, "dino_pretrained_backbone.npz"))
+    for k in a.files:
+        np.testing.assert_allclose(b[k], a[k], rtol=1e-6, atol=1e-7,
+                                   err_msg=k)
