@@ -668,6 +668,13 @@ class DINOSeg:
             batch_sharding = data_sharding()
         n_proc = jax.process_count()
         multi_host = batch_sharding is not None and n_proc > 1
+        if n_proc > 1 and batch_sharding is None:
+            import warnings
+            warnings.warn(
+                f"batch_size {self.batch_size} does not divide the "
+                f"{jax.device_count()}-device mesh: multi-host data sharding "
+                "cannot engage, every process will train on the full data "
+                "redundantly (correct but unscaled)")
 
         def put(x):
             x = jnp.asarray(x)
@@ -677,10 +684,8 @@ class DINOSeg:
         def put_global(local_rows):
             """Host-local slab (rows for this process's devices) -> global
             batch array sharded over the whole mesh."""
-            from jax.experimental import multihost_utils
-            return multihost_utils.host_local_array_to_global_array(
-                np.asarray(local_rows), batch_sharding.mesh,
-                batch_sharding.spec)
+            from dino_tpu.parallel.mesh import host_slab_to_global
+            return host_slab_to_global(local_rows, batch_sharding)
 
         # Resume support (upgraded reference restart_from_checkpoint).
         from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
@@ -731,12 +736,13 @@ class DINOSeg:
                     cms.append(cm)
             elif multi_host:
                 # every process iterates the SAME global batch windows
-                # (identical rng) but loads/feeds only its own slab; the
-                # jitted step runs SPMD over the global mesh, so gradients
-                # aggregate across hosts inside the program
+                # (identical shuffle rng) but loads/feeds only its own slab;
+                # the jitted step runs SPMD over the global mesh, so
+                # gradients aggregate across hosts inside the program
                 b = self.batch_size
                 b_loc = b // n_proc
                 p_i = jax.process_index()
+                slabs, masks = [], []
                 for start in range(0, len(idx), b):
                     window = idx[start:start + b]
                     n_real = len(window)
@@ -745,10 +751,16 @@ class DINOSeg:
                     if n_real != b:
                         window = np.concatenate(
                             [window, np.repeat(window[-1:], b - n_real)])
-                    rows = window[p_i * b_loc:(p_i + 1) * b_loc]
-                    xb, yb = next(iter(batched_loader(
-                        train_ds, rows, b_loc, rng=rng)))
-                    m_loc = mask[p_i * b_loc:(p_i + 1) * b_loc]
+                    slabs.append(window[p_i * b_loc:(p_i + 1) * b_loc])
+                    masks.append(mask[p_i * b_loc:(p_i + 1) * b_loc])
+                # one loader for the whole epoch keeps the threaded
+                # prefetch overlapping device steps; the rng is decorrelated
+                # per host so slab rows don't share augmentation draws
+                host_rng = np.random.default_rng(
+                    [seed, epoch, 1 + p_i]) if train_ds.augmented else rng
+                loader = batched_loader(train_ds, np.concatenate(slabs),
+                                        b_loc, rng=host_rng)
+                for (xb, yb), m_loc in zip(loader, masks):
                     (self.vit_params, self.head_params, opt_state, loss, cm
                      ) = train_step(self.vit_params, self.head_params,
                                     opt_state, put_global(xb),
@@ -794,8 +806,8 @@ class DINOSeg:
                 self._log(metrics, step=epoch)
                 # per-epoch confusion matrix (reference logs these to Comet,
                 # pl_torch_modules.py:326-330; train CM skipped, same as ref)
-                if self.logger is not None and hasattr(
-                        self.logger, "log_confusion_matrix"):
+                if (jax.process_index() == 0 and self.logger is not None
+                        and hasattr(self.logger, "log_confusion_matrix")):
                     self.logger.log_confusion_matrix(
                         val_cm, title="val", step=epoch,
                         labels=self.class_names,
@@ -825,6 +837,8 @@ class DINOSeg:
         # max_epochs continues training; with the same value it's a no-op
 
     def _log(self, metrics: Dict[str, float], step: int) -> None:
+        if jax.process_index() != 0:  # host-0-only logging (docs/SCALING.md)
+            return
         msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics.items()))
         print(f"[epoch {step}] {msg}")
         if self.logger is not None and hasattr(self.logger, "log_metrics"):

@@ -119,9 +119,14 @@ def main(argv=None):
     # stream is identical for every host topology.
     n_proc = jax.process_count()
     p_i = jax.process_index()
-    if args.batch_size % max(1, n_proc):
-        raise ValueError(f"batch_size {args.batch_size} must divide by the "
-                         f"process count {n_proc}")
+    if n_proc > 1:
+        # multi-host REQUIRES the global sharding path: without it each
+        # process would silently train its own model on its slab alone
+        if args.batch_size % jax.device_count():
+            raise ValueError(
+                f"multi-host pretraining needs batch_size divisible by the "
+                f"global device count ({jax.device_count()}); got "
+                f"{args.batch_size}")
     b_loc = args.batch_size // max(1, n_proc)
     dp_sharding = None
     if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
@@ -130,14 +135,18 @@ def main(argv=None):
         from dino_tpu.parallel.mesh import data_sharding
         # crops carry the batch on axis 1: (n_views, B, H, W, 3)
         dp_sharding = NamedSharding(data_sharding().mesh, P(None, "data"))
+    if dp_sharding is not None and len(files) < args.batch_size:
+        raise ValueError(
+            f"sharded pretraining needs at least batch_size "
+            f"({args.batch_size}) images for full batch windows; found "
+            f"{len(files)} (reduce --batch_size or add data)")
 
     def place(crops):
         if dp_sharding is None:
             return jnp.asarray(crops)
         if n_proc > 1:
-            from jax.experimental import multihost_utils
-            return multihost_utils.host_local_array_to_global_array(
-                np.asarray(crops), dp_sharding.mesh, dp_sharding.spec)
+            from dino_tpu.parallel.mesh import host_slab_to_global
+            return host_slab_to_global(crops, dp_sharding)
         return jax.device_put(jnp.asarray(crops), dp_sharding)
 
     def load_crops(rows, epoch):

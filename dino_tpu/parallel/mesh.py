@@ -75,6 +75,16 @@ def data_sharding(n_devices: Optional[int] = None) -> NamedSharding:
     return NamedSharding(make_mesh(n_devices, model_axis=1), P("data"))
 
 
+def host_slab_to_global(local: Any, sharding: NamedSharding) -> Any:
+    """Multi-host feed: each process passes the rows for ITS devices; the
+    result is one global array sharded per ``sharding`` whose value is the
+    concatenation of every host's slab.  The standard way to drive an SPMD
+    step from per-host data loaders."""
+    from jax.experimental import multihost_utils
+    return multihost_utils.host_local_array_to_global_array(
+        np.asarray(local), sharding.mesh, sharding.spec)
+
+
 def shard_params(params: Any, spec: Any, mesh: Mesh) -> Any:
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, spec,

@@ -76,9 +76,15 @@ def _run(cfgs, timeout=600, runner=None):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
         cwd=REPO) for c in cfgs]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:  # a hung rank must not orphan its peers
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     return outs
