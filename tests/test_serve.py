@@ -1,0 +1,92 @@
+"""dt-serve HTTP daemon: predict over the wire matches in-process predict."""
+import io
+import socket
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dino_tpu import DINOSeg, export_predict
+from dino_tpu.cli.serve import make_server
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _post(url, img):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.read(), resp.headers.get("Content-Type")
+
+
+@pytest.fixture(scope="module")
+def model(tmp_path_factory):
+    m = DINOSeg(head="linear", n_blocks=1, n_classes=4, random_init=True,
+                seed=0, precision="fp32")
+    m.set_resolution(64)
+    return m
+
+
+def _serve(server):
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
+
+
+def test_serve_checkpoint(model, tmp_path):
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    model.save(ckpt)
+    port = _free_port()
+    server = make_server(ckpt, port=port, resolution=64, precision="fp32")
+    _serve(server)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = r.read().decode()
+        assert '"ok": true' in health and '"backend": "model"' in health
+
+        img = np.random.RandomState(0).randint(0, 255, (100, 120, 3),
+                                               np.uint8)
+        body, ctype = _post(f"http://127.0.0.1:{port}/predict", img)
+        assert ctype == "application/octet-stream"
+        labels = np.load(io.BytesIO(body))
+        np.testing.assert_array_equal(labels, model.predict(img))
+
+        body, ctype = _post(f"http://127.0.0.1:{port}/predict?format=png",
+                            img)
+        assert ctype == "image/png"
+        assert Image.open(io.BytesIO(body)).size == (480, 480)
+    finally:
+        server.shutdown()
+
+
+def test_serve_artifact(model, tmp_path):
+    """Artifact backend: requests resize to the contract's input shape."""
+    art = str(tmp_path / "p.shlo")
+    export_predict(model, art, batch_size=1, in_shape=(100, 120))
+    port = _free_port()
+    server = make_server(art, port=port)
+    _serve(server)
+    try:
+        img = np.random.RandomState(1).randint(0, 255, (100, 120, 3),
+                                               np.uint8)
+        body, _ = _post(f"http://127.0.0.1:{port}/predict", img)
+        labels = np.load(io.BytesIO(body))
+        np.testing.assert_array_equal(labels,
+                                      model.predict_batch(img[None])[0])
+        # a differently-sized frame is resized to the contract shape
+        img2 = np.random.RandomState(2).randint(0, 255, (64, 64, 3),
+                                                np.uint8)
+        body2, _ = _post(f"http://127.0.0.1:{port}/predict", img2)
+        assert np.load(io.BytesIO(body2)).shape == (480, 480)
+    finally:
+        server.shutdown()
