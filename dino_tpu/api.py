@@ -50,6 +50,21 @@ def _matmul_ctx(compute_dtype):
     return contextlib.nullcontext()
 
 
+def _pad_tail(arrs, b: int):
+    """Pad each array's leading axis to ``b`` by repeating its last element;
+    returns (padded_arrs, mask) where mask flags the real rows.  The padding
+    is masked out of loss/grads/CM downstream — the reference trains on
+    partial batches (pl_torch_modules.py:354), we pad-and-mask for static
+    shapes."""
+    n_real = arrs[0].shape[0]
+    mask = np.zeros((b,), np.float32)
+    mask[:n_real] = 1.0
+    if n_real != b:
+        arrs = [np.concatenate([a, np.repeat(a[-1:], b - n_real, axis=0)])
+                for a in arrs]
+    return arrs, mask
+
+
 _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "batch_size", "lr", "optimizer", "freeze_backbone",
                 "max_epochs", "patience", "grayscale", "n_classes",
@@ -608,7 +623,8 @@ class DINOSeg:
         metrics = segmentation_metrics(test_cm, prefix="test")
         self._log(metrics, step=-1)
         self.best_ck = ck_path
-        if self.logger is not None and hasattr(self.logger, "log_asset"):
+        if (jax.process_index() == 0 and self.logger is not None
+                and hasattr(self.logger, "log_asset")):
             self.logger.log_asset(ck_path)
         return metrics
 
@@ -719,14 +735,9 @@ class DINOSeg:
                 # cached path: the epoch is pure head math over the resident
                 # features — no decode, no backbone recompute, no transfers
                 for start in range(0, len(idx), self.batch_size):
-                    ids = idx[start:start + self.batch_size].astype(np.int32)
-                    n_real = len(ids)
-                    mask = np.zeros((self.batch_size,), np.float32)
-                    mask[:n_real] = 1.0
-                    if n_real != self.batch_size:
-                        ids = np.concatenate(
-                            [ids, np.repeat(ids[-1:],
-                                            self.batch_size - n_real)])
+                    (ids,), mask = _pad_tail(
+                        [idx[start:start + self.batch_size].astype(np.int32)],
+                        self.batch_size)
                     (self.head_params, opt_state, loss, cm
                      ) = cached_train_step(self.head_params, opt_state,
                                            train_feats, train_labels_c,
@@ -744,13 +755,7 @@ class DINOSeg:
                 p_i = jax.process_index()
                 slabs, masks = [], []
                 for start in range(0, len(idx), b):
-                    window = idx[start:start + b]
-                    n_real = len(window)
-                    mask = np.zeros((b,), np.float32)
-                    mask[:n_real] = 1.0
-                    if n_real != b:
-                        window = np.concatenate(
-                            [window, np.repeat(window[-1:], b - n_real)])
+                    (window,), mask = _pad_tail([idx[start:start + b]], b)
                     slabs.append(window[p_i * b_loc:(p_i + 1) * b_loc])
                     masks.append(mask[p_i * b_loc:(p_i + 1) * b_loc])
                 # one loader for the whole epoch keeps the threaded
@@ -758,8 +763,9 @@ class DINOSeg:
                 # per host so slab rows don't share augmentation draws
                 host_rng = np.random.default_rng(
                     [seed, epoch, 1 + p_i]) if train_ds.augmented else rng
-                loader = batched_loader(train_ds, np.concatenate(slabs),
-                                        b_loc, rng=host_rng)
+                loader = (batched_loader(train_ds, np.concatenate(slabs),
+                                         b_loc, rng=host_rng)
+                          if slabs else iter(()))
                 for (xb, yb), m_loc in zip(loader, masks):
                     (self.vit_params, self.head_params, opt_state, loss, cm
                      ) = train_step(self.vit_params, self.head_params,
@@ -770,19 +776,7 @@ class DINOSeg:
             else:
                 for xb, yb in batched_loader(train_ds, idx, self.batch_size,
                                              rng=rng):
-                    n_real = xb.shape[0]
-                    mask = np.zeros((self.batch_size,), np.float32)
-                    mask[:n_real] = 1.0
-                    if n_real != self.batch_size:
-                        # pad the ragged tail batch to the static batch size
-                        # and mask the padding out of loss/grads/CM (the
-                        # reference trains on partial batches,
-                        # pl_torch_modules.py:354)
-                        pad = self.batch_size - n_real
-                        xb = np.concatenate(
-                            [xb, np.repeat(xb[-1:], pad, axis=0)])
-                        yb = np.concatenate(
-                            [yb, np.repeat(yb[-1:], pad, axis=0)])
+                    (xb, yb), mask = _pad_tail([xb, yb], self.batch_size)
                     (self.vit_params, self.head_params, opt_state, loss, cm
                      ) = train_step(self.vit_params, self.head_params,
                                     opt_state, put(xb), put(yb), put(mask))

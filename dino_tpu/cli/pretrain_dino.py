@@ -223,8 +223,9 @@ def main(argv=None):
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"dt_pretrain_ep{epoch}")
         if args.stop_after is not None and epoch >= args.stop_after:
-            print(f"stopping after epoch {epoch} (--stop_after); resume "
-                  "with --resume")
+            if p_i == 0:
+                print(f"stopping after epoch {epoch} (--stop_after); resume "
+                      "with --resume")
             break
 
     # save the TEACHER backbone (the better model, per the paper) in the

@@ -33,13 +33,19 @@ def _build_backend(path: str, resolution: int, precision):
         from dino_tpu.serving import load_exported_predict
         served = load_exported_predict(path)
         want = served.contract["input"]["shape"] if served.contract else None
+        art_batch = want[0] if want else 1
+        if art_batch > 1:
+            print(f"dt-serve: artifact is batch-{art_batch}; single frames "
+                  "will be tiled to fill the batch (export with "
+                  "--batch-size 1 for latency serving)")
 
         def predict(img):
             if want is not None and list(img.shape) != want[1:]:
                 from PIL import Image
                 img = np.asarray(Image.fromarray(img).resize(
                     (want[2], want[1])))
-            return served(img[None])[0]
+            batch = np.broadcast_to(img, (art_batch,) + img.shape)
+            return served(np.ascontiguousarray(batch))[0]
 
         info = {"backend": "artifact", "artifact": path,
                 "contract": served.contract}

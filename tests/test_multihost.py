@@ -12,13 +12,14 @@ This is the live replacement for the reference's dormant NCCL scaffolding
 """
 import json
 import os
-import socket
 import subprocess
 import sys
 import textwrap
 
 import numpy as np
 import pytest
+
+from tests import free_port
 
 from tests.test_train_smoke import N_CLASSES, RES, _make_split
 
@@ -57,14 +58,6 @@ _RUNNER = textwrap.dedent("""
         np.savez(os.path.join(cfg["write"], "result.npz"),
                  test_acc=metrics["test_acc"], **head)
 """)
-
-
-def _free_port():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
 
 
 def _run(cfgs, timeout=600, runner=None):
@@ -141,7 +134,7 @@ def test_two_process_pretrain_matches_single_process(tmp_path):
                process_id=0, coordinator="")], runner=_PRETRAIN_RUNNER)
 
     w_mh = str(tmp_path / "mh")
-    port = _free_port()
+    port = free_port()
     _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
                process_id=i, coordinator=f"127.0.0.1:{port}")
           for i in range(2)], runner=_PRETRAIN_RUNNER)
@@ -162,7 +155,7 @@ def test_two_process_fit_matches_single_process(voc_root, tmp_path):
                process_id=0, coordinator="")])
 
     w_mh = str(tmp_path / "mh")
-    port = _free_port()
+    port = free_port()
     _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
                process_id=i, coordinator=f"127.0.0.1:{port}")
           for i in range(2)])

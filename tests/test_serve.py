@@ -1,23 +1,16 @@
 """dt-serve HTTP daemon: predict over the wire matches in-process predict."""
 import io
-import socket
 import threading
 import urllib.request
 
 import numpy as np
 import pytest
+
+from tests import free_port
 from PIL import Image
 
 from dino_tpu import DINOSeg, export_predict
 from dino_tpu.cli.serve import make_server
-
-
-def _free_port():
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
 
 
 def _post(url, img):
@@ -45,7 +38,7 @@ def _serve(server):
 def test_serve_checkpoint(model, tmp_path):
     ckpt = str(tmp_path / "m.ckpt.npz")
     model.save(ckpt)
-    port = _free_port()
+    port = free_port()
     server = make_server(ckpt, port=port, resolution=64, precision="fp32")
     _serve(server)
     try:
@@ -73,7 +66,7 @@ def test_serve_artifact(model, tmp_path):
     """Artifact backend: requests resize to the contract's input shape."""
     art = str(tmp_path / "p.shlo")
     export_predict(model, art, batch_size=1, in_shape=(100, 120))
-    port = _free_port()
+    port = free_port()
     server = make_server(art, port=port)
     _serve(server)
     try:
@@ -88,5 +81,24 @@ def test_serve_artifact(model, tmp_path):
                                                 np.uint8)
         body2, _ = _post(f"http://127.0.0.1:{port}/predict", img2)
         assert np.load(io.BytesIO(body2)).shape == (480, 480)
+    finally:
+        server.shutdown()
+
+
+def test_serve_batched_artifact(model, tmp_path):
+    """A throughput (batch>1) artifact still serves single frames: the
+    request tiles to the contract batch and returns the first map."""
+    art = str(tmp_path / "b3.shlo")
+    export_predict(model, art, batch_size=3, in_shape=(100, 120))
+    port = free_port()
+    server = make_server(art, port=port)
+    _serve(server)
+    try:
+        img = np.random.RandomState(3).randint(0, 255, (100, 120, 3),
+                                               np.uint8)
+        body, _ = _post(f"http://127.0.0.1:{port}/predict", img)
+        labels = np.load(io.BytesIO(body))
+        np.testing.assert_array_equal(
+            labels, model.predict_batch(np.stack([img] * 3))[0])
     finally:
         server.shutdown()
