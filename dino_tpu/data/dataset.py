@@ -57,19 +57,13 @@ class DuckieSegDataset:
             ) -> Tuple[np.ndarray, np.ndarray]:
         if self.augmented:
             rng = rng if rng is not None else np.random.default_rng()
-            # randomness is drawn HERE (numpy, seed-deterministic); pixel
-            # work runs in the native C++ pipeline when available, with the
-            # cv2 path as semantic fallback
+            # randomness is drawn HERE (numpy, seed-deterministic); this
+            # per-item path runs the Python/cv2 pixel pipeline — the native
+            # C++ batch pipeline (same semantics) belongs to batched_loader,
+            # where its thread-pool setup amortizes over a whole batch
             p = draw_params(rng, self.resolution)
-            from dino_tpu.data import native_loader
-            native = native_loader.augment_batch(
-                [self.files[idx]], [self._load_mask(idx)], self.resolution,
-                pack_params(p)[None])
-            if native is not None:
-                img, mask = native[0][0], native[1][0]
-            else:
-                img, mask = apply_params(p, *self._load_raw(idx),
-                                         self.resolution)
+            img, mask = apply_params(p, *self._load_raw(idx),
+                                     self.resolution)
         else:
             # eval path: decode+resize fuse inside the native loader
             # (identical bilinear semantics to the Python path)

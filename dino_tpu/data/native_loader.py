@@ -26,7 +26,14 @@ def _native_dir() -> str:
 
 
 def _build(src_dir: str) -> Optional[str]:
-    so = os.path.join(src_dir, "libdtloader.so")
+    # -march=native makes the binary host-specific: key the cache per host
+    # so a shared checkout (NFS home, multi-host jobs) never executes an
+    # .so built for a different CPU (SIGILL mid-epoch otherwise)
+    import hashlib
+    import platform
+    tag = hashlib.md5((platform.node() + platform.machine()).encode()
+                      ).hexdigest()[:8]
+    so = os.path.join(src_dir, f"libdtloader.{tag}.so")
     src = os.path.join(src_dir, "dtloader.cpp")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so

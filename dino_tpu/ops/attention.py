@@ -200,8 +200,11 @@ def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
     vf = _pad_to(v.reshape(b * nh, n_k, hd), 1, block_k)
     npq = qf.shape[1]
 
-    if pltpu is None and not interpret:  # pragma: no cover
-        raise RuntimeError("pallas TPU backend unavailable")
+    if pltpu is None:  # pragma: no cover — PrefetchScalarGridSpec needs the
+        # pallas-TPU module even in interpret mode
+        raise RuntimeError("pallas TPU backend unavailable (the dynamic-"
+                           "bound ring kernel needs jax.experimental."
+                           "pallas.tpu even for interpret=True)")
     # index maps receive the scalar-prefetch ref as a trailing argument
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
