@@ -376,16 +376,33 @@ class DINOSeg:
             return jax.device_put(imgs, data_sharding())
         return jnp.asarray(imgs)
 
-    def predict_stream(self, frames, batch_size: int = 8):
+    def predict_stream(self, frames, batch_size: int = 8,
+                       precision: Optional[str] = None,
+                       parallelism: Optional[str] = None):
         """Continuous inference over a frame iterator (robot-camera trace).
 
         Double-buffered: while the device chews on batch k, the host stacks
         batch k+1, so transfer and compute overlap.  Yields one (480, 480)
-        int map per input frame, in order.  Ragged tails fall back to
-        single-frame predict (static shapes).
+        int map per input frame, in order.  ``precision``/``parallelism``
+        mean exactly what they do on :meth:`predict_batch`.  A ragged tail
+        is padded to the batch size (repeat-last, the repo's pad-and-mask
+        idiom) and runs through the SAME compiled program — the whole
+        stream compiles exactly one batched executable per frame shape.
         """
         fn = None
+        vit_p = head_p = None
         pending = None  # (device_future, n_valid)
+
+        def place(imgs):
+            return (jnp.asarray(imgs) if parallelism == "tp"
+                    else self._place_batch(imgs))
+
+        def submit(imgs, n_valid):
+            nonlocal fn, vit_p, head_p
+            if fn is None:
+                fn = self._predict_batch_fn(imgs.shape, precision)
+                vit_p, head_p = self._serving_params(precision, parallelism)
+            return fn(vit_p, head_p, place(imgs)), n_valid
 
         def flush():
             nonlocal pending
@@ -402,17 +419,16 @@ class DINOSeg:
                 img = np.clip(img, 0, 255).astype(np.uint8)
             batch.append(img)
             if len(batch) == batch_size:
-                imgs = np.stack(batch)
+                fut = submit(np.stack(batch), batch_size)
                 batch = []
-                if fn is None:
-                    fn = self._predict_batch_fn(imgs.shape)
-                fut = fn(self._serving_vit_params(), self.head_params,
-                         self._place_batch(imgs))
                 yield from flush()
-                pending = (fut, batch_size)
+                pending = fut
+        if batch:  # ragged tail: pad to the same shape, mask on yield
+            (imgs,), _ = _pad_tail([np.stack(batch)], batch_size)
+            fut = submit(imgs, len(batch))
+            yield from flush()
+            pending = fut
         yield from flush()
-        for img in batch:  # ragged tail
-            yield self.predict(img)
 
     def get_intermediate_layers(self, images_u8: np.ndarray, n: int = 1):
         """Normed token outputs of the last n backbone blocks at the current
@@ -436,17 +452,22 @@ class DINOSeg:
                                        jnp.asarray(cls_mask), self.cfg))
 
     def get_last_selfattention(self, images_u8: np.ndarray,
-                               cls_mask=None) -> np.ndarray:
-        """CLS attention maps at the current resolution (for the
-        visualize_attention path)."""
+                               cls_mask=None,
+                               cls_only: bool = False) -> np.ndarray:
+        """Last-block attention probabilities at the current resolution.
+
+        ``cls_only=True`` returns only the CLS query's row — (B, nh, 1, N),
+        O(N) memory — the row the attention-map consumers actually use;
+        required for 960px maps (the full matrix would be ~5 GB)."""
         key = ("attn", images_u8.shape, self.resolution,
-               None if cls_mask is None else cls_mask.shape)
+               None if cls_mask is None else cls_mask.shape, cls_only)
         if key not in self._jit_cache:
             res, cfg = self.resolution, self.cfg
 
             def fn(vit_p, img_u8, mask):
                 x = preprocess(img_u8, res)
-                return get_last_selfattention(vit_p, x, cfg, cls_mask=mask)
+                return get_last_selfattention(vit_p, x, cfg, cls_mask=mask,
+                                              cls_only=cls_only)
 
             self._jit_cache[key] = jax.jit(fn) if cls_mask is None else fn
         return np.asarray(self._jit_cache[key](
@@ -714,7 +735,13 @@ class DINOSeg:
                                                    save_train_state)
         resume_path = ck_path + ".resume.npz"
         start_epoch, best_acc = 0, -1.0
-        if resume and os.path.exists(resume_path):
+        have_resume = os.path.exists(resume_path)
+        if resume and n_proc > 1:
+            # host 0 alone writes resume files; verify every rank sees the
+            # same state before acting on it (shared-FS contract)
+            from dino_tpu.parallel.dist import agree_across_hosts
+            agree_across_hosts("resume-state visibility", int(have_resume))
+        if resume and have_resume:
             run_vars = {"epoch": 0, "best_acc": -1.0}
             restored = restart_from_checkpoint(
                 resume_path, run_vars, vit=self.vit_params,
@@ -726,6 +753,10 @@ class DINOSeg:
                 [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
             start_epoch = int(run_vars["epoch"]) + 1
             best_acc = float(run_vars["best_acc"])
+            if n_proc > 1:  # torn read / stale NFS cache => fail fast
+                from dino_tpu.parallel.dist import agree_across_hosts
+                agree_across_hosts("resume epoch/best_acc",
+                                   [start_epoch, best_acc])
 
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()

@@ -78,6 +78,26 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lats, 50) * 1000)
 
+    # device-only per-frame latency: chain 50 single-frame predicts inside
+    # one program (one tunnel roundtrip amortized over all of them), so the
+    # driver record self-documents how much of p50 is RPC-tunnel overhead
+    n_dev = 50
+
+    @jax.jit
+    def predict_chain1(vit_p, head_p, img_u8):
+        def body(carry, _):
+            img = img_u8.at[0, 0, 0, 0].set(carry)
+            out = predict_batch_impl(vit_p, head_p, img)
+            return out[0, 0, 0].astype(jnp.uint8), ()
+        carry, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n_dev)
+        return carry
+
+    one_dev = jax.device_put(one)
+    np.asarray(predict_chain1(vit_p, head_p, one_dev))  # compile+warm
+    t0 = time.perf_counter()
+    np.asarray(predict_chain1(vit_p, head_p, one_dev))
+    p50_device_ms = (time.perf_counter() - t0) * 1000 / n_dev
+
     # secondary: unfrozen finetune throughput (the round-2 Pallas flash
     # backward win: 16 -> ~166 fps); steps chain through the param update
     train_fps = None
@@ -116,6 +136,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
         "p50_predict_latency_ms": round(p50_ms, 2),
+        "p50_device_ms": round(p50_device_ms, 2),
         "unfrozen_train_fps": round(train_fps, 1) if train_fps else None,
         "batch": batch,
         "backend": jax.default_backend(),

@@ -176,7 +176,14 @@ def main(argv=None):
                                                save_train_state)
     resume_path = os.path.join(args.write_path, "pretrain_resume.npz")
     start_epoch = 0
-    if args.resume and os.path.exists(resume_path):
+    have_resume = os.path.exists(resume_path)
+    if args.resume and n_proc > 1:
+        # host 0 alone writes the resume file; verify every rank sees the
+        # same state (shared-FS contract, docs/SCALING.md) before acting
+        from dino_tpu.parallel.dist import agree_across_hosts
+        agree_across_hosts("pretrain resume-state visibility",
+                           int(have_resume))
+    if args.resume and have_resume:
         run_vars = {"epoch": 0}
         restored = restart_from_checkpoint(
             resume_path, run_vars, student=student, teacher=teacher,
@@ -191,6 +198,9 @@ def main(argv=None):
             jax.tree.structure(opt_state),
             [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
         start_epoch = int(run_vars["epoch"]) + 1
+        if n_proc > 1:  # torn read / stale NFS cache => fail fast
+            from dino_tpu.parallel.dist import agree_across_hosts
+            agree_across_hosts("pretrain resume epoch", start_epoch)
 
     it = start_epoch * niter
     for epoch in range(start_epoch, args.epochs):

@@ -32,15 +32,19 @@ def _build_backend(path: str, resolution: int, precision):
     if path.endswith((".shlo", ".stablehlo")):
         from dino_tpu.serving import load_exported_predict
         served = load_exported_predict(path)
-        want = served.contract["input"]["shape"] if served.contract else None
-        art_batch = want[0] if want else 1
+        # the deserialized program knows its true input shape even when the
+        # .json sidecar is missing — fall back to its avals so a batch-N or
+        # differently-shaped artifact still serves
+        want = (served.contract["input"]["shape"] if served.contract
+                else list(served.exported.in_avals[0].shape))
+        art_batch = want[0]
         if art_batch > 1:
             print(f"dt-serve: artifact is batch-{art_batch}; single frames "
                   "will be tiled to fill the batch (export with "
                   "--batch-size 1 for latency serving)")
 
         def predict(img):
-            if want is not None and list(img.shape) != want[1:]:
+            if list(img.shape) != want[1:]:
                 from PIL import Image
                 img = np.asarray(Image.fromarray(img).resize(
                     (want[2], want[1])))

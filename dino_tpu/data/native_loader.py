@@ -25,15 +25,30 @@ def _native_dir() -> str:
     return os.environ.get("DINO_TPU_NATIVE_DIR", default)
 
 
-def _build(src_dir: str) -> Optional[str]:
-    # -march=native makes the binary host-specific: key the cache per host
-    # so a shared checkout (NFS home, multi-host jobs) never executes an
-    # .so built for a different CPU (SIGILL mid-epoch otherwise)
+def _cpu_tag() -> str:
+    """Cache tag keyed on actual CPU capability (ISA flags), not hostname:
+    containerized hosts often share hostname+machine across different CPU
+    generations, which would collide the -march=native cache and reintroduce
+    the SIGILL this tag exists to prevent."""
     import hashlib
     import platform
-    tag = hashlib.md5((platform.node() + platform.machine()).encode()
-                      ).hexdigest()[:8]
-    so = os.path.join(src_dir, f"libdtloader.{tag}.so")
+    sig = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    sig += " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # non-Linux: fall back to per-host keying
+        sig += platform.node()
+    return hashlib.md5(sig.encode()).hexdigest()[:8]
+
+
+def _build(src_dir: str) -> Optional[str]:
+    # -march=native makes the binary CPU-specific: key the cache per CPU
+    # capability so a shared checkout (NFS home, multi-host jobs) never
+    # executes an .so built for a different CPU (SIGILL mid-epoch otherwise)
+    so = os.path.join(src_dir, f"libdtloader.{_cpu_tag()}.so")
     src = os.path.join(src_dir, "dtloader.cpp")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
@@ -42,9 +57,18 @@ def _build(src_dir: str) -> Optional[str]:
             ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
              "-shared", "-std=c++17", "-o", so, src, "-ljpeg", "-lpthread"],
             check=True, capture_output=True, timeout=120)
-        return so
     except Exception:
         return None
+    # prune stale per-CPU builds (they accumulate forever in shared
+    # checkouts otherwise); best-effort — another host may hold one open
+    for name in os.listdir(src_dir):
+        if (name.startswith("libdtloader.") and name.endswith(".so")
+                and os.path.join(src_dir, name) != so):
+            try:
+                os.remove(os.path.join(src_dir, name))
+            except OSError:
+                pass
+    return so
 
 
 def get_lib():

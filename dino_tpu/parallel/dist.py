@@ -81,6 +81,31 @@ def setup_for_distributed(is_master: bool) -> None:
     builtins.print = print_
 
 
+def agree_across_hosts(name: str, value) -> np.ndarray:
+    """Broadcast host 0's value to every rank and fail fast if any rank's
+    local value disagrees.
+
+    Resume decisions depend on what each host sees on disk; host 0 alone
+    writes the resume/checkpoint files, so on a non-shared filesystem other
+    ranks would silently diverge (start at epoch 0 while host 0 starts at
+    k+1 — one SPMD program fed different schedules).  This turns that into
+    an immediate, explicit error; multi-host training requires a shared
+    filesystem (docs/SCALING.md).
+    """
+    local = np.atleast_1d(np.asarray(value, np.float64))
+    if get_world_size() < 2:
+        return local
+    from jax.experimental import multihost_utils
+    v0 = np.asarray(multihost_utils.broadcast_one_to_all(local))
+    if not np.array_equal(local, v0):
+        raise RuntimeError(
+            f"host {get_rank()} disagrees with host 0 on {name} "
+            f"(local={local.tolist()} host0={v0.tolist()}): multi-host "
+            "resume/checkpointing requires a filesystem shared by every "
+            "host (docs/SCALING.md)")
+    return v0
+
+
 def reduce_dict(input_dict: Dict[str, float], average: bool = True
                 ) -> Dict[str, float]:
     """Sum (or average) a dict of scalars across hosts

@@ -95,8 +95,12 @@ def compute_map(ranks: np.ndarray, gnd: List[dict], kappas: List[int] = ()):
                                         pos)
         aps[i] = compute_ap(pos, ok.size)
         if pos.size:
-            cutoffs = np.minimum(pos.max(), np.asarray(kappas, np.int64))
-            prs[i] = [np.count_nonzero(pos < c) / c for c in cutoffs]
+            # reference (utils.py:795-797) works 1-based: kq = min(max(pos),
+            # kappa) with pos >= 1, so the cutoff is never 0.  0-based
+            # equivalent: min(pos.max()+1, kappa), count pos < cutoff.
+            cutoffs = np.minimum(pos.max() + 1, np.asarray(kappas, np.int64))
+            prs[i] = [np.count_nonzero(pos < c) / c if c > 0 else 0.0
+                      for c in cutoffs]
         else:
             prs[i] = 0.0
 

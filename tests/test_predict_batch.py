@@ -34,6 +34,23 @@ def test_predict_stream_order_and_ragged(model, frames):
         np.testing.assert_array_equal(out, model.predict(frames[i]))
 
 
+def test_predict_stream_one_program_with_options(model, frames):
+    """A stream with a ragged tail compiles exactly ONE batched program
+    (pad-and-mask, no per-shape fallback) and honors precision= like
+    predict_batch (VERDICT r2 item 6)."""
+    before = set(model._jit_cache)
+    outs = list(model.predict_stream(iter(frames[:6]), batch_size=4,
+                                     precision="fp32"))
+    new = [k for k in set(model._jit_cache) - before
+           if k[0] == "predict_batch"]
+    assert len(new) <= 1  # tail reuses the batch-4 program
+    assert all(k[1][0] == 4 and k[3] == "fp32" for k in new)
+    assert len(outs) == 6
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(
+            out, model.predict(frames[i], precision="fp32"))
+
+
 def test_predict_batch_dp_sharded_matches_single(model, frames):
     """Batch divisible by the device count -> the batch shards over the data
     mesh (one frame per device on the 8-dev CPU mesh); per-frame outputs are
