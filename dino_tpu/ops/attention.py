@@ -582,6 +582,124 @@ def _flash_bwd_kernel(q_ref, g_ref, lse_ref, d_ref, k_ref, v_ref,
     dq_ref[0] = dq_acc
 
 
+def _flash_bwd_kernel_dyn(nmask_ref, q_ref, g_ref, lse_ref, d_ref, k_ref,
+                          v_ref, dq_ref, dk_ref, dv_ref, *,
+                          scale: float, block_k: int):
+    """Backward twin of ``_flash_kernel_dyn``: dq/dk/dv for one (bh, q-block)
+    grid cell with a *traced* valid-K bound (scalar-prefetch).
+
+    Ring attention's backward reuses the single-chip flash-backward partition
+    argument (P's columns split exactly across K/V slices given the GLOBAL
+    row log-sum-exp and D = rowsum(dO ∘ O), see ``_flash_bwd_rule``) — but
+    each hop's valid-key count depends on which shard is in hand, so the mask
+    bound is a runtime scalar.  Every chunk masks (one iota+select per chunk,
+    same cost profile as the dyn forward kernel).
+    """
+    bound = nmask_ref[0]
+    iq = pl.program_id(1)
+
+    @pl.when(iq == 0)
+    def _zero_accumulators():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    qb = q_ref[0]
+    gb = g_ref[0]
+    lse = lse_ref[0]
+    dsum = d_ref[0]
+    nk = k_ref.shape[1] // block_k
+
+    for i in range(nk):
+        sl = pl.ds(i * block_k, block_k)
+        kb = k_ref[0, sl, :]
+        vb = v_ref[0, sl, :]
+        s = jax.lax.dot_general(qb, kb, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_KERNEL_PREC) * scale
+        p = jnp.exp(s - lse)
+        col = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1) + i * block_k
+        p = jnp.where(col < bound, p, 0.0)
+        pc = p.astype(gb.dtype)
+        dv_ref[0, sl, :] += jax.lax.dot_general(
+            pc, gb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
+        dp = jax.lax.dot_general(gb, vb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_KERNEL_PREC)
+        ds = (p * (dp - dsum) * scale).astype(qb.dtype)
+        dk_ref[0, sl, :] += jax.lax.dot_general(
+            ds, qb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_KERNEL_PREC)
+        dq_i = jnp.dot(ds, kb, preferred_element_type=jnp.float32,
+                       precision=_KERNEL_PREC)
+        if i == 0:
+            dq_acc = dq_i
+        else:
+            dq_acc = dq_acc + dq_i
+    dq_ref[0] = dq_acc
+
+
+def flash_attention_bwd_dyn(q, g, lse, dsum, k, v, scale: float, valid_k,
+                            interpret: bool = False):
+    """dq/dk/dv against one K/V shard with a traced valid-key bound.
+
+    q/g: (B, nh, Nq, hd); lse/dsum: (B, nh, Nq, 1) f32 — the GLOBAL row
+    log-sum-exp and rowsum(dO ∘ O) (merged over every shard); k/v:
+    (B, nh, Nk, hd).  Keys at positions >= valid_k are dead (p forced to 0).
+    Returns f32 (dq_partial, dk, dv) — the ring backward sums dq over hops
+    and rotates dk/dv home.
+    """
+    b, nh, n, hd = q.shape
+    n_k = k.shape[2]
+    block_q = _q_block(n)
+    block_k = _k_block(n_k)
+    qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
+    gf = _pad_to(g.reshape(b * nh, n, hd), 1, block_q)
+    lf = _pad_to(lse.reshape(b * nh, n, 1), 1, block_q)
+    df = _pad_to(dsum.reshape(b * nh, n, 1), 1, block_q)
+    kf = _pad_to(k.reshape(b * nh, n_k, hd), 1, block_k)
+    vf = _pad_to(v.reshape(b * nh, n_k, hd), 1, block_k)
+    npq, npk = qf.shape[1], kf.shape[1]
+
+    if pltpu is None:  # pragma: no cover
+        raise RuntimeError("pallas TPU backend unavailable (the dynamic-"
+                           "bound bwd kernel needs jax.experimental."
+                           "pallas.tpu even for interpret=True)")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * nh, npq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq, nm: (bh, 0, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq, nm: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq, nm: (bh, 0, 0)),
+            pl.BlockSpec((1, npk, hd), lambda bh, iq, nm: (bh, 0, 0)),
+        ],
+    )
+    kernel = functools.partial(_flash_bwd_kernel_dyn, scale=scale,
+                               block_k=block_k)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * nh, npq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * nh, npk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b * nh, npk, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(valid_k, jnp.int32).reshape(1), qf, gf, lf, df, kf, vf)
+    dq = dq[:, :n, :].reshape(b, nh, n, hd)
+    dk = dk[:, :n_k, :].reshape(b, nh, n_k, hd)
+    dv = dv[:, :n_k, :].reshape(b, nh, n_k, hd)
+    return dq, dk, dv
+
+
 # K/V slice + f32 dK/dV accumulators; conservative because Mosaic also
 # double-buffers the accumulator outputs and keeps several unrolled score
 # chunks live (22.7MB actual at a 7.4MB model estimate, measured at 960px)

@@ -1,4 +1,4 @@
-"""Sequence-parallel ViT forward with ring attention over an ICI mesh axis.
+"""Sequence-parallel ViT with ring attention over an ICI mesh axis.
 
 The reference handles its longest sequence (960px -> N=14,401 tokens) with
 vanilla quadratic attention on one device (vision_transformer.py:85;
@@ -9,8 +9,16 @@ runs as a ring — each device holds its Q shard and passes K/V shards around
 the ring with ``jax.lax.ppermute`` (one hop per step, riding ICI), maintaining
 online-softmax state so the full (N, N) matrix never exists anywhere.
 
-Scope: forward only (serving path); attention-probs APIs (cls_mask,
-get_last_selfattention) stay on the single-chip path.
+Training runs THROUGH the ring: ``ring_attention`` carries a custom VJP whose
+backward is a second ring pass — given the globally-merged row log-sum-exp and
+D = rowsum(dO ∘ O), each hop's contribution to dQ/dK/dV is independent (the
+same partition argument as the single-chip resident-split backward,
+ops/attention.py:_flash_bwd_rule), so dK/dV accumulators simply travel around
+the ring with their K/V shards and arrive home after d hops.  Each hop reuses
+the Pallas flash kernels (forward AND backward, dynamic valid-key bound) on
+TPU, XLA einsum math elsewhere.  ``make_sp_train_step`` builds a full
+unfrozen finetune step on top (loss + grads computed shard-local inside one
+``shard_map``, aggregated with one psum).
 """
 from __future__ import annotations
 
@@ -19,6 +27,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -29,11 +38,15 @@ Params = Dict[str, Any]
 _NEG_INF = -1e30
 
 
-def ring_self_attention(q, k, v, scale: float, n_real: int, axis_name: str):
-    """Online-softmax attention over ring-rotated K/V shards.
+# ---------------------------------------------------------------------------
+# Forward rings (return the merged log-sum-exp for the backward)
+# ---------------------------------------------------------------------------
 
-    Runs INSIDE shard_map.  q/k/v: (B, nh, N_local, hd) per device; global
-    key positions >= n_real are masked.  Returns (B, nh, N_local, hd).
+def _ring_fwd_xla(q, k, v, scale: float, n_real: int, axis_name: str):
+    """Online-softmax attention over ring-rotated K/V shards (XLA math).
+
+    q/k/v: (B, nh, N_local, hd) per device; global key positions >= n_real
+    are masked.  Returns (out (B,nh,N_local,hd), lse (B,nh,N_local,1) f32).
     """
     d = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
@@ -64,11 +77,12 @@ def ring_self_attention(q, k, v, scale: float, n_real: int, axis_name: str):
             jnp.zeros((b, nh, n_local, 1), jnp.float32),
             jnp.zeros((b, nh, n_local, hd), jnp.float32), k, v)
     (m, l, acc, _, _), _ = jax.lax.scan(body, init, jnp.arange(d))
-    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    l = jnp.maximum(l, 1e-30)
+    return (acc / l).astype(q.dtype), m + jnp.log(l)
 
 
-def ring_self_attention_flash(q, k, v, scale: float, n_real: int,
-                              axis_name: str, interpret: bool = False):
+def _ring_fwd_flash(q, k, v, scale: float, n_real: int, axis_name: str,
+                    interpret: bool = False):
     """Ring attention with the Pallas flash kernel per hop.
 
     Each hop runs the resident flash kernel on the local Q shard against the
@@ -108,8 +122,113 @@ def ring_self_attention_flash(q, k, v, scale: float, n_real: int,
             jnp.zeros((b, nh, n_local, 1), jnp.float32),
             jnp.zeros((b, nh, n_local, hd), jnp.float32), k, v)
     (m, l, acc, _, _), _ = jax.lax.scan(body, init, jnp.arange(d))
-    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    l = jnp.maximum(l, 1e-30)
+    return (acc / l).astype(q.dtype), m + jnp.log(l)
 
+
+# ---------------------------------------------------------------------------
+# Differentiable ring attention (custom VJP: backward is a second ring)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def ring_attention(q, k, v, scale: float, n_real: int, axis_name: str,
+                   impl: str = "xla", interpret: bool = False):
+    """Ring attention over shard-local (B, nh, N_local, hd) q/k/v.
+
+    ``impl``: 'flash' (Pallas kernels per hop; ``interpret`` for off-TPU
+    testing) or 'xla'.  Must be called inside ``shard_map`` with the token
+    shards laid out contiguously along ``axis_name``.  Differentiable.
+    """
+    out, _ = (_ring_fwd_flash(q, k, v, scale, n_real, axis_name, interpret)
+              if impl == "flash"
+              else _ring_fwd_xla(q, k, v, scale, n_real, axis_name))
+    return out
+
+
+def _ring_attention_fwd(q, k, v, scale, n_real, axis_name, impl, interpret):
+    out, lse = (_ring_fwd_flash(q, k, v, scale, n_real, axis_name, interpret)
+                if impl == "flash"
+                else _ring_fwd_xla(q, k, v, scale, n_real, axis_name))
+    return out, (q, k, v, out, lse)
+
+
+def _ring_attention_bwd(scale, n_real, axis_name, impl, interpret, res, g):
+    """Reverse ring: dK/dV accumulators travel with their K/V shards.
+
+    With the global lse and D = rowsum(dO ∘ O) in hand, P's columns
+    partition exactly across shards (P = exp(S·scale − lse) needs no
+    per-hop renormalization), so each hop computes an independent
+    contribution: dQ += dS·K (sums locally), dK/dV accumulate into buffers
+    that rotate alongside K/V and are home after d hops.
+    """
+    q, k, v, out, lse = res
+    d = jax.lax.axis_size(axis_name)
+    my = jax.lax.axis_index(axis_name)
+    n_local = q.shape[2]
+    perm = [(i, (i + 1) % d) for i in range(d)]
+    gf = g.astype(jnp.float32)
+    dsum = jnp.sum(gf * out.astype(jnp.float32), axis=-1, keepdims=True)
+
+    def body(carry, step):
+        dq, k_cur, v_cur, dk_cur, dv_cur = carry
+        src = (my - step) % d
+        if impl == "flash":
+            from dino_tpu.ops.attention import flash_attention_bwd_dyn
+            valid = jnp.clip(n_real - src * n_local, 0, n_local)
+            dq_h, dk_h, dv_h = flash_attention_bwd_dyn(
+                q, g, lse, dsum, k_cur, v_cur, scale, valid,
+                interpret=interpret)
+        else:
+            col = src * n_local + jnp.arange(n_local)
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k_cur,
+                           preferred_element_type=jnp.float32) * scale
+            p = jnp.exp(s - lse)
+            p = jnp.where(col[None, None, None, :] < n_real, p, 0.0)
+            dv_h = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                              preferred_element_type=jnp.float32)
+            dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v_cur.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+            ds = p * (dp - dsum) * scale
+            dq_h = jnp.einsum("bhqk,bhkd->bhqd", ds, k_cur.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+            dk_h = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                              preferred_element_type=jnp.float32)
+        dq = dq + dq_h
+        dk_cur = dk_cur + dk_h
+        dv_cur = dv_cur + dv_h
+        # rotate the shard AND its gradient accumulators one hop; after d
+        # hops every dK/dV buffer is back on its owner with all terms
+        k_next = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_next = jax.lax.ppermute(v_cur, axis_name, perm)
+        dk_next = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_next = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return (dq, k_next, v_next, dk_next, dv_next), None
+
+    zero = jnp.zeros(q.shape, jnp.float32)
+    init = (zero, k, v, jnp.zeros(k.shape, jnp.float32),
+            jnp.zeros(v.shape, jnp.float32))
+    (dq, _, _, dk, dv), _ = jax.lax.scan(body, init, jnp.arange(d))
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_attention.defvjp(_ring_attention_fwd, _ring_attention_bwd)
+
+
+def ring_self_attention(q, k, v, scale: float, n_real: int, axis_name: str):
+    """XLA-math ring attention (kept as the documented non-kernel surface)."""
+    return ring_attention(q, k, v, scale, n_real, axis_name, "xla")
+
+
+def ring_self_attention_flash(q, k, v, scale: float, n_real: int,
+                              axis_name: str, interpret: bool = False):
+    """Pallas-kernel-per-hop ring attention."""
+    return ring_attention(q, k, v, scale, n_real, axis_name, "flash",
+                          interpret)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel ViT blocks / forward
+# ---------------------------------------------------------------------------
 
 def _block_seq_parallel(p: Params, tokens, cfg: ViTConfig, n_real: int,
                         axis_name: str, flash: str = "auto"):
@@ -121,13 +240,9 @@ def _block_seq_parallel(p: Params, tokens, cfg: ViTConfig, n_real: int,
     qkv = qkv.transpose(2, 0, 3, 1, 4)
     use_flash = (flash == "force" or
                  (flash == "auto" and jax.default_backend() == "tpu"))
-    if use_flash:
-        out = ring_self_attention_flash(
-            qkv[0], qkv[1], qkv[2], cfg.scale, n_real, axis_name,
-            interpret=jax.default_backend() != "tpu")
-    else:
-        out = ring_self_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real,
-                                  axis_name)
+    out = ring_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real, axis_name,
+                         "flash" if use_flash else "xla",
+                         jax.default_backend() != "tpu")
     out = out.transpose(0, 2, 1, 3).reshape(b, n_local, c)
     tokens = tokens + dense(p["attn"]["proj"], out)
     h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
@@ -169,3 +284,198 @@ def vit_forward_seq_parallel(params: Params, x, cfg: ViTConfig, mesh: Mesh,
 
     out = run(tokens, params["blocks"], params["norm"])
     return out[:, :n_real, :]
+
+
+# ---------------------------------------------------------------------------
+# SP x TP composition: ring attention over seq_axis, Megatron-sharded block
+# params over tp_axis (docs/SCALING.md composition table)
+# ---------------------------------------------------------------------------
+
+def _tp_pack_block(blk: Params, cfg: ViTConfig) -> Params:
+    """Re-lay a block's params head-aligned for explicit tensor parallelism.
+
+    The GSPMD TP spec (parallel/mesh.py:_vit_block_spec) splits the qkv
+    kernel's flat output columns, which is fine when XLA manages the
+    resharding — but explicit shard_map TP needs each device to hold WHOLE
+    heads (its q/k/v triples), so the qkv/proj weights are regrouped onto a
+    leading head axis and sharded there.
+    """
+    c, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
+    return {
+        "norm1": blk["norm1"], "norm2": blk["norm2"],
+        # (nh, C, 3, hd): head h's full q/k/v projection
+        "qkv_w": blk["attn"]["qkv"]["kernel"].reshape(c, 3, nh, hd)
+                 .transpose(2, 0, 1, 3),
+        "qkv_b": blk["attn"]["qkv"]["bias"].reshape(3, nh, hd)
+                 .transpose(1, 0, 2),                      # (nh, 3, hd)
+        "proj_w": blk["attn"]["proj"]["kernel"].reshape(nh, hd, c),
+        "proj_b": blk["attn"]["proj"]["bias"],
+        "fc1_w": blk["mlp"]["fc1"]["kernel"],              # (C, H) col-split
+        "fc1_b": blk["mlp"]["fc1"]["bias"],
+        "fc2_w": blk["mlp"]["fc2"]["kernel"],              # (H, C) row-split
+        "fc2_b": blk["mlp"]["fc2"]["bias"],
+    }
+
+
+def _tp_block_spec(tp_axis: str):
+    ln = {"scale": P(), "bias": P()}
+    return {
+        "norm1": ln, "norm2": ln,
+        "qkv_w": P(tp_axis), "qkv_b": P(tp_axis),
+        "proj_w": P(tp_axis), "proj_b": P(),
+        "fc1_w": P(None, tp_axis), "fc1_b": P(tp_axis),
+        "fc2_w": P(tp_axis, None), "fc2_b": P(),
+    }
+
+
+def _block_sp_tp(p: Params, tokens, cfg: ViTConfig, n_real: int,
+                 seq_axis: str, tp_axis: str, flash: str):
+    """One block on a token shard with head/hidden dims split over tp_axis.
+
+    Megatron rules with explicit collectives: qkv/fc1 column-parallel (no
+    comms), proj/fc2 row-parallel (one psum each over ``tp_axis`` riding
+    ICI); attention itself rings over ``seq_axis`` per local head group —
+    the 2-D (sequence x tensor) attention decomposition.
+    """
+    h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
+    b, n_local, c = h.shape
+    qkv = jnp.einsum("bnc,hctd->tbhnd", h, p["qkv_w"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    qkv = (qkv + p["qkv_b"].astype(jnp.float32)
+           .transpose(1, 0, 2)[:, None, :, None, :]).astype(h.dtype)
+    use_flash = (flash == "force" or
+                 (flash == "auto" and jax.default_backend() == "tpu"))
+    out = ring_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real, seq_axis,
+                         "flash" if use_flash else "xla",
+                         jax.default_backend() != "tpu")
+    part = jnp.einsum("bhnd,hdc->bnc", out, p["proj_w"].astype(out.dtype),
+                      preferred_element_type=jnp.float32)
+    attn_out = (jax.lax.psum(part, tp_axis)
+                + p["proj_b"].astype(jnp.float32))
+    tokens = tokens + attn_out.astype(tokens.dtype)
+    h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
+    h1 = jnp.dot(h, p["fc1_w"].astype(h.dtype),
+                 preferred_element_type=jnp.float32)
+    h1 = (h1 + p["fc1_b"].astype(jnp.float32)).astype(h.dtype)
+    h1 = jax.nn.gelu(h1, approximate=False)
+    part = jnp.dot(h1, p["fc2_w"].astype(h1.dtype),
+                   preferred_element_type=jnp.float32)
+    mlp_out = jax.lax.psum(part, tp_axis) + p["fc2_b"].astype(jnp.float32)
+    return tokens + mlp_out.astype(tokens.dtype)
+
+
+def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
+                      seq_axis: str = "data", tp_axis: str = "model",
+                      flash: str = "auto") -> jnp.ndarray:
+    """ViT forward with tokens sharded over ``seq_axis`` AND block weights
+    Megatron-sharded over ``tp_axis`` — the SP x TP composition on a 2-D
+    mesh.  Returns the normed tokens (B, N+1, D), gathered; matches
+    vit_forward to reduction order."""
+    d = mesh.shape[seq_axis]
+    t = mesh.shape[tp_axis]
+    if cfg.num_heads % t or cfg.mlp_hidden % t:
+        raise ValueError(f"num_heads {cfg.num_heads} / mlp_hidden "
+                         f"{cfg.mlp_hidden} must divide tp={t}")
+    tokens = prepare_tokens(params, x, cfg)
+    n_real = tokens.shape[1]
+    pad = (-n_real) % d
+    if pad:
+        tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
+
+    packed = [_tp_pack_block(blk, cfg) for blk in params["blocks"]]
+    block_specs = [_tp_block_spec(tp_axis) for _ in packed]
+    norm_specs = jax.tree.map(lambda _: P(), params["norm"])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, seq_axis, None), block_specs, norm_specs),
+        out_specs=P(None, seq_axis, None), check_vma=False)
+    def run(tok_shard, blocks, norm):
+        for blk in blocks:
+            tok_shard = _block_sp_tp(blk, tok_shard, cfg, n_real,
+                                     seq_axis, tp_axis, flash)
+        return layer_norm(norm, tok_shard, cfg.ln_eps)
+
+    out = run(tokens, packed, params["norm"])
+    return out[:, :n_real, :]
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel training (finetune THROUGH the ring)
+# ---------------------------------------------------------------------------
+
+def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
+                       optimizer, mesh: Mesh, seq_axis: str = "data",
+                       flash: str = "auto"):
+    """Unfrozen finetune step with the token axis sharded over ``seq_axis``.
+
+    step(vit_p, head_p, opt_state, images_u8, labels) ->
+    (vit_p, head_p, opt_state, loss).  The whole loss decomposes per token
+    (the head is a per-patch map, reference pl_torch_modules.py:253), so each
+    device computes its token shard's NLL contribution and local grads inside
+    ONE shard_map — ring attention's custom VJP carries cotangents across
+    shards — and a single psum over ``seq_axis`` aggregates loss and grads.
+    Embedding/positional work is computed replicated on every device (~1% of
+    FLOPs, same trade as the pipeline module); each device's grads cover only
+    its own token terms, so the psum yields exactly the replicated step's
+    gradient.  This is what makes multi-chip 960px finetuning possible: no
+    device ever holds the full token sequence's activations.
+    """
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+
+    d = mesh.shape[seq_axis]
+
+    def step(vit_p, head_p, opt_state, images, labels):
+        x = normalize_imagenet(images)
+        b, hgt, wdt, _ = x.shape
+        n_patches = (hgt // cfg.patch_size) * (wdt // cfg.patch_size)
+        n_real = n_patches + 1
+        n_pad = -(-n_real // d) * d
+        n_local = n_pad // d
+        # token-aligned labels: position 0 = CLS (dead), then the patches;
+        # global pad tokens are dead too — both masked out of the loss
+        y_tok = jnp.pad(labels.reshape(b, n_patches).astype(jnp.int32),
+                        ((0, 0), (1, n_pad - n_real)))
+        pos = jnp.arange(n_pad)
+        w_tok = jnp.broadcast_to((pos >= 1) & (pos < n_real), (b, n_pad)
+                                 ).astype(jnp.float32)
+        count = b * n_patches
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(), P(None, None, None, None),
+                      P(None, seq_axis), P(None, seq_axis)),
+            out_specs=(P(), P()), check_vma=False)
+        def value_and_psum_grads(params, x_rep, y_sh, w_sh):
+            my = jax.lax.axis_index(seq_axis)
+
+            def local_loss(ps):
+                vit_p, head_p = ps["vit"], ps["head"]
+                tokens = prepare_tokens(vit_p, x_rep, cfg)
+                tokens = jnp.pad(tokens, ((0, 0), (0, n_pad - n_real),
+                                          (0, 0)))
+                tok = jax.lax.dynamic_slice_in_dim(tokens, my * n_local,
+                                                   n_local, 1)
+                for blk in vit_p["blocks"]:
+                    tok = _block_seq_parallel(blk, tok, cfg, n_real,
+                                              seq_axis, flash=flash)
+                tok = layer_norm(vit_p["norm"], tok, cfg.ln_eps)
+                logp = head_apply(head_type, head_p,
+                                  tok.reshape(-1, tok.shape[-1]))
+                picked = jnp.take_along_axis(
+                    logp, y_sh.reshape(-1)[:, None], axis=1)[:, 0]
+                return -jnp.sum(picked * w_sh.reshape(-1)) / count
+
+            loss, grads = jax.value_and_grad(local_loss)(params)
+            loss = jax.lax.psum(loss, seq_axis)
+            grads = jax.tree.map(lambda t: jax.lax.psum(t, seq_axis), grads)
+            return loss, grads
+
+        params = {"vit": vit_p, "head": head_p}
+        loss, grads = value_and_psum_grads(params, x, y_tok, w_tok)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params["vit"], params["head"], opt_state, loss
+
+    return jax.jit(step)

@@ -57,6 +57,96 @@ def test_ring_flash_matches_replicated():
                                atol=5e-4, rtol=1e-4)
 
 
+def test_sp_tp_composition_matches_replicated():
+    """Ring attention over 'data' composed with Megatron-sharded block
+    params over 'model' (the SCALING.md composition row): (data=4, model=2)
+    mesh == replicated forward."""
+    from dino_tpu.parallel.ring_attention import vit_forward_sp_tp
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=2)
+    params = init_vit_params(jax.random.PRNGKey(4), cfg, depth=2)
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 48, 48, 3), jnp.float32)
+    mesh = make_mesh(8, model_axis=2)  # (data=4, model=2)
+    out = vit_forward_sp_tp(params, x, cfg, mesh)
+    ref = vit_forward(params, x, cfg, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_sp_train_step_matches_replicated():
+    """Training THROUGH the ring (custom VJP): one unfrozen Adam step under
+    sequence parallelism == the replicated make_train_step, params matching
+    to fp32 reduction-order tolerance."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.ring_attention import make_sp_train_step
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=2)
+    n_classes = 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=2)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, cfg.embed_dim)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (2, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (2, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_step = make_train_step(cfg, "mlp", n_classes, opt,
+                               freeze_backbone=False, donate=False)
+    ref_out = ref_step(vit_p, head_p,
+                       init_opt_state(opt, vit_p, head_p, False),
+                       images, labels)
+    ref_vit, ref_head, _, ref_loss, _ = ref_out
+
+    mesh = make_mesh(8, model_axis=1)
+    sp_step = make_sp_train_step(cfg, "mlp", n_classes, opt, mesh,
+                                 seq_axis="data")
+    sp_vit, sp_head, _, sp_loss = sp_step(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=1e-5)
+    for ref_t, sp_t in zip(jax.tree.leaves(ref_vit), jax.tree.leaves(sp_vit)):
+        np.testing.assert_allclose(np.asarray(sp_t), np.asarray(ref_t),
+                                   atol=2e-4, rtol=1e-3)
+    for ref_t, sp_t in zip(jax.tree.leaves(ref_head),
+                           jax.tree.leaves(sp_head)):
+        np.testing.assert_allclose(np.asarray(sp_t), np.asarray(ref_t),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_sp_train_step_flash_kernels_match_xla():
+    """The Pallas per-hop forward+backward kernels (dynamic valid-K bound,
+    interpret mode on CPU) give the same SP training step as the XLA hops."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.ring_attention import make_sp_train_step
+    from dino_tpu.train.loop import init_opt_state, make_optimizer
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=1, num_heads=2)
+    n_classes = 4
+    vit_p = init_vit_params(jax.random.PRNGKey(2), cfg, depth=1)
+    head_p = init_head(jax.random.PRNGKey(3), "mlp", n_classes, cfg.embed_dim)
+    rs = np.random.RandomState(1)
+    images = rs.randint(0, 255, (1, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (1, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    mesh = make_mesh(8, model_axis=1)
+    outs = {}
+    for mode in ("off", "force"):
+        step = make_sp_train_step(cfg, "mlp", n_classes, opt, mesh,
+                                  seq_axis="data", flash=mode)
+        outs[mode] = step(vit_p, head_p,
+                          init_opt_state(opt, vit_p, head_p, False),
+                          images, labels)
+    np.testing.assert_allclose(float(outs["force"][3]), float(outs["off"][3]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs["force"][0]),
+                    jax.tree.leaves(outs["off"][0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_dyn_mask_flash_kernel():
     """The dynamic-bound resident kernel == XLA attention on the valid K
     prefix, for several traced bounds through one compiled program."""
