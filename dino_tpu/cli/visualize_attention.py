@@ -29,8 +29,10 @@ def vis_mask(checkpoint_path, filename, target_dir, resolution=480):
     with open(filename, "rb") as f:
         img = np.array(Image.open(f).convert("RGB"))
 
-    # (1, nh, N, N) probabilities at the requested resolution
-    attn = model.get_last_selfattention(img[None])
+    # (1, nh, 1, N) CLS-row probabilities at the requested resolution —
+    # O(N) memory, so --resolution 960 works on one chip (the reference
+    # materializes (1, nh, N, N) and reads only this row, :50)
+    attn = model.get_last_selfattention(img[None], cls_only=True)
     nh = attn.shape[1]
     grid = resolution // patch_size
     cls_attn = attn[0, :, 0, 1:].reshape(nh, grid, grid)

@@ -325,12 +325,39 @@ def vit_forward(params: Params, x: jnp.ndarray, cfg: ViTConfig, *,
 
 
 def get_last_selfattention(params: Params, x: jnp.ndarray, cfg: ViTConfig,
-                           cls_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """Attention probabilities of the final block (B, nh, N, N) (ref :273-280)."""
+                           cls_mask: Optional[jnp.ndarray] = None,
+                           cls_only: bool = False) -> jnp.ndarray:
+    """Attention probabilities of the final block (ref :273-280).
+
+    Default returns the full (B, nh, N, N) matrix like the reference.
+    ``cls_only=True`` computes the probabilities for the CLS query only —
+    (B, nh, 1, N), O(N) memory — which is the single row every in-repo
+    consumer reads (reference visualize_attention.py:50 takes
+    ``attentions[0, :, 0, 1:]``; dt_utils.py:66-91 likewise).  With the
+    earlier blocks on the flash kernel this makes 960px (N=14,401)
+    attention maps first-class on one chip: the full matrix would be
+    ~5 GB f32, the CLS row ~350 KB.
+    """
     tokens = prepare_tokens(params, x, cfg)
     blocks = params["blocks"]
     for blk in blocks[:-1]:
         tokens, _ = block_apply(blk, tokens, cfg)
+    if cls_only:
+        from dino_tpu.ops.attention import attention_probs_xla
+        p = blocks[-1]
+        h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
+        b, n, c = h.shape
+        nh, hd = cfg.num_heads, cfg.head_dim
+        w = p["attn"]["qkv"]["kernel"].astype(h.dtype).reshape(c, 3, nh, hd)
+        bias = p["attn"]["qkv"]["bias"].astype(jnp.float32).reshape(3, nh, hd)
+        # q sliced to the CLS token BEFORE the projection: (B, nh, 1, hd)
+        q_cls = jnp.einsum("bc,chd->bhd", h[:, 0, :], w[:, 0],
+                           preferred_element_type=jnp.float32)
+        q_cls = (q_cls + bias[0]).astype(h.dtype)[:, :, None, :]
+        k = jnp.einsum("bnc,chd->bhnd", h, w[:, 1],
+                       preferred_element_type=jnp.float32)
+        k = (k + bias[1][None, :, None, :]).astype(h.dtype)
+        return attention_probs_xla(q_cls, k, cfg.scale, cls_mask)
     _, attn = block_apply(blocks[-1], tokens, cfg, cls_mask=cls_mask,
                           need_probs=True)
     return attn

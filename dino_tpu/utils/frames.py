@@ -48,7 +48,9 @@ def process_attentions(attentions: np.ndarray,
     """Extract per-head CLS attention maps, optionally binarized to the top
     ``threshold`` probability mass (reference dt_utils.py:66-91).
 
-    attentions: (1, nh, N, N) probabilities. Returns (nh, res/P, res/P).
+    attentions: (1, nh, N, N) probabilities, or the O(N) CLS-only form
+    (1, nh, 1, N) from ``get_last_selfattention(cls_only=True)`` — both
+    index the same CLS row.  Returns (nh, res/P, res/P).
     """
     attentions = np.asarray(attentions)
     nh = attentions.shape[1]

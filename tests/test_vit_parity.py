@@ -55,6 +55,38 @@ def test_last_selfattention(vit_golden, params):
                                vit_golden["attn240_cls"], atol=ATOL, rtol=RTOL)
 
 
+def test_last_selfattention_cls_only(vit_golden, params):
+    """The O(N) CLS-row path == row 0 of the full (N, N) path (and thus the
+    torch golden), including under a cls_mask."""
+    attn = get_last_selfattention(params, _nhwc(vit_golden["x240"]), CFG,
+                                  cls_only=True)
+    assert attn.shape[2] == 1  # (B, nh, 1, N): no (N, N) anywhere
+    np.testing.assert_allclose(np.asarray(attn)[:, :, 0, :],
+                               vit_golden["attn240_cls"], atol=ATOL, rtol=RTOL)
+    masked = get_last_selfattention(params, _nhwc(vit_golden["x120"]), CFG,
+                                    cls_mask=vit_golden["cls_mask"],
+                                    cls_only=True)
+    np.testing.assert_allclose(masked, vit_golden["attn_masked"],
+                               atol=ATOL, rtol=RTOL)
+
+
+def test_cls_only_long_sequence():
+    """960px-shaped sequence (N = 14,401 tokens) CLS-row extraction on a thin
+    ViT: runs in O(N) memory (the full path would need a ~1.7 GB f32 matrix
+    per head here) and matches process_attentions' expectations."""
+    import jax
+    from dino_tpu.models.vit import init_vit_params
+    from dino_tpu.utils.frames import process_attentions
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=1, num_heads=2)
+    p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=1)
+    x = np.random.RandomState(0).randn(1, 960, 960, 3).astype(np.float32)
+    attn = get_last_selfattention(p, x, cfg, cls_only=True)
+    assert attn.shape == (1, 2, 1, 120 * 120 + 1)
+    np.testing.assert_allclose(np.asarray(attn).sum(axis=-1), 1.0, rtol=1e-5)
+    maps = process_attentions(np.asarray(attn), resolution=960)
+    assert maps.shape == (2, 120, 120)
+
+
 def test_intermediate_layers(vit_golden, params):
     outs = get_intermediate_layers(params, _nhwc(vit_golden["x240"]), CFG, n=2)
     np.testing.assert_allclose(outs[0], vit_golden["inter240_0"], atol=ATOL, rtol=RTOL)
