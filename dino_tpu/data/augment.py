@@ -11,6 +11,15 @@ Images are interpolated bilinearly, masks nearest; affine borders reflect-101
 albumentations wraps) over a numpy Generator, so augmentation distributions
 match while staying independent of the torch RNG stream.  Normalization is NOT
 done here — it fuses into the device graph (dino_tpu.ops.preprocess).
+
+Backend pixel contract (cv2 path here vs the native C++ path,
+native/dtloader.cpp, pinned by tests/test_native_augment.py): all RANDOM
+PARAMETERS are seed-exact on both backends (drawn only here); resize / crop /
+flip produce BIT-IDENTICAL pixels (the C++ resize replicates cv2's
+INTER_LINEAR fixed-point arithmetic); warpAffine is off-by-one on <0.1% of
+pixels and jitter/blur are tolerance-matched (MAD < 2.5 levels) — so resume
+bit-determinism holds per backend, and across backends whenever only the
+bit-exact ops fire.
 """
 from __future__ import annotations
 

@@ -119,6 +119,74 @@ void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
   }
 }
 
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// cv2-bit-exact bilinear resize of packed RGB uint8 (OpenCV INTER_LINEAR,
+// 8U fixed-point path).  The augmentation pipeline's oracle is cv2 (the
+// reference's albumentations wraps it), so this path replicates cv2's exact
+// integer arithmetic, derived empirically and verified bit-equal across
+// 100+ shape pairs (tests/test_native_augment.py):
+//   * continuous coord (i+0.5)*scale-0.5 computed in double, CAST TO FLOAT
+//     before the floor (cv2 stores fx as float)
+//   * both tap indices clamped independently to [0, n-1]; the fraction is
+//     KEPT at borders (no degenerate 2048/0 snap)
+//   * coefficients saturate_cast<short>(frac * 2048), round-half-to-even
+//   * horizontal pass in int32; vertical pass via the SIMD-equivalent
+//     (((b0*(r0>>4))>>16) + ((b1*(r1>>4))>>16) + 2) >> 2
+// (resize_bilinear_u8 above keeps the DEVICE convention — it bit-matches
+// dino_tpu.ops.resize for the eval/load path; two oracles, two functions.)
+void resize_bilinear_u8_cv2(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                            int dh, int dw) {
+  std::vector<int> x0(dw), x1(dw);
+  std::vector<int32_t> ax0(dw), ax1(dw);
+  const double scale_x = static_cast<double>(sw) / dw;
+  for (int x = 0; x < dw; ++x) {
+    const float c = static_cast<float>((x + 0.5) * scale_x - 0.5);
+    const int s = static_cast<int>(std::floor(c));
+    const float frac = c - static_cast<float>(s);
+    x0[x] = clampi(s, 0, sw - 1);
+    x1[x] = clampi(s + 1, 0, sw - 1);
+    ax0[x] = static_cast<int32_t>(std::nearbyint((1.0 - frac) * 2048.0));
+    ax1[x] = static_cast<int32_t>(std::nearbyint(frac * 2048.0));
+  }
+  const double scale_y = static_cast<double>(sh) / dh;
+  std::vector<int32_t> rowA(static_cast<size_t>(dw) * 3);
+  std::vector<int32_t> rowB(static_cast<size_t>(dw) * 3);
+  auto hresize = [&](int sy, int32_t* out) {
+    const uint8_t* r = src + static_cast<size_t>(sy) * sw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int a = x0[x] * 3, b = x1[x] * 3;
+      for (int c = 0; c < 3; ++c)
+        out[x * 3 + c] = r[a + c] * ax0[x] + r[b + c] * ax1[x];
+    }
+  };
+  int haveA = -1, haveB = -1;
+  for (int y = 0; y < dh; ++y) {
+    const float c = static_cast<float>((y + 0.5) * scale_y - 0.5);
+    const int s = static_cast<int>(std::floor(c));
+    const float frac = c - static_cast<float>(s);
+    const int yA = clampi(s, 0, sh - 1);
+    const int yB = clampi(s + 1, 0, sh - 1);
+    const int64_t b0 = static_cast<int64_t>(std::nearbyint((1.0 - frac) * 2048.0));
+    const int64_t b1 = static_cast<int64_t>(std::nearbyint(frac * 2048.0));
+    if (haveA != yA) {
+      if (haveB == yA) { rowA.swap(rowB); haveB = haveA; }
+      else hresize(yA, rowA.data());
+      haveA = yA;
+    }
+    if (haveB != yB) { hresize(yB, rowB.data()); haveB = yB; }
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int j = 0; j < dw * 3; ++j) {
+      const int64_t v = ((b0 * (rowA[j] >> 4)) >> 16)
+                      + ((b1 * (rowB[j] >> 4)) >> 16);
+      out[j] = static_cast<uint8_t>(clampi(
+          static_cast<int>((v + 2) >> 2), 0, 255));
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Training augmentations (parameters drawn in Python — data/augment.py
 // draw_params/pack_params — pixels transformed here, off the GIL).
@@ -132,10 +200,6 @@ inline int reflect101(int p, int n) {
   p %= period;
   if (p < 0) p += period;
   return p < n ? p : period - p;
-}
-
-inline int clampi(int v, int lo, int hi) {
-  return v < lo ? lo : (v > hi ? hi : v);
 }
 
 // Nearest resize of an int32 mask: src row = floor(dst * sh / dh)
@@ -412,7 +476,7 @@ int augment_one(const char* path, const int32_t* mask_in, int mh, int mw,
 
   std::vector<uint8_t> img(static_cast<size_t>(res) * res * 3);
   std::vector<int32_t> mask(static_cast<size_t>(res) * res);
-  resize_bilinear_u8(raw, sh, sw, img.data(), res, res);
+  resize_bilinear_u8_cv2(raw, sh, sw, img.data(), res, res);
   free(raw);
   resize_nearest_i32(mask_in, mh, mw, mask.data(), res, res);
 
@@ -431,7 +495,7 @@ int augment_one(const char* path, const int32_t* mask_in, int mh, int mw,
         cm[static_cast<size_t>(y) * cw + x] =
             mask[static_cast<size_t>(y0 + y) * res + x0 + x];
     }
-    resize_bilinear_u8(ci.data(), ch, cw, img.data(), res, res);
+    resize_bilinear_u8_cv2(ci.data(), ch, cw, img.data(), res, res);
     resize_nearest_i32(cm.data(), ch, cw, mask.data(), res, res);
   }
   if (p[5] > 0.5f) {  // ShiftScaleRotate

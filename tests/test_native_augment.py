@@ -1,9 +1,20 @@
 """Native C++ augmentation pipeline vs the cv2 oracle.
 
 All randomness is drawn in Python (data.augment.draw_params), so both paths
-see identical geometry/photometry parameters; the C++ pixel math is checked
-against the cv2 implementation within tight tolerances (cv2 uses fixed-point
-interpolation internally, so bit-exactness is not expected).
+see identical geometry/photometry parameters.  Pixel contract (stated in
+data/augment.py and docs/SCALING.md):
+
+  * resize / crop / flip: BIT-EXACT — the C++ resize replicates cv2's
+    INTER_LINEAR 8U fixed-point arithmetic (native/dtloader.cpp:
+    resize_bilinear_u8_cv2)
+  * warpAffine: off-by-one on <0.1% of pixels (cv2's fixed-point remap
+    tables vs float sampling), masks >99.8% agreement
+  * color jitter / GaussianBlur: tolerance-matched (cv2's internal
+    fixed-point filters), image MAD < 2.5 levels
+
+Consequence: a training stream is bit-deterministic PER BACKEND; the two
+backends produce identical streams whenever only resize/crop/flip fire and
+near-identical (sub-quantization-level) streams otherwise.
 """
 import os
 
@@ -45,26 +56,56 @@ def test_native_matches_cv2_oracle(sample, seed):
     assert mask_agree > 0.97, (seed, mask_agree)
 
 
-def test_forced_ops_match_oracle(sample):
+def test_geometry_ops_bit_exact(sample):
+    """resize / crop / flip (and their compositions): BIT-EQUAL to cv2, for
+    both image and mask — the same seed trains on the same pixels on either
+    backend whenever only these ops fire."""
     path, raw, mask = sample
     base = {"crop": None, "affine": None, "flip": False, "jitter": None,
             "blur": None}
     cases = [
-        {**base, "blur": 41},
-        {**base, "blur": 3},
-        {**base, "affine": np.array([[0.95, 0.26, 12.0],
-                                     [-0.26, 0.95, -30.0]])},
-        {**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
-        {**base, "jitter": (np.array([1, 2, 0, 3]), (0.6, 1.15, 0.85, 0.1))},
-        {**base, "crop": (5, 9, 333, 471), "flip": True},
+        dict(base),                                   # plain resize
+        {**base, "flip": True},
+        {**base, "crop": (5, 9, 333, 471)},
+        {**base, "crop": (17, 3, 129, 310), "flip": True},
+        {**base, "crop": (0, 0, 400, 300)},           # full-frame crop
     ]
     for p in cases:
         native = native_loader.augment_batch([path], [mask], 480,
                                              pack_params(p)[None])
+        pi, pm = apply_params(p, raw.copy(), mask.copy(), 480)
+        np.testing.assert_array_equal(native[0][0], pi, err_msg=str(p))
+        np.testing.assert_array_equal(native[1][0], pm, err_msg=str(p))
+
+
+def test_forced_ops_match_oracle(sample):
+    """Per-op tolerance pins for the ops that are NOT bit-exact (cv2's
+    fixed-point warp/filter internals vs the C++ float math)."""
+    path, raw, mask = sample
+    base = {"crop": None, "affine": None, "flip": False, "jitter": None,
+            "blur": None}
+    affine = {**base, "affine": np.array([[0.95, 0.26, 12.0],
+                                          [-0.26, 0.95, -30.0]])}
+    cases = [
+        ({**base, "blur": 41}, 2.5),
+        ({**base, "blur": 3}, 1.0),
+        (affine, 0.01),      # off-by-one on <1% of pixels
+        ({**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
+         2.5),
+        ({**base, "jitter": (np.array([1, 2, 0, 3]), (0.6, 1.15, 0.85, 0.1))},
+         2.5),
+    ]
+    for p, tol in cases:
+        native = native_loader.augment_batch([path], [mask], 480,
+                                             pack_params(p)[None])
         pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
-        mad = np.abs(native[0][0].astype(np.int32)
-                     - pi.astype(np.int32)).mean()
-        assert mad < 3.0, (p, mad)
+        diff = np.abs(native[0][0].astype(np.int32) - pi.astype(np.int32))
+        assert diff.mean() < tol, (p, diff.mean())
+    nat = native_loader.augment_batch([path], [mask], 480,
+                                      pack_params(affine)[None])
+    pi, pm = apply_params(affine, raw.copy(), mask.copy(), 480)
+    assert np.abs(nat[0][0].astype(int) - pi.astype(int)).max() <= 1
+    assert (nat[1][0] == pm).mean() > 0.998
 
 
 def test_native_determinism(sample):
