@@ -51,6 +51,59 @@ def test_full_scale_tokens_match(ref_model, our_params, res):
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("DINO_TPU_SLOW") != "1",
+                    reason="960px live-torch leg: ~15 min + ~10 GB on the "
+                           "1-core host; set DINO_TPU_SLOW=1 to run")
+def test_full_scale_tokens_match_960(ref_model, our_params):
+    """The BASELINE 960px leg (N = 14,401 tokens) at full ViT-S/8 scale:
+    token outputs and per-patch argmax maps vs the live torch reference.
+    The torch side materializes the (6, 14401, 14401) attention matrix;
+    ours stays memory-linear."""
+    from dino_tpu.models.vit import ViTConfig, vit_forward
+    cfg = ViTConfig(patch_size=8)
+    rs = np.random.RandomState(960)
+    x = rs.randn(1, 3, 960, 960).astype(np.float32)
+    with torch.no_grad():
+        ref = ref_model(torch.from_numpy(x)).numpy()
+    ours = np.asarray(vit_forward(our_params, x.transpose(0, 2, 3, 1), cfg))
+    np.testing.assert_allclose(ours, ref, atol=1e-3, rtol=1e-4)
+    # argmax through a seeded MLP head must be bit-identical
+    ref_map = _head_argmax_torch(torch.from_numpy(ref[:, 1:]))
+    our_map = _head_argmax_ours(ours[:, 1:])
+    mismatch = (our_map != ref_map).sum()
+    assert mismatch == 0, f"{mismatch}/{120 * 120} patches differ"
+
+
+def _seeded_head():
+    torch.manual_seed(1)
+    l1 = torch.nn.Linear(384, 200)
+    l2 = torch.nn.Linear(200, 100)
+    l3 = torch.nn.Linear(100, 7)
+    return l1, l2, l3
+
+
+def _head_argmax_torch(tokens):
+    l1, l2, l3 = _seeded_head()
+    with torch.no_grad():
+        h = torch.relu(l1(tokens.reshape(-1, 384)))
+        h = torch.relu(l2(h))
+        return l3(h).argmax(-1).numpy()
+
+
+def _head_argmax_ours(tokens):
+    from dino_tpu.checkpointing.torch_convert import convert_head_state_dict
+    from dino_tpu.models.heads import mlp_head_apply
+    l1, l2, l3 = _seeded_head()
+    sd = {}
+    for name, mod in [("layer_1", l1), ("layer_2", l2), ("layer_3", l3)]:
+        sd[name + ".weight"] = mod.weight.detach().numpy()
+        sd[name + ".bias"] = mod.bias.detach().numpy()
+    head_p = convert_head_state_dict(sd, "mlp", prefix="")
+    logp = mlp_head_apply(head_p, np.asarray(tokens).reshape(-1, 384))
+    return np.asarray(logp).argmax(-1)
+
+
 @pytest.mark.parametrize("res", [240, 480])
 def test_argmax_label_maps_bit_identical(ref_model, our_params, res):
     """Per-patch MLP-head argmax maps must match the torch pipeline exactly
