@@ -127,10 +127,15 @@ def main():
         lambda c, g, l: fwd_loss(
             s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt),
         args.iters)
-    stages["grads"] = chain(
-        lambda c, g, l: jax.value_and_grad(fwd_loss)(
-            s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt
-        )[0], args.iters)
+    def _grads_stage(c, g, l):
+        loss, grads = jax.value_and_grad(fwd_loss)(
+            s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt)
+        # consume every grad leaf so XLA cannot DCE the backward pass
+        gsum = sum(jnp.sum(x).astype(jnp.float32)
+                   for x in jax.tree.leaves(grads))
+        return loss + gsum * 1e-30
+
+    stages["grads"] = chain(_grads_stage, args.iters)
 
     step = make_dino_train_step(vit_cfg, dino_cfg, opt, compute_dtype=dtype)
 
