@@ -99,7 +99,9 @@ def main(argv=None):
         functools.partial(optax.adamw, mask=wd_mask))(
             learning_rate=args.lr, weight_decay=0.04)
     opt_state = init_dino_opt_state(opt, student)
-    step = make_dino_train_step(vit_cfg, dino_cfg, opt)
+    # donate: params/moments update in place (HBM headroom for the batch);
+    # the loop rebinds every donated tree to the step's outputs each call
+    step = make_dino_train_step(vit_cfg, dino_cfg, opt, donate=True)
     center = jnp.zeros((1, dino_cfg.out_dim), jnp.float32)
 
     niter = max(1, len(files) // args.batch_size)

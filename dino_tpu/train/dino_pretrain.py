@@ -23,6 +23,7 @@ a numpy Generator).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -62,7 +63,11 @@ def init_dino_params(key, vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                                hidden_dim=dino_cfg.hidden_dim,
                                bottleneck_dim=dino_cfg.bottleneck_dim),
     }
-    teacher = jax.tree.map(lambda x: x, student)
+    # a REAL copy, not an aliased tree: the donated train step (donate=True)
+    # must not see the same buffer behind both student and teacher
+    teacher = jax.tree.map(
+        lambda x: jnp.array(x, copy=True) if isinstance(x, jax.Array) else x,
+        student)
     return student, teacher
 
 
@@ -132,14 +137,18 @@ def init_dino_opt_state(optimizer: optax.GradientTransformation,
 
 def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                          optimizer: optax.GradientTransformation,
-                         compute_dtype=None, clip: float = 3.0) -> Callable:
+                         compute_dtype=None, clip: float = 3.0,
+                         donate: bool = False) -> Callable:
     """Jitted step(student, teacher, center, opt_state, global_crops,
     local_crops, teacher_temp, ema_momentum, freeze_last) ->
     (student, teacher, center, opt_state, loss).
 
     ``freeze_last`` (0/1) zeroes the last-layer gradient — the reference
     recipe's freeze_last_layer epoch gate.  Per-parameter gradient clipping
-    matches utils.clip_gradients.
+    matches utils.clip_gradients.  ``donate=True`` donates the
+    student/teacher/center/opt_state buffers (~700 MB at ViT-S scale) so
+    XLA updates them in place — HBM headroom for larger batches; leave off
+    when the caller reuses input trees across calls (tests do).
     """
     n_crops = 2 + dino_cfg.n_local_crops
     # the head's "_meta" (python bool/int flags) is STATIC configuration:
@@ -168,7 +177,8 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                          teacher_temp, n_crops)
         return loss, t_out
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       donate_argnums=(0, 1, 2, 3) if donate else ())
     def step_impl(s_p, t_p, center, opt_state, g_crops, l_crops,
                   teacher_temp, ema_momentum, freeze_last):
         (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
