@@ -267,6 +267,8 @@ class DINOSeg:
         img = np.asarray(x)
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
+        if parallelism == "sp":  # sequence-parallel program body
+            return self.predict_batch(img[None], precision, parallelism)[0]
         fn = self._predict_fn(img.shape[:2], precision)
         vit_p, head_p = self._serving_params(precision, parallelism)
         return np.asarray(fn(vit_p, head_p, jnp.asarray(img)))
@@ -283,6 +285,16 @@ class DINOSeg:
         row-parallel, one all-reduce per sub-layer riding ICI.
         """
         if parallelism is None:
+            return self._serving_vit_params(precision), self.head_params
+        if parallelism == "sp":
+            # ring attention shards the TOKEN axis; params stay replicated
+            # (P() inside the shard_map) — placement is a no-op here, the
+            # program body changes instead (_predict_batch_fn)
+            if self.backbone != "vit":
+                raise ValueError("parallelism='sp' requires the ViT backbone")
+            if (precision or self.precision) == "int8":
+                raise ValueError("parallelism='sp' is not supported with "
+                                 "int8 params")
             return self._serving_vit_params(precision), self.head_params
         if parallelism != "tp":
             raise ValueError(f"unsupported parallelism {parallelism!r}")
@@ -309,16 +321,47 @@ class DINOSeg:
         self._tp_cache = (vit_p, self.head_params, vit_s, head_s)
         return vit_s, head_s
 
-    def _predict_batch_traced(self, precision: Optional[str] = None):
+    def _predict_batch_traced(self, precision: Optional[str] = None,
+                              parallelism: Optional[str] = None):
         """The untraced batched-predict body: (vit_p, head_p, imgs_u8) ->
         (B, out, out) int32 label maps.  Shared by the live jit path and the
         AOT export (dino_tpu/serving.py) so the two programs are the same
-        math by construction."""
+        math by construction.
+
+        ``parallelism='sp'`` swaps the backbone for the ring-attention
+        sequence-parallel forward: the TOKEN axis shards over every visible
+        chip (K/V shards rotate over ICI, Pallas flash kernel per hop) —
+        the multi-chip mode for very high resolutions, where one frame's
+        14k-token sequence outgrows what a single chip should hold.
+        """
         res = self.resolution
         cfg, head_type = self.cfg, self.head
         cdt, bb = self._compute_dtype_for(precision), self.backbone
         out_size = res // 8
         factor = 480 // out_size
+
+        if parallelism == "sp":
+            from dino_tpu.models.heads import head_apply
+            from dino_tpu.parallel.mesh import make_mesh
+            from dino_tpu.parallel.ring_attention import \
+                vit_forward_seq_parallel
+            mesh = make_mesh(model_axis=1)
+
+            def fn(vit_p, head_p, imgs_u8):
+                with _matmul_ctx(cdt):
+                    x = preprocess(imgs_u8, res)
+                    if cdt is not None:
+                        x = x.astype(cdt)
+                    tokens = vit_forward_seq_parallel(vit_p, x, cfg, mesh,
+                                                      seq_axis="data")
+                    feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
+                    logp = head_apply(head_type, head_p, feats)
+                low = jnp.argmax(logp, axis=-1).reshape(-1, out_size,
+                                                        out_size)
+                return jax.vmap(
+                    lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
+
+            return fn
 
         def fn(vit_p, head_p, imgs_u8):
             with _matmul_ctx(cdt):
@@ -333,11 +376,15 @@ class DINOSeg:
         return fn
 
     def _predict_batch_fn(self, batch_shape,
-                          precision: Optional[str] = None):
-        key = ("predict_batch", batch_shape, self.resolution, precision)
+                          precision: Optional[str] = None,
+                          parallelism: Optional[str] = None):
+        key = ("predict_batch", batch_shape, self.resolution, precision,
+               parallelism if parallelism == "sp" else None)
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
-                self._predict_batch_traced(precision))
+                self._predict_batch_traced(
+                    precision,
+                    parallelism if parallelism == "sp" else None))
         return self._jit_cache[key]
 
     def predict_batch(self, images, precision: Optional[str] = None,
@@ -353,15 +400,17 @@ class DINOSeg:
         ``parallelism='tp'`` shards the *model* over all chips instead of
         the batch — the latency mode for batches smaller than the device
         count (DP engages automatically for divisible batches).
+        ``parallelism='sp'`` shards the token *sequence* over all chips
+        (ring attention) — the mode for very high resolutions.
         """
         if isinstance(images, (list, tuple)):  # PIL images / mixed arrays
             images = np.stack([np.asarray(im) for im in images])
         imgs = np.asarray(images)
         if imgs.dtype != np.uint8:
             imgs = np.clip(imgs, 0, 255).astype(np.uint8)
-        fn = self._predict_batch_fn(imgs.shape, precision)
         vit_p, head_p = self._serving_params(precision, parallelism)
-        x = (jnp.asarray(imgs) if parallelism == "tp"
+        fn = self._predict_batch_fn(imgs.shape, precision, parallelism)
+        x = (jnp.asarray(imgs) if parallelism in ("tp", "sp")
              else self._place_batch(imgs))
         return np.asarray(fn(vit_p, head_p, x))
 
@@ -394,14 +443,15 @@ class DINOSeg:
         pending = None  # (device_future, n_valid)
 
         def place(imgs):
-            return (jnp.asarray(imgs) if parallelism == "tp"
+            return (jnp.asarray(imgs) if parallelism in ("tp", "sp")
                     else self._place_batch(imgs))
 
         def submit(imgs, n_valid):
             nonlocal fn, vit_p, head_p
             if fn is None:
-                fn = self._predict_batch_fn(imgs.shape, precision)
                 vit_p, head_p = self._serving_params(precision, parallelism)
+                fn = self._predict_batch_fn(imgs.shape, precision,
+                                            parallelism)
             return fn(vit_p, head_p, place(imgs)), n_valid
 
         def flush():

@@ -66,6 +66,18 @@ def test_predict_batch_dp_sharded_matches_single(model, frames):
         np.testing.assert_array_equal(out[i], model.predict(batch[i]))
 
 
+def test_predict_sp_serving_matches_plain(model, frames):
+    """parallelism='sp': the ring-attention sequence-parallel predict
+    program (token axis over all 8 virtual devices) == the plain program,
+    in fp32 exactly at argmax level."""
+    out_sp = model.predict_batch(frames[:2], precision="fp32",
+                                 parallelism="sp")
+    out = model.predict_batch(frames[:2], precision="fp32")
+    np.testing.assert_array_equal(out_sp, out)
+    one = model.predict(frames[0], precision="fp32", parallelism="sp")
+    np.testing.assert_array_equal(one, out[0])
+
+
 def test_predict_batch_accepts_pil_list(model, frames):
     from PIL import Image
     pils = [Image.fromarray(f) for f in frames[:2]]

@@ -147,6 +147,50 @@ def test_sp_train_step_flash_kernels_match_xla():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_dyn_bwd_flash_kernel():
+    """flash_attention_bwd_dyn == jax.grad of XLA attention restricted to
+    the valid-K prefix, given the global lse/D — the kernel the ring
+    backward runs per hop, checked directly for several traced bounds
+    through one compiled program."""
+    from dino_tpu.ops.attention import (attention_xla,
+                                        flash_attention_bwd_dyn)
+    b, nh, n, nk, hd = 1, 2, 64, 96, 32
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, nk, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, nk, hd), jnp.float32)
+    g = jax.random.normal(kg, (b, nh, n, hd), jnp.float32)
+    scale = hd ** -0.5
+
+    fn = jax.jit(lambda q, k, v, g, lse, dsum, vd: flash_attention_bwd_dyn(
+        q, g, lse, dsum, k, v, scale, vd, interpret=True))
+    for valid in (96, 40, 1):
+        kv_valid = k[:, :, :valid], v[:, :, :valid]
+
+        def ref_fn(q, kk_, vv_):
+            out, _ = attention_xla(q, kk_, vv_, scale)
+            return jnp.sum(out * g)
+
+        dq_ref, dk_ref, dv_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(
+            q, *kv_valid)
+        # global lse/D over the valid prefix (what the ring fwd merges to)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, kv_valid[0]) * scale
+        lse = jax.scipy.special.logsumexp(s, axis=-1, keepdims=True)
+        out, _ = attention_xla(q, *kv_valid, scale)
+        dsum = jnp.sum(g * out, axis=-1, keepdims=True)
+        dq, dk, dv = fn(q, k, v, g, lse, dsum, jnp.int32(valid))
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk[:, :, :valid]),
+                                   np.asarray(dk_ref), atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv[:, :, :valid]),
+                                   np.asarray(dv_ref), atol=2e-4, rtol=1e-4)
+        if valid < nk:  # masked-out tail keys get exactly zero grads
+            assert float(jnp.abs(dk[:, :, valid:]).max()) == 0.0
+            assert float(jnp.abs(dv[:, :, valid:]).max()) == 0.0
+
+
 def test_dyn_mask_flash_kernel():
     """The dynamic-bound resident kernel == XLA attention on the valid K
     prefix, for several traced bounds through one compiled program."""
