@@ -655,7 +655,8 @@ class DINOSeg:
 
     def fit(self, ck_file_name: Optional[str] = None,
             samples_per_epoch: int = 1000, seed: int = 0,
-            resume: bool = False, cache_features="auto") -> Dict[str, float]:
+            resume: bool = False, cache_features="auto",
+            parallelism: Optional[str] = None) -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
 
@@ -666,7 +667,26 @@ class DINOSeg:
         whenever numerically safe (frozen ViT; train cache additionally
         needs augmented=False since augmented pixels change every draw).
         Results match the recompute path (tests/test_feature_cache.py).
+
+        ``parallelism='sp'`` trains THROUGH ring attention: the token axis
+        shards over every visible chip and the custom-VJP backward rings
+        dK/dV home (parallel/ring_attention.py) — the multi-chip mode for
+        unfrozen finetuning at very high train_resolution (e.g. 960px),
+        where one sample's activations outgrow a single chip.  Requires
+        the ViT backbone, freeze_backbone=False, and an mlp/linear head;
+        gradients match the replicated step to fp32 tolerance, so training
+        curves are the same.  Default (None) keeps the automatic DP batch
+        sharding.
         """
+        if parallelism not in (None, "sp"):
+            raise ValueError(f"unsupported train parallelism {parallelism!r}")
+        if parallelism == "sp":
+            if self.backbone != "vit":
+                raise ValueError("parallelism='sp' requires the ViT backbone")
+            if self.freeze_backbone:
+                raise ValueError("parallelism='sp' is the unfrozen-finetune "
+                                 "mode; frozen training needs no sequence "
+                                 "sharding (use the feature cache instead)")
         if ck_file_name is None:
             ck_file_name = (str(self.n_blocks) + "_" + self.head
                             + ("_frozen" if self.freeze_backbone
@@ -679,11 +699,13 @@ class DINOSeg:
             print("Pretraining on simulation data...")
             self._fit_phase(self.train_path_sim, self.val_path, ck_path,
                             samples_per_epoch, seed, log=False,
-                            cache_features=cache_features)
+                            cache_features=cache_features,
+                            parallelism=parallelism)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
-                        cache_features=cache_features)
+                        cache_features=cache_features,
+                        parallelism=parallelism)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -707,7 +729,8 @@ class DINOSeg:
 
     def _fit_phase(self, train_path: str, val_path: str, ck_path: str,
                    samples_per_epoch: int, seed: int, log: bool,
-                   resume: bool = False, cache_features="auto") -> None:
+                   resume: bool = False, cache_features="auto",
+                   parallelism: Optional[str] = None) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -740,10 +763,21 @@ class DINOSeg:
             print(f"feature cache: train={cache_train} val={cache_val} "
                   f"({mb:.0f} MB device-resident; frozen backbone runs once "
                   f"per unique image)")
-        train_step = make_train_step(self.cfg, self.head, self.n_classes,
-                                     optimizer, self.freeze_backbone,
-                                     compute_dtype=self.compute_dtype,
-                                     backbone=self.backbone)
+        if parallelism == "sp":
+            # token-axis sequence parallelism: the SP step shares
+            # make_train_step's contract (mask + CM), so the epoch loop
+            # below is unchanged; the batch stays replicated (the token
+            # axis is what shards), so DP batch sharding is disabled
+            from dino_tpu.parallel.mesh import make_mesh
+            from dino_tpu.parallel.ring_attention import make_sp_train_step
+            train_step = make_sp_train_step(
+                self.cfg, self.head, self.n_classes, optimizer,
+                make_mesh(model_axis=1), compute_dtype=self.compute_dtype)
+        else:
+            train_step = make_train_step(self.cfg, self.head, self.n_classes,
+                                         optimizer, self.freeze_backbone,
+                                         compute_dtype=self.compute_dtype,
+                                         backbone=self.backbone)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
                                    backbone=self.backbone)
@@ -756,7 +790,8 @@ class DINOSeg:
         # each global batch (put_global below), so IO and compute both
         # divide by the host count.
         batch_sharding = None
-        if jax.device_count() > 1 and self.batch_size % jax.device_count() == 0:
+        if (parallelism != "sp" and jax.device_count() > 1
+                and self.batch_size % jax.device_count() == 0):
             from dino_tpu.parallel.mesh import data_sharding
             batch_sharding = data_sharding()
         n_proc = jax.process_count()

@@ -406,28 +406,39 @@ def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
 
 def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, seq_axis: str = "data",
-                       flash: str = "auto"):
+                       flash: str = "auto", compute_dtype=None):
     """Unfrozen finetune step with the token axis sharded over ``seq_axis``.
 
-    step(vit_p, head_p, opt_state, images_u8, labels) ->
-    (vit_p, head_p, opt_state, loss).  The whole loss decomposes per token
-    (the head is a per-patch map, reference pl_torch_modules.py:253), so each
-    device computes its token shard's NLL contribution and local grads inside
-    ONE shard_map — ring attention's custom VJP carries cotangents across
-    shards — and a single psum over ``seq_axis`` aggregates loss and grads.
-    Embedding/positional work is computed replicated on every device (~1% of
-    FLOPs, same trade as the pipeline module); each device's grads cover only
-    its own token terms, so the psum yields exactly the replicated step's
-    gradient.  This is what makes multi-chip 960px finetuning possible: no
-    device ever holds the full token sequence's activations.
+    step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
+    (vit_p, head_p, opt_state, loss, cm) — the same contract as
+    train.loop.make_train_step (masked ragged tails, on-device confusion
+    matrix), so DINOSeg.fit can swap it in (``train_parallelism='sp'``).
+    The whole loss decomposes per token (the head is a per-patch map,
+    reference pl_torch_modules.py:253), so each device computes its token
+    shard's NLL contribution, local grads, and partial confusion matrix
+    inside ONE shard_map — ring attention's custom VJP carries cotangents
+    across shards — and a single psum over ``seq_axis`` aggregates them.
+    Embedding/positional work is computed replicated on every device (~1%
+    of FLOPs, same trade as the pipeline module); each device's grads
+    cover only its own token terms, so the psum yields exactly the
+    replicated step's gradient.  This is what makes multi-chip 960px
+    finetuning possible: no device ever holds the full token sequence's
+    activations.
     """
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.metrics import confusion_matrix
 
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"SP training supports the mlp/linear heads; got "
+                         f"{head_type!r} (the moe balance term needs the "
+                         "gathered features)")
     d = mesh.shape[seq_axis]
 
-    def step(vit_p, head_p, opt_state, images, labels):
+    def step(vit_p, head_p, opt_state, images, labels, mask=None):
         x = normalize_imagenet(images)
+        if compute_dtype is not None:  # bf16 MXU path, f32 LN/softmax
+            x = x.astype(compute_dtype)
         b, hgt, wdt, _ = x.shape
         n_patches = (hgt // cfg.patch_size) * (wdt // cfg.patch_size)
         n_real = n_patches + 1
@@ -440,14 +451,18 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         pos = jnp.arange(n_pad)
         w_tok = jnp.broadcast_to((pos >= 1) & (pos < n_real), (b, n_pad)
                                  ).astype(jnp.float32)
-        count = b * n_patches
+        if mask is not None:  # padded tail samples drop out entirely
+            w_tok = w_tok * mask.astype(jnp.float32)[:, None]
+            denom = jnp.maximum(jnp.sum(mask) * n_patches, 1.0)
+        else:
+            denom = jnp.float32(b * n_patches)
 
         @functools.partial(
             shard_map, mesh=mesh,
             in_specs=(P(), P(None, None, None, None),
-                      P(None, seq_axis), P(None, seq_axis)),
-            out_specs=(P(), P()), check_vma=False)
-        def value_and_psum_grads(params, x_rep, y_sh, w_sh):
+                      P(None, seq_axis), P(None, seq_axis), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
+        def value_and_psum_grads(params, x_rep, y_sh, w_sh, denom):
             my = jax.lax.axis_index(seq_axis)
 
             def local_loss(ps):
@@ -465,17 +480,24 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                                   tok.reshape(-1, tok.shape[-1]))
                 picked = jnp.take_along_axis(
                     logp, y_sh.reshape(-1)[:, None], axis=1)[:, 0]
-                return -jnp.sum(picked * w_sh.reshape(-1)) / count
+                loss = -jnp.sum(picked * w_sh.reshape(-1)) / denom
+                return loss, logp
 
-            loss, grads = jax.value_and_grad(local_loss)(params)
+            (loss, logp), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(params)
+            cm = confusion_matrix(jnp.argmax(logp, axis=-1),
+                                  y_sh.reshape(-1), n_classes,
+                                  weights=w_sh.reshape(-1))
             loss = jax.lax.psum(loss, seq_axis)
+            cm = jax.lax.psum(cm, seq_axis)
             grads = jax.tree.map(lambda t: jax.lax.psum(t, seq_axis), grads)
-            return loss, grads
+            return loss, grads, cm
 
         params = {"vit": vit_p, "head": head_p}
-        loss, grads = value_and_psum_grads(params, x, y_tok, w_tok)
+        loss, grads, cm = value_and_psum_grads(params, x, y_tok, w_tok,
+                                               denom)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params["vit"], params["head"], opt_state, loss
+        return params["vit"], params["head"], opt_state, loss, cm
 
     return jax.jit(step)

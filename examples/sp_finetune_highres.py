@@ -90,9 +90,9 @@ def main():
 
     for i, (imgs, labels) in enumerate(batches):
         t0 = time.time()
-        vit_p, head_p, opt_state, loss = step(vit_p, head_p, opt_state,
-                                              jnp.asarray(imgs),
-                                              jnp.asarray(labels))
+        vit_p, head_p, opt_state, loss, _cm = step(vit_p, head_p, opt_state,
+                                                   jnp.asarray(imgs),
+                                                   jnp.asarray(labels))
         print(f"step {i}: loss={float(loss):.4f} "
               f"({time.time() - t0:.2f}s)", flush=True)
 

@@ -101,9 +101,10 @@ def test_sp_train_step_matches_replicated():
     mesh = make_mesh(8, model_axis=1)
     sp_step = make_sp_train_step(cfg, "mlp", n_classes, opt, mesh,
                                  seq_axis="data")
-    sp_vit, sp_head, _, sp_loss = sp_step(
+    sp_vit, sp_head, _, sp_loss, sp_cm = sp_step(
         vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
         images, labels)
+    assert int(np.asarray(sp_cm).sum()) == 2 * 36  # every patch counted once
 
     np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=1e-5)
     for ref_t, sp_t in zip(jax.tree.leaves(ref_vit), jax.tree.leaves(sp_vit)):

@@ -107,6 +107,42 @@ def test_fit_frozen_then_finetune(voc_root, tmp_path):
     assert 0.0 <= ft["test_acc"] <= 1.0
 
 
+def test_fit_sp_parallelism_matches_plain(voc_root, tmp_path):
+    """fit(parallelism='sp'): unfrozen training through the ring (token axis
+    over the 8-device mesh) reproduces the plain fit — same epoch metrics to
+    fp32 tolerance, same checkpoint semantics (VERDICT r2 story: 960px
+    finetuning across chips, exercised here at test scale)."""
+    def run(parallelism, tag):
+        model = DINOSeg(data_path=voc_root,
+                        write_path=str(tmp_path / f"sp_{tag}"),
+                        head="mlp", n_blocks=1, n_classes=N_CLASSES,
+                        batch_size=4, lr=1e-3, optimizer="adam",
+                        freeze_backbone=False, max_epochs=1,
+                        random_init=True, augmented=False,
+                        train_resolution=RES, seed=0, precision="fp32")
+        captured = {}
+        orig = model._log
+        model._log = lambda m, step: (captured.update(m), orig(m, step))[1]
+        metrics = model.fit(ck_file_name=f"sp_{tag}", samples_per_epoch=10,
+                            parallelism=parallelism)
+        return model, captured, metrics
+
+    _, cap_sp, m_sp = run("sp", "ring")
+    _, cap_plain, m_plain = run(None, "plain")
+    np.testing.assert_allclose(cap_sp["train_loss"], cap_plain["train_loss"],
+                               rtol=1e-4)
+    # ragged-tail masking identical: same support count
+    assert cap_sp["train_support"] == cap_plain["train_support"]
+    np.testing.assert_allclose(m_sp["test_acc"], m_plain["test_acc"],
+                               atol=1e-6)
+
+    mdl = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "g"),
+                  head="mlp", n_blocks=1, n_classes=N_CLASSES,
+                  random_init=True, freeze_backbone=True, seed=0)
+    with pytest.raises(ValueError, match="unfrozen"):
+        mdl.fit(parallelism="sp")
+
+
 def test_ragged_tail_batch_trains_every_sample(voc_root, tmp_path):
     """samples_per_epoch % batch_size != 0: the padded tail batch still trains
     and its real samples land in the train CM (reference keeps partial
