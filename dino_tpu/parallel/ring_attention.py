@@ -400,6 +400,59 @@ def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
     return out[:, :n_real, :]
 
 
+def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
+                          optimizer, mesh: Mesh, seq_axis: str = "data",
+                          tp_axis: str = "model", flash: str = "auto",
+                          compute_dtype=None):
+    """2-D (sequence x tensor) parallel train step on the composition mesh.
+
+    step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
+    (vit_p, head_p, opt_state, loss, cm) — make_train_step's contract.
+    Params stay in the STANDARD layout: the head-aligned TP packing happens
+    inside the traced step (_tp_pack_block is pure reshapes/transposes),
+    and shard_map's autodiff transposes both the packing and the
+    collectives (ring ppermute custom-VJP over ``seq_axis``, Megatron psums
+    over ``tp_axis``), so gradients come back in standard layout and the
+    optimizer state matches make_train_step's (grad equality vs the
+    replicated step is tested leaf-by-leaf on the (data=4, model=2) mesh).
+    """
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.loop import nll_loss
+    from dino_tpu.train.metrics import confusion_matrix
+
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"SPxTP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
+
+    def step(vit_p, head_p, opt_state, images, labels, mask=None):
+        x = normalize_imagenet(images)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+
+        def loss_fn(params):
+            tokens = vit_forward_sp_tp(params["vit"], x, cfg, mesh,
+                                       seq_axis, tp_axis, flash)
+            feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
+            logp = head_apply(head_type, params["head"], feats)
+            y = labels.reshape(-1)
+            w = (None if mask is None
+                 else jnp.repeat(mask.astype(logp.dtype),
+                                 y.shape[0] // mask.shape[0]))
+            return nll_loss(logp, y, w), (logp, y, w)
+
+        params = {"vit": vit_p, "head": head_p}
+        (loss, (logp, y, w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        cm = confusion_matrix(jnp.argmax(logp, axis=-1), y, n_classes,
+                              weights=w)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params["vit"], params["head"], opt_state, loss, cm
+
+    return jax.jit(step)
+
+
 # ---------------------------------------------------------------------------
 # Sequence-parallel training (finetune THROUGH the ring)
 # ---------------------------------------------------------------------------

@@ -73,6 +73,46 @@ def test_sp_tp_composition_matches_replicated():
                                atol=5e-5, rtol=1e-4)
 
 
+def test_sp_tp_train_step_matches_replicated():
+    """Training THROUGH the SPxTP composition on the (data=4, model=2)
+    mesh: one Adam step == the replicated make_train_step (shard_map AD
+    transposes the ring VJP, the Megatron psums, and the TP weight
+    packing)."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.ring_attention import make_sp_tp_train_step
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=2)
+    n_classes = 5
+    vit_p = init_vit_params(jax.random.PRNGKey(6), cfg, depth=2)
+    head_p = init_head(jax.random.PRNGKey(7), "mlp", n_classes, cfg.embed_dim)
+    rs = np.random.RandomState(3)
+    images = rs.randint(0, 255, (2, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (2, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
+        cfg, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = make_mesh(8, model_axis=2)
+    sptp_step = make_sp_tp_train_step(cfg, "mlp", n_classes, opt, mesh)
+    got_vit, got_head, _, got_loss, got_cm = sptp_step(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_cm), np.asarray(ref_cm))
+    for a, b in zip(jax.tree.leaves(got_vit), jax.tree.leaves(ref_vit)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(got_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_sp_train_step_matches_replicated():
     """Training THROUGH the ring (custom VJP): one unfrozen Adam step under
     sequence parallelism == the replicated make_train_step, params matching
