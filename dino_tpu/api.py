@@ -591,11 +591,20 @@ class DINOSeg:
         n_classes = self.n_classes
         cm = np.zeros((n_classes, n_classes), np.int64)
         idx = np.arange(len(dataset))
+        vit_p, head_p = self.vit_params, self.head_params
         # multi-host: each host evaluates an interleaved slice, CMs sum below
         if jax.process_count() > 1:
             idx = idx[jax.process_index()::jax.process_count()]
+            # SP training leaves params as GLOBAL replicated arrays; eval is
+            # a per-host program over different slices, so localize (a
+            # replicated global array materializes fully on every host)
+            localize = (lambda t: np.asarray(t)
+                        if isinstance(t, jax.Array)
+                        and not t.is_fully_addressable else t)
+            vit_p = jax.tree.map(localize, vit_p)
+            head_p = jax.tree.map(localize, head_p)
         for xb, yb in batched_loader(dataset, idx, batch_size):
-            cm += np.asarray(eval_step(self.vit_params, self.head_params,
+            cm += np.asarray(eval_step(vit_p, head_p,
                                        jnp.asarray(xb), jnp.asarray(yb)))
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
@@ -763,6 +772,7 @@ class DINOSeg:
             print(f"feature cache: train={cache_train} val={cache_val} "
                   f"({mb:.0f} MB device-resident; frozen backbone runs once "
                   f"per unique image)")
+        sp_mesh = None
         if parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
@@ -770,9 +780,10 @@ class DINOSeg:
             # axis is what shards), so DP batch sharding is disabled
             from dino_tpu.parallel.mesh import make_mesh
             from dino_tpu.parallel.ring_attention import make_sp_train_step
+            sp_mesh = make_mesh(model_axis=1)
             train_step = make_sp_train_step(
-                self.cfg, self.head, self.n_classes, optimizer,
-                make_mesh(model_axis=1), compute_dtype=self.compute_dtype)
+                self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
+                compute_dtype=self.compute_dtype, donate=True)
         else:
             train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                          optimizer, self.freeze_backbone,
@@ -842,6 +853,25 @@ class DINOSeg:
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts("resume epoch/best_acc",
                                    [start_epoch, best_acc])
+
+        if parallelism == "sp" and n_proc > 1:
+            # multi-host SP: ONE ring spans every process's devices, so
+            # every input of the jitted step must be a GLOBAL array.  The
+            # non-DP loader branch below loads the FULL batch on every host
+            # with the same shuffle rng, so batches promote to replicated
+            # global arrays; params/opt_state promote once here and stay
+            # global through the step outputs.  Eval localizes them back
+            # per host (_run_eval); host-0 saves read replicated values.
+            from jax.experimental import multihost_utils
+            from jax.sharding import PartitionSpec as _P
+
+            def sp_rep(x):
+                return multihost_utils.host_local_array_to_global_array(
+                    np.asarray(x), sp_mesh, _P())
+            self.vit_params = jax.tree.map(sp_rep, self.vit_params)
+            self.head_params = jax.tree.map(sp_rep, self.head_params)
+            opt_state = jax.tree.map(sp_rep, opt_state)
+            put = sp_rep
 
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()

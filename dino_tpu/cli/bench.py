@@ -47,14 +47,18 @@ def main():
     # data dependency) so async dispatch / RPC tunnels can't skip work
     n_iters = int(os.environ.get("BENCH_ITERS", "20"))
 
-    @jax.jit
-    def predict_n(vit_p, head_p, imgs_u8):
-        def body(carry, _):
-            imgs = imgs_u8.at[0, 0, 0, 0].set(carry)
-            out = predict_batch_impl(vit_p, head_p, imgs)
-            return out[0, 0, 0].astype(jnp.uint8), ()
-        carry, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n_iters)
-        return carry
+    def make_chained_predict(length):
+        @jax.jit
+        def run(vit_p, head_p, imgs_u8):
+            def body(carry, _):
+                imgs = imgs_u8.at[0, 0, 0, 0].set(carry)
+                out = predict_batch_impl(vit_p, head_p, imgs)
+                return out[0, 0, 0].astype(jnp.uint8), ()
+            carry, _ = jax.lax.scan(body, jnp.uint8(0), None, length=length)
+            return carry
+        return run
+
+    predict_n = make_chained_predict(n_iters)
 
     rs = np.random.RandomState(0)
     frames = jax.device_put(
@@ -82,16 +86,7 @@ def main():
     # one program (one tunnel roundtrip amortized over all of them), so the
     # driver record self-documents how much of p50 is RPC-tunnel overhead
     n_dev = 50
-
-    @jax.jit
-    def predict_chain1(vit_p, head_p, img_u8):
-        def body(carry, _):
-            img = img_u8.at[0, 0, 0, 0].set(carry)
-            out = predict_batch_impl(vit_p, head_p, img)
-            return out[0, 0, 0].astype(jnp.uint8), ()
-        carry, _ = jax.lax.scan(body, jnp.uint8(0), None, length=n_dev)
-        return carry
-
+    predict_chain1 = make_chained_predict(n_dev)
     one_dev = jax.device_put(one)
     np.asarray(predict_chain1(vit_p, head_p, one_dev))  # compile+warm
     t0 = time.perf_counter()

@@ -52,22 +52,25 @@ def _build(src_dir: str) -> Optional[str]:
     src = os.path.join(src_dir, "dtloader.cpp")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
+    # build to a process-private temp name and rename atomically: another
+    # process racing get_lib() must never dlopen a half-written .so.  Other
+    # tags are deliberately NOT pruned — in a heterogeneous shared checkout
+    # each CPU generation keeps its own cached build (pruning would make
+    # every generation evict the others' cache on every job start); stale
+    # files are bounded by the number of distinct CPU generations.
+    tmp = f"{so}.build.{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
-             "-shared", "-std=c++17", "-o", so, src, "-ljpeg", "-lpthread"],
+             "-shared", "-std=c++17", "-o", tmp, src, "-ljpeg", "-lpthread"],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
     except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
         return None
-    # prune stale per-CPU builds (they accumulate forever in shared
-    # checkouts otherwise); best-effort — another host may hold one open
-    for name in os.listdir(src_dir):
-        if (name.startswith("libdtloader.") and name.endswith(".so")
-                and os.path.join(src_dir, name) != so):
-            try:
-                os.remove(os.path.join(src_dir, name))
-            except OSError:
-                pass
     return so
 
 

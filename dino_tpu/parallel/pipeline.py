@@ -120,7 +120,7 @@ def vit_forward_pipelined(params: Params, x: jnp.ndarray, cfg: ViTConfig,
 def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, stage_axis: str = "stage",
                        n_microbatches: int = 2, use_flash: bool = True,
-                       remat: bool = False):
+                       remat: bool = False, donate: bool = False):
     """Unfrozen train step with the backbone blocks pipelined over stages.
 
     step(stages, rest, head_p, opt_state, images_u8, labels) ->
@@ -220,7 +220,7 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         return (params["stages"], params["rest"], params["head"], opt_state,
                 loss)
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
 def init_pp_train_state(optimizer, stages, rest, head_p):

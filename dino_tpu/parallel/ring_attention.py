@@ -374,8 +374,9 @@ def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
     d = mesh.shape[seq_axis]
     t = mesh.shape[tp_axis]
     if cfg.num_heads % t or cfg.mlp_hidden % t:
-        raise ValueError(f"num_heads {cfg.num_heads} / mlp_hidden "
-                         f"{cfg.mlp_hidden} must divide tp={t}")
+        raise ValueError(f"tensor-parallel degree {t} must divide both "
+                         f"num_heads ({cfg.num_heads}) and mlp_hidden "
+                         f"({cfg.mlp_hidden})")
     tokens = prepare_tokens(params, x, cfg)
     n_real = tokens.shape[1]
     pad = (-n_real) % d
@@ -403,7 +404,7 @@ def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
 def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                           optimizer, mesh: Mesh, seq_axis: str = "data",
                           tp_axis: str = "model", flash: str = "auto",
-                          compute_dtype=None):
+                          compute_dtype=None, donate: bool = False):
     """2-D (sequence x tensor) parallel train step on the composition mesh.
 
     step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
@@ -450,7 +451,7 @@ def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         params = optax.apply_updates(params, updates)
         return params["vit"], params["head"], opt_state, loss, cm
 
-    return jax.jit(step)
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +460,8 @@ def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
 def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, seq_axis: str = "data",
-                       flash: str = "auto", compute_dtype=None):
+                       flash: str = "auto", compute_dtype=None,
+                       donate: bool = False):
     """Unfrozen finetune step with the token axis sharded over ``seq_axis``.
 
     step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
@@ -553,4 +555,7 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         params = optax.apply_updates(params, updates)
         return params["vit"], params["head"], opt_state, loss, cm
 
-    return jax.jit(step)
+    # donate params+moments (like make_train_step's default) — the memory
+    # headroom matters most in exactly this mode; off by default because
+    # tests/callers may reuse input trees across calls
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())

@@ -147,6 +147,65 @@ def test_two_process_pretrain_matches_single_process(tmp_path):
                                    err_msg=k)
 
 
+_SP_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    model = DINOSeg(data_path=cfg["data"], write_path=cfg["write"],
+                    head="mlp", n_blocks=1, n_classes=cfg["n_classes"],
+                    batch_size=2, lr=1e-3, optimizer="adam",
+                    freeze_backbone=False, max_epochs=1, random_init=True,
+                    augmented=False, train_resolution=cfg["res"],
+                    precision="fp32", seed=0)
+    metrics = model.fit(samples_per_epoch=6, parallelism="sp")
+    if jax.process_index() == 0:
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"],
+                 k1=np.asarray(model.head_params["layer_1"]["kernel"]),
+                 qkv=np.asarray(
+                     model.vit_params["blocks"][0]["attn"]["qkv"]["kernel"]))
+""")
+
+
+def test_two_process_sp_fit_matches_single_process(voc_root, tmp_path):
+    """fit(parallelism='sp') with ONE ring spanning both processes' devices
+    (2x2 = 4-device ring): trained params match the single-process 4-device
+    SP run — multi-host SP is a pure execution-layout change."""
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "sp_ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_SP_RUNNER)
+
+    w_mh = str(tmp_path / "sp_mh")
+    port = free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_SP_RUNNER)
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mh["qkv"], ref["qkv"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)
+
+
 def test_two_process_fit_matches_single_process(voc_root, tmp_path):
     base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
 
