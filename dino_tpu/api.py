@@ -322,7 +322,8 @@ class DINOSeg:
         return vit_s, head_s
 
     def _predict_batch_traced(self, precision: Optional[str] = None,
-                              parallelism: Optional[str] = None):
+                              parallelism: Optional[str] = None,
+                              n_devices: Optional[int] = None):
         """The untraced batched-predict body: (vit_p, head_p, imgs_u8) ->
         (B, out, out) int32 label maps.  Shared by the live jit path and the
         AOT export (dino_tpu/serving.py) so the two programs are the same
@@ -345,7 +346,7 @@ class DINOSeg:
             from dino_tpu.parallel.mesh import make_mesh
             from dino_tpu.parallel.ring_attention import \
                 vit_forward_seq_parallel
-            mesh = make_mesh(model_axis=1)
+            mesh = make_mesh(n_devices, model_axis=1)
 
             def fn(vit_p, head_p, imgs_u8):
                 with _matmul_ctx(cdt):

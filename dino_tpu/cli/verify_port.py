@@ -178,6 +178,38 @@ def verify_port(checkpoint_path: str, resolutions=(240, 480, 960),
             record("flash_kernel_consistency", err < 0.1, resolution=res,
                    max_abs_err=err)
 
+    # stage 2c: O(N) CLS-row attention extraction vs the full probs path.
+    # visualize_attention consumes only the CLS row (reference
+    # visualize_attention.py:50); the cls_only mode computes exactly that
+    # row without the (N, N) matrix.  The CLS query is projected by a
+    # separate sliced einsum (different contraction order than the full
+    # qkv), so the gate is a tight tolerance on the probabilities (softmax
+    # outputs in [0, 1]) rather than bit-equality; at resolutions where the
+    # full matrix doesn't fit, the O(N) extraction must at least run finite
+    # (the whole point of the mode).
+    if model.backbone == "vit":
+        from dino_tpu.models.vit import get_last_selfattention as _gls
+        for res in resolutions:
+            rs = np.random.RandomState(res + 2)
+            xin = rs.randn(1, res, res, 3).astype(np.float32)
+            row = np.asarray(_gls(model.vit_params, xin, cfg,
+                                  cls_only=True))
+            finite = bool(np.isfinite(row).all())
+            if res <= 480:
+                full = np.asarray(_gls(model.vit_params, xin, cfg))
+                err = float(np.abs(row - full[:, :, :1, :]).max())
+                print(f"[2c] {res}px cls_only row vs full path row 0 "
+                      f"max|err| = {err:.2e}")
+                record("cls_row_consistency", err < 1e-5 and finite,
+                       resolution=res, max_abs_err=err)
+            else:
+                n_exp = (res // 8) ** 2 + 1
+                ok_shape = row.shape == (1, 6, 1, n_exp)
+                print(f"[2c] {res}px cls_only O(N) extraction: shape="
+                      f"{row.shape} finite={finite}")
+                record("cls_row_consistency", ok_shape and finite,
+                       resolution=res, n_tokens=n_exp)
+
     # torch-side oracle
     vt = None
     try:

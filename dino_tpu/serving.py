@@ -30,7 +30,8 @@ _MAGIC = "dino_tpu_serving_v1"
 def export_predict(model, path: str, batch_size: int = 1,
                    in_shape: Tuple[int, int] = (480, 640),
                    precision: Optional[str] = None,
-                   platforms=None, n_devices: Optional[int] = None) -> str:
+                   platforms=None, n_devices: Optional[int] = None,
+                   parallelism: Optional[str] = None) -> str:
     """Serialize `model.predict_batch`'s device program for a fixed input
     shape; weights are baked in as program constants.
 
@@ -39,6 +40,11 @@ def export_predict(model, path: str, batch_size: int = 1,
     params replicate, and the serialized StableHLO carries the sharding
     (load-time requirement: the serving host exposes exactly that many
     devices).  ``batch_size`` must divide by ``n_devices``.
+
+    ``parallelism='sp'`` (with ``n_devices``) exports the ring-attention
+    sequence-parallel program instead: the TOKEN axis shards over the
+    chips, inputs/outputs replicate — the artifact for very-high-resolution
+    serving on a pod slice.
 
     Writes `<path>` (StableHLO bytes) and `<path>.json` (the I/O contract).
     Returns the artifact path.
@@ -49,16 +55,26 @@ def export_predict(model, path: str, batch_size: int = 1,
     # legal resolutions the kron factor floors, exactly like the reference's
     # np.kron(pred, ones(480 // out)) (pl_torch_modules.py:297-298)
     out_hw = out_size * (480 // out_size)
+    if parallelism not in (None, "sp"):
+        raise ValueError(f"unsupported export parallelism {parallelism!r}")
+    sp = parallelism == "sp" and n_devices and n_devices > 1
     vit_p = model._serving_vit_params(precision)
     head_p = model.head_params
-    traced = model._predict_batch_traced(precision)  # same body as live
+    traced = model._predict_batch_traced(  # same body as live
+        precision, "sp" if sp else None, n_devices if sp else None)
 
     def fn(imgs_u8):
         return traced(vit_p, head_p, imgs_u8)
 
     in_sh = (batch_size, in_shape[0], in_shape[1], 3)
     kwargs = {"platforms": platforms} if platforms else {}
-    if n_devices and n_devices > 1:
+    if sp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dino_tpu.parallel.mesh import make_mesh
+        rep = NamedSharding(make_mesh(n_devices, model_axis=1), P())
+        jf = jax.jit(fn, in_shardings=(rep,), out_shardings=rep)
+        spec = jax.ShapeDtypeStruct(in_sh, jnp.uint8, sharding=rep)
+    elif n_devices and n_devices > 1:
         if batch_size % n_devices:
             raise ValueError(f"batch_size {batch_size} must divide by "
                              f"n_devices {n_devices}")
@@ -81,6 +97,7 @@ def export_predict(model, path: str, batch_size: int = 1,
         "head": model.head,
         "backbone": model.backbone,
         "precision": precision or model.precision,
+        "parallelism": parallelism if sp else None,
         "platforms": list(exported.platforms),
         "nr_devices": exported.nr_devices,
     }
@@ -108,8 +125,15 @@ class ExportedPredictor:
                 raise ValueError(
                     f"artifact was exported for {self.exported.nr_devices} "
                     f"devices; runtime has {jax.device_count()}")
-            from dino_tpu.parallel.mesh import data_sharding
-            self._sharding = data_sharding(self.exported.nr_devices)
+            if (self.contract or {}).get("parallelism") == "sp":
+                # SP artifacts take replicated inputs (tokens shard inside)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from dino_tpu.parallel.mesh import make_mesh
+                self._sharding = NamedSharding(
+                    make_mesh(self.exported.nr_devices, model_axis=1), P())
+            else:
+                from dino_tpu.parallel.mesh import data_sharding
+                self._sharding = data_sharding(self.exported.nr_devices)
         self._call = jax.jit(self.exported.call)
 
     def __call__(self, frames: np.ndarray) -> np.ndarray:

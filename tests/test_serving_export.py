@@ -115,6 +115,29 @@ def test_export_dp_sharded(model, tmp_path):
                        in_shape=(100, 120), n_devices=n)
 
 
+def test_export_sp_sharded(model, tmp_path):
+    """parallelism='sp' exports the ring-attention program: tokens shard
+    over the chips inside the program, inputs/outputs replicate, and the
+    output matches the single-device program exactly (fp32)."""
+    import jax
+
+    n = jax.device_count()
+    path = str(tmp_path / "sp.shlo")
+    export_predict(model, path, batch_size=2, in_shape=(100, 120),
+                   n_devices=n, parallelism="sp")
+    served = load_exported_predict(path)
+    assert served.contract["nr_devices"] == n
+    assert served.contract["parallelism"] == "sp"
+    frames = np.random.RandomState(7).randint(0, 255, (2, 100, 120, 3),
+                                              np.uint8)
+    out = served(frames)
+    np.testing.assert_array_equal(out, model.predict_batch(frames))
+
+    with pytest.raises(ValueError, match="parallelism"):
+        export_predict(model, str(tmp_path / "bad_p.shlo"), batch_size=1,
+                       in_shape=(100, 120), n_devices=n, parallelism="pp")
+
+
 def test_export_moe_head(tmp_path):
     """The MoE head exports too (routing compiles into the program)."""
     m = DINOSeg(head="moe", n_experts=2, n_blocks=1, n_classes=4,

@@ -103,8 +103,8 @@ def test_verify_port_cli(tmp_path):
     verdict = json.load(open(vout))
     assert verdict["ok"] is True
     stages = {s["stage"] for s in verdict["stages"]}
-    assert {"conversion", "layout_roundtrip", "activation_parity",
-            "argmax_parity"} <= stages
+    assert {"conversion", "layout_roundtrip", "cls_row_consistency",
+            "activation_parity", "argmax_parity"} <= stages
     assert all(s["ok"] for s in verdict["stages"])
 
 
