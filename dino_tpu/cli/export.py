@@ -29,8 +29,12 @@ def main(argv=None) -> None:
                    choices=["bf16", "fp32", "int8"],
                    help="override the checkpoint's serving precision")
     p.add_argument("--n-devices", type=int, default=None,
-                   help="export DP-sharded over this many chips (batch "
+                   help="export sharded over this many chips (batch "
                         "shards, params replicate)")
+    p.add_argument("--parallelism", default=None, choices=["sp"],
+                   help="with --n-devices: 'sp' exports the ring-attention "
+                        "sequence-parallel program (tokens shard, I/O "
+                        "replicates) for very-high-resolution serving")
     args = p.parse_args(argv)
 
     from dino_tpu import DINOSeg, export_predict
@@ -39,7 +43,8 @@ def main(argv=None) -> None:
     path = export_predict(model, args.output, batch_size=args.batch_size,
                           in_shape=(args.in_height, args.in_width),
                           precision=args.precision,
-                          n_devices=args.n_devices)
+                          n_devices=args.n_devices,
+                          parallelism=args.parallelism)
     with open(path + ".json") as fh:
         contract = json.load(fh)
     print(json.dumps({"artifact": path, **contract}))

@@ -57,7 +57,10 @@ def export_predict(model, path: str, batch_size: int = 1,
     out_hw = out_size * (480 // out_size)
     if parallelism not in (None, "sp"):
         raise ValueError(f"unsupported export parallelism {parallelism!r}")
-    sp = parallelism == "sp" and n_devices and n_devices > 1
+    if parallelism == "sp" and not (n_devices and n_devices > 1):
+        raise ValueError("parallelism='sp' requires n_devices >= 2 (the "
+                         "token axis shards over the chips)")
+    sp = parallelism == "sp"
     vit_p = model._serving_vit_params(precision)
     head_p = model.head_params
     traced = model._predict_batch_traced(  # same body as live

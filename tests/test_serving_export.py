@@ -91,6 +91,21 @@ def test_export_cli(model, tmp_path):
     np.testing.assert_array_equal(served(frames),
                                   model.predict_batch(frames))
 
+    # --parallelism sp exports the ring-attention program from the CLI too
+    import jax
+    sp_out = str(tmp_path / "cli_sp.shlo")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        export_main([ckpt, sp_out, "--resolution", "64", "--batch-size",
+                     "2", "--in-height", "100", "--in-width", "120",
+                     "--precision", "fp32",
+                     "--n-devices", str(jax.device_count()),
+                     "--parallelism", "sp"])
+    line = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert line["parallelism"] == "sp"
+    np.testing.assert_array_equal(load_exported_predict(sp_out)(frames),
+                                  model.predict_batch(frames))
+
 
 def test_export_dp_sharded(model, tmp_path):
     """n_devices exports the program DP-sharded over the mesh; the loaded
