@@ -808,7 +808,9 @@ class DINOSeg:
             batch_sharding = data_sharding()
         n_proc = jax.process_count()
         multi_host = batch_sharding is not None and n_proc > 1
-        if n_proc > 1 and batch_sharding is None:
+        if n_proc > 1 and batch_sharding is None and parallelism != "sp":
+            # (SP deliberately leaves batch_sharding None: one global ring
+            # spans every host's devices, so the token work DOES shard)
             import warnings
             warnings.warn(
                 f"batch_size {self.batch_size} does not divide the "
@@ -865,6 +867,20 @@ class DINOSeg:
             # per host (_run_eval); host-0 saves read replicated values.
             from jax.experimental import multihost_utils
             from jax.sharding import PartitionSpec as _P
+
+            if self.augmented:
+                # every host loads the FULL batch and declares it
+                # replicated, so per-host pixels must be bit-identical.
+                # Geometry ops are bit-exact across the native-C++/cv2
+                # backends but jitter/blur are per-backend only
+                # (data/augment.py contract) — fail fast if hosts would
+                # augment on different backends.
+                from dino_tpu.data import native_loader
+                from dino_tpu.parallel.dist import agree_across_hosts
+                agree_across_hosts(
+                    "augmentation backend (native C++ vs cv2); multi-host "
+                    "SP needs identical pixel streams on every host",
+                    int(native_loader.get_lib() is not None))
 
             def sp_rep(x):
                 return multihost_utils.host_local_array_to_global_array(

@@ -89,9 +89,12 @@ def main():
     predict_chain1 = make_chained_predict(n_dev)
     one_dev = jax.device_put(one)
     np.asarray(predict_chain1(vit_p, head_p, one_dev))  # compile+warm
-    t0 = time.perf_counter()
-    np.asarray(predict_chain1(vit_p, head_p, one_dev))
-    p50_device_ms = (time.perf_counter() - t0) * 1000 / n_dev
+    chain_ms = []
+    for _ in range(5):  # median so one tunnel stall can't skew the record
+        t0 = time.perf_counter()
+        np.asarray(predict_chain1(vit_p, head_p, one_dev))
+        chain_ms.append((time.perf_counter() - t0) * 1000 / n_dev)
+    p50_device_ms = float(np.percentile(chain_ms, 50))
 
     # secondary: unfrozen finetune throughput (the round-2 Pallas flash
     # backward win: 16 -> ~166 fps); steps chain through the param update

@@ -467,7 +467,7 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
     (vit_p, head_p, opt_state, loss, cm) — the same contract as
     train.loop.make_train_step (masked ragged tails, on-device confusion
-    matrix), so DINOSeg.fit can swap it in (``train_parallelism='sp'``).
+    matrix), so DINOSeg.fit can swap it in (``parallelism='sp'``).
     The whole loss decomposes per token (the head is a per-patch map,
     reference pl_torch_modules.py:253), so each device computes its token
     shard's NLL contribution, local grads, and partial confusion matrix

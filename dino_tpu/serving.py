@@ -61,8 +61,9 @@ def export_predict(model, path: str, batch_size: int = 1,
         raise ValueError("parallelism='sp' requires n_devices >= 2 (the "
                          "token axis shards over the chips)")
     sp = parallelism == "sp"
-    vit_p = model._serving_vit_params(precision)
-    head_p = model.head_params
+    # _serving_params enforces the SP guards (ViT backbone, no int8) so an
+    # artifact can't be exported in a configuration live serving refuses
+    vit_p, head_p = model._serving_params(precision, "sp" if sp else None)
     traced = model._predict_batch_traced(  # same body as live
         precision, "sp" if sp else None, n_devices if sp else None)
 
@@ -128,8 +129,18 @@ class ExportedPredictor:
                 raise ValueError(
                     f"artifact was exported for {self.exported.nr_devices} "
                     f"devices; runtime has {jax.device_count()}")
-            if (self.contract or {}).get("parallelism") == "sp":
-                # SP artifacts take replicated inputs (tokens shard inside)
+            # SP artifacts take replicated inputs (tokens shard inside the
+            # program); DP artifacts shard the batch axis.  The contract
+            # sidecar records which, but sidecar-less artifacts are
+            # supported (dt-serve falls back to in_avals), so when it is
+            # absent read the program's own input sharding instead of
+            # assuming DP.
+            if self.contract is not None:
+                sp_art = self.contract.get("parallelism") == "sp"
+            else:
+                hs = self.exported.in_shardings_hlo[0]
+                sp_art = hs is not None and hs.is_replicated()
+            if sp_art:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 from dino_tpu.parallel.mesh import make_mesh
                 self._sharding = NamedSharding(

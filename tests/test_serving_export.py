@@ -148,9 +148,27 @@ def test_export_sp_sharded(model, tmp_path):
     out = served(frames)
     np.testing.assert_array_equal(out, model.predict_batch(frames))
 
+    # sidecar-less load: the SP-vs-DP decision comes from the program's own
+    # input sharding (replicated => SP), not the .json
+    import os
+    os.remove(path + ".json")
+    served2 = load_exported_predict(path)
+    assert served2.contract is None
+    np.testing.assert_array_equal(served2(frames),
+                                  model.predict_batch(frames))
+
     with pytest.raises(ValueError, match="parallelism"):
         export_predict(model, str(tmp_path / "bad_p.shlo"), batch_size=1,
                        in_shape=(100, 120), n_devices=n, parallelism="pp")
+    with pytest.raises(ValueError, match="n_devices"):
+        export_predict(model, str(tmp_path / "bad_n.shlo"), batch_size=1,
+                       in_shape=(100, 120), parallelism="sp")
+    m_int8 = DINOSeg(head="mlp", n_blocks=1, n_classes=5, random_init=True,
+                     seed=0, precision="int8")
+    m_int8.set_resolution(64)
+    with pytest.raises(ValueError, match="int8"):
+        export_predict(m_int8, str(tmp_path / "bad_i.shlo"), batch_size=2,
+                       in_shape=(100, 120), n_devices=n, parallelism="sp")
 
 
 def test_export_moe_head(tmp_path):
