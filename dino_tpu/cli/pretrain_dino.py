@@ -36,6 +36,12 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--warmup_epochs", type=int, default=10)
     ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--accum_steps", type=int, default=1,
+                    help="split each batch into this many microbatches "
+                         "inside the step (one optimizer update on the "
+                         "accumulated mean gradient) — activation memory "
+                         "scales with batch_size/accum_steps, so DINO's "
+                         "large-batch recipes fit one chip")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--n_local_crops", type=int, default=8)
     ap.add_argument("--global_size", type=int, default=224)
@@ -101,7 +107,18 @@ def main(argv=None):
     opt_state = init_dino_opt_state(opt, student)
     # donate: params/moments update in place (HBM headroom for the batch);
     # the loop rebinds every donated tree to the step's outputs each call
-    step = make_dino_train_step(vit_cfg, dino_cfg, opt, donate=True)
+    if args.accum_steps > 1 and args.batch_size % args.accum_steps:
+        raise ValueError(f"batch_size {args.batch_size} must divide by "
+                         f"accum_steps {args.accum_steps}")
+    if (args.accum_steps > 1 and jax.device_count() > 1
+            and args.batch_size % jax.device_count() == 0  # sharding engages
+            and (args.batch_size // args.accum_steps) % jax.device_count()):
+        raise ValueError(
+            f"with data sharding each microbatch "
+            f"({args.batch_size}//{args.accum_steps}) must divide by the "
+            f"device count ({jax.device_count()})")
+    step = make_dino_train_step(vit_cfg, dino_cfg, opt, donate=True,
+                                accum_steps=args.accum_steps)
     center = jnp.zeros((1, dino_cfg.out_dim), jnp.float32)
 
     niter = max(1, len(files) // args.batch_size)

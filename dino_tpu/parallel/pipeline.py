@@ -227,3 +227,196 @@ def init_pp_train_state(optimizer, stages, rest, head_p):
     """Optimizer state over the PP param layout ({stages, rest, head});
     stage moments shard with the stage params."""
     return optimizer.init({"stages": stages, "rest": rest, "head": head_p})
+
+
+# ---------------------------------------------------------------------------
+# 3-axis composition: DP x PP x TP on a (data, stage, model) mesh
+# (docs/SCALING.md composition table — the classic 3D-parallel layout)
+# ---------------------------------------------------------------------------
+
+def _pp_tp_stage_specs(stage_axis: str, tp_axis: str):
+    """PartitionSpecs for TP-packed blocks stacked into (S, per) stage slabs:
+    every leaf shards its leading stage axis; head/hidden-split leaves shard
+    their TP axis too, so each device holds only its stage's head-group."""
+    s, t = stage_axis, tp_axis
+    ln = {"scale": P(s), "bias": P(s)}
+    return {
+        "norm1": ln, "norm2": ln,
+        "qkv_w": P(s, None, t), "qkv_b": P(s, None, t),
+        "proj_w": P(s, None, t), "proj_b": P(s),
+        "fc1_w": P(s, None, None, t), "fc1_b": P(s, None, t),
+        "fc2_w": P(s, None, t, None), "fc2_b": P(s),
+    }
+
+
+def _block_tp(p: Params, tokens: jnp.ndarray, cfg: ViTConfig, tp_axis: str,
+              flash: str) -> jnp.ndarray:
+    """One block on the full local sequence with head/hidden dims split over
+    ``tp_axis`` (Megatron rules: qkv/fc1 column-parallel with no comms,
+    proj/fc2 row-parallel with one psum each riding ICI).  Unlike
+    ring_attention._block_sp_tp there is no sequence axis here — attention
+    runs whole per local head group (the flash kernel on TPU)."""
+    from dino_tpu.ops.attention import attention_xla, flash_attention
+
+    h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
+    qkv = jnp.einsum("bnc,hctd->tbhnd", h, p["qkv_w"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    qkv = (qkv + p["qkv_b"].astype(jnp.float32)
+           .transpose(1, 0, 2)[:, None, :, None, :]).astype(h.dtype)
+    use_flash = (flash == "force" or
+                 (flash == "auto" and jax.default_backend() == "tpu"))
+    if use_flash:
+        out = flash_attention(qkv[0], qkv[1], qkv[2], cfg.scale,
+                              interpret=jax.default_backend() != "tpu")
+    else:
+        out = attention_xla(qkv[0], qkv[1], qkv[2], cfg.scale)[0]
+    part = jnp.einsum("bhnd,hdc->bnc", out, p["proj_w"].astype(out.dtype),
+                      preferred_element_type=jnp.float32)
+    attn_out = jax.lax.psum(part, tp_axis) + p["proj_b"].astype(jnp.float32)
+    tokens = tokens + attn_out.astype(tokens.dtype)
+    h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
+    h1 = jnp.dot(h, p["fc1_w"].astype(h.dtype),
+                 preferred_element_type=jnp.float32)
+    h1 = (h1 + p["fc1_b"].astype(jnp.float32)).astype(h.dtype)
+    h1 = jax.nn.gelu(h1, approximate=False)
+    part = jnp.dot(h1, p["fc2_w"].astype(h1.dtype),
+                   preferred_element_type=jnp.float32)
+    mlp_out = jax.lax.psum(part, tp_axis) + p["fc2_b"].astype(jnp.float32)
+    return tokens + mlp_out.astype(tokens.dtype)
+
+
+def vit_forward_pp_tp(params: Params, x: jnp.ndarray, cfg: ViTConfig,
+                      mesh: Mesh, data_axis: str = "data",
+                      stage_axis: str = "stage", tp_axis: str = "model",
+                      n_microbatches: int = 2, flash: str = "auto",
+                      remat: bool = False) -> jnp.ndarray:
+    """ViT forward on the 3-axis composition: batch shards over
+    ``data_axis``, blocks pipeline over ``stage_axis``, and every stage's
+    block math is tensor-parallel over ``tp_axis`` — one shard_map, three
+    kinds of collective (GSPMD batch split / stage ppermute / Megatron
+    psum), all riding ICI.  Params come in the STANDARD layout (the
+    head-aligned TP packing and stage stacking are pure reshapes inside the
+    traced fn, so shard_map autodiff transposes them and gradients come
+    back standard — the same trade as ring_attention.make_sp_tp_train_step;
+    use make_pp_train_step's pre-sharded layout when per-device weight
+    memory is the constraint).  Returns the normed tokens (B, N+1, D);
+    matches vit_forward to reduction order."""
+    from dino_tpu.parallel.ring_attention import _tp_pack_block
+
+    n_stages = mesh.shape[stage_axis]
+    t = mesh.shape[tp_axis]
+    d = mesh.shape[data_axis]
+    n_mb = n_microbatches
+    if cfg.num_heads % t or cfg.mlp_hidden % t:
+        raise ValueError(f"tensor-parallel degree {t} must divide both "
+                         f"num_heads ({cfg.num_heads}) and mlp_hidden "
+                         f"({cfg.mlp_hidden})")
+    b = x.shape[0]
+    if b % (d * n_mb):
+        raise ValueError(f"batch {b} must divide by data-parallel degree x "
+                         f"microbatches ({d} x {n_mb})")
+
+    packed = [_tp_pack_block(blk, cfg) for blk in params["blocks"]]
+    depth = len(packed)
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    per = depth // n_stages
+    stages = jax.tree.map(lambda *xs: jnp.stack(xs), *packed)
+    stages = jax.tree.map(
+        lambda a: a.reshape((n_stages, per) + a.shape[1:]), stages)
+    rest = {k: v for k, v in params.items() if k != "blocks"}
+    specs = _pp_tp_stage_specs(stage_axis, tp_axis)
+    last = n_stages - 1
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(specs, P(), P(data_axis)),
+             out_specs=P(data_axis), check_vma=False)
+    def run(stages_local, rest_rep, x_loc):
+        s = jax.lax.axis_index(stage_axis)
+        st = jax.tree.map(lambda a: a[0], stages_local)   # (per, ...)
+        tokens = prepare_tokens(rest_rep, x_loc, cfg)
+        b_loc = tokens.shape[0]
+        mbs = tokens.reshape((n_mb, b_loc // n_mb) + tokens.shape[1:])
+
+        def my_stage(h):
+            for i in range(per):
+                blk = jax.tree.map(lambda a: a[i], st)
+                h = _block_tp(blk, h, cfg, tp_axis, flash)
+            return h
+        if remat:
+            my_stage = jax.checkpoint(my_stage)
+
+        out = jnp.zeros_like(mbs)
+        recv = jnp.zeros_like(mbs[0])
+        for tick in range(n_mb + n_stages - 1):   # static fill-drain
+            mb_in = mbs[min(tick, n_mb - 1)]
+            h_in = jnp.where(s == 0, mb_in, recv)
+            y = my_stage(h_in)
+            mb_idx = tick - last
+            if 0 <= mb_idx < n_mb:
+                out = jnp.where(s == last, out.at[mb_idx].set(y), out)
+            recv = jax.lax.ppermute(y, stage_axis, perm)
+        out = jax.lax.psum(
+            jnp.where(s == last, out, jnp.zeros_like(out)), stage_axis)
+        return layer_norm(rest_rep["norm"], out.reshape(tokens.shape),
+                          cfg.ln_eps)
+
+    return run(stages, rest, x)
+
+
+def make_dp_pp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
+                             optimizer, mesh: Mesh, data_axis: str = "data",
+                             stage_axis: str = "stage",
+                             tp_axis: str = "model",
+                             n_microbatches: int = 2, flash: str = "auto",
+                             compute_dtype=None, remat: bool = False,
+                             donate: bool = False):
+    """3D-parallel train step: DP over ``data_axis``, GPipe over
+    ``stage_axis``, Megatron TP over ``tp_axis``.
+
+    step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
+    (vit_p, head_p, opt_state, loss, cm) — make_train_step's contract, so
+    the caller's loop/metrics code is unchanged.  Params stay in the
+    standard layout; differentiating through vit_forward_pp_tp transposes
+    the stage ppermutes into the reverse pipeline, the Megatron psums into
+    their gradient collectives, and GSPMD aggregates the data-parallel
+    gradient — one jitted program over the 3-axis mesh (gradient equality
+    vs the replicated step is tested on the (data=2, stage=2, model=2)
+    virtual mesh)."""
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.loop import nll_loss
+    from dino_tpu.train.metrics import confusion_matrix
+
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"DPxPPxTP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
+
+    def step(vit_p, head_p, opt_state, images, labels, mask=None):
+        x = normalize_imagenet(images)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+
+        def loss_fn(params):
+            tokens = vit_forward_pp_tp(params["vit"], x, cfg, mesh,
+                                       data_axis, stage_axis, tp_axis,
+                                       n_microbatches, flash, remat)
+            feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
+            logp = head_apply(head_type, params["head"], feats)
+            y = labels.reshape(-1)
+            w = (None if mask is None
+                 else jnp.repeat(mask.astype(logp.dtype),
+                                 y.shape[0] // mask.shape[0]))
+            return nll_loss(logp, y, w), (logp, y, w)
+
+        params = {"vit": vit_p, "head": head_p}
+        (loss, (logp, y, w)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        cm = confusion_matrix(jnp.argmax(logp, axis=-1), y, n_classes,
+                              weights=w)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params["vit"], params["head"], opt_state, loss, cm
+
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())

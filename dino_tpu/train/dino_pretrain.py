@@ -138,7 +138,8 @@ def init_dino_opt_state(optimizer: optax.GradientTransformation,
 def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                          optimizer: optax.GradientTransformation,
                          compute_dtype=None, clip: float = 3.0,
-                         donate: bool = False) -> Callable:
+                         donate: bool = False,
+                         accum_steps: int = 1) -> Callable:
     """Jitted step(student, teacher, center, opt_state, global_crops,
     local_crops, teacher_temp, ema_momentum, freeze_last) ->
     (student, teacher, center, opt_state, loss).
@@ -149,6 +150,14 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
     student/teacher/center/opt_state buffers (~700 MB at ViT-S scale) so
     XLA updates them in place — HBM headroom for larger batches; leave off
     when the caller reuses input trees across calls (tests do).
+
+    ``accum_steps=K`` runs the forwards/backwards over K microbatches
+    inside a ``lax.scan`` and applies ONE optimizer/EMA/center update on
+    the f32-accumulated mean gradient — activation memory scales with
+    B/K while the update semantics (clip AFTER accumulation, centering on
+    the full-batch teacher mean) exactly match the big-batch step, so
+    DINO's large-batch recipes (the paper trains at 1024) fit one chip.
+    The crop batch axis must divide by K.
     """
     n_crops = 2 + dino_cfg.n_local_crops
     # the head's "_meta" (python bool/int flags) is STATIC configuration:
@@ -181,8 +190,42 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                        donate_argnums=(0, 1, 2, 3) if donate else ())
     def step_impl(s_p, t_p, center, opt_state, g_crops, l_crops,
                   teacher_temp, ema_momentum, freeze_last):
-        (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            s_p, t_p, center, g_crops, l_crops, teacher_temp)
+        if accum_steps == 1:
+            (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                s_p, t_p, center, g_crops, l_crops, teacher_temp)
+            batch_center = jnp.mean(t_out.astype(jnp.float32), axis=0,
+                                    keepdims=True)
+        else:
+            k, b = accum_steps, g_crops.shape[1]
+            mb = b // k
+            # (n_views, B, ...) -> (K, n_views, mb, ...): microbatch k is
+            # rows [k*mb, (k+1)*mb) of every view (equal sizes, so the mean
+            # of per-microbatch means is the exact full-batch mean)
+            g_s = g_crops.reshape(2, k, mb, *g_crops.shape[2:]
+                                  ).swapaxes(0, 1)
+            l_s = l_crops.reshape(l_crops.shape[0], k, mb,
+                                  *l_crops.shape[2:]).swapaxes(0, 1)
+
+            def body(carry, xs):
+                g_acc, loss_acc, t_acc = carry
+                g_k, l_k = xs
+                (loss_k, t_out_k), grads_k = jax.value_and_grad(
+                    loss_fn, has_aux=True)(s_p, t_p, center, g_k, l_k,
+                                           teacher_temp)
+                g_acc = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), g_acc, grads_k)
+                t_acc = t_acc + jnp.mean(t_out_k.astype(jnp.float32), axis=0)
+                return (g_acc, loss_acc + loss_k, t_acc), None
+
+            init = (jax.tree.map(
+                        lambda p: jnp.zeros(p.shape, jnp.float32), s_p),
+                    jnp.float32(0.0),
+                    jnp.zeros((dino_cfg.out_dim,), jnp.float32))
+            (g_acc, loss_acc, t_acc), _ = jax.lax.scan(body, init,
+                                                       (g_s, l_s))
+            grads = jax.tree.map(lambda g: g / k, g_acc)
+            loss = loss_acc / k
+            batch_center = (t_acc / k)[None, :]
         # per-parameter clip (reference utils.py:132-141 semantics)
         grads = jax.tree.map(
             lambda g: g * jnp.minimum(
@@ -194,7 +237,9 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
         updates, opt_state = optimizer.update(grads, opt_state, s_p)
         s_p = optax.apply_updates(s_p, updates)
         t_p = ema_update(t_p, s_p, ema_momentum)
-        center = update_center(center, t_out, dino_cfg.center_momentum)
+        # EMA of the full-batch teacher mean (update_center semantics)
+        center = (center * dino_cfg.center_momentum
+                  + batch_center * (1.0 - dino_cfg.center_momentum))
         return s_p, t_p, center, opt_state, loss
 
     def step(student, teacher, center, opt_state, g_crops, l_crops,

@@ -111,6 +111,43 @@ def test_pretrain_loss_decreases_and_teacher_tracks():
     assert float(jnp.abs(center).sum()) > 0
 
 
+def test_accum_steps_matches_big_batch_step():
+    """accum_steps=K (scan over microbatches, one update on the accumulated
+    mean gradient) produces the same post-step state as the plain big-batch
+    step to f32 tolerance: same loss, params, teacher, center."""
+    student, teacher = init_dino_params(jax.random.PRNGKey(2), VIT, DINO,
+                                        depth=2)
+    opt = optax.adamw(3e-4)
+    rs = np.random.RandomState(3)
+    g = jnp.asarray(rs.rand(2, 4, 32, 32, 3).astype(np.float32))
+    l = jnp.asarray(rs.rand(DINO.n_local_crops, 4, 16, 16, 3)
+                    .astype(np.float32))
+    args = (jnp.float32(0.04), jnp.float32(0.99), jnp.float32(0.0))
+
+    outs = {}
+    for k in (1, 2, 4):
+        step = make_dino_train_step(VIT, DINO, opt, accum_steps=k)
+        center = jnp.zeros((1, DINO.out_dim), jnp.float32)
+        opt_state = init_dino_opt_state(opt, student)
+        outs[k] = step(student, teacher, center, opt_state, g, l, *args)
+
+    for k in (2, 4):
+        np.testing.assert_allclose(float(outs[k][4]), float(outs[1][4]),
+                                   rtol=1e-5)  # loss
+        for ref_leaf, acc_leaf in zip(jax.tree.leaves(outs[1][0]),
+                                      jax.tree.leaves(outs[k][0])):
+            if jnp.issubdtype(jnp.asarray(ref_leaf).dtype, jnp.floating):
+                # f32 summation-order noise passes through Adam's
+                # per-element normalization; 1e-5 is still 30x below the
+                # 3e-4 update magnitude
+                np.testing.assert_allclose(np.asarray(acc_leaf),
+                                           np.asarray(ref_leaf),
+                                           atol=1e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(outs[k][2]),
+                                   np.asarray(outs[1][2]),
+                                   atol=1e-6, rtol=1e-5)  # center
+
+
 def test_freeze_last_layer_gate():
     student, teacher = init_dino_params(jax.random.PRNGKey(1), VIT, DINO,
                                         depth=1)

@@ -97,6 +97,65 @@ def test_pp_train_step_matches_replicated(n_stages, n_mb, remat):
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_pp_tp_forward_matches_replicated():
+    """3-axis composition forward: batch over data, blocks pipelined over
+    stage, block math Megatron-split over model — equals the replicated
+    forward on the (data=2, stage=2, model=2) virtual mesh."""
+    from dino_tpu.parallel.pipeline import vit_forward_pp_tp
+
+    p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 48, 48, 3), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "stage", "model"))
+    out = vit_forward_pp_tp(p, x, CFG, mesh, n_microbatches=2, flash="off")
+    ref = vit_forward(p, x, CFG, use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("remat", [False, True])
+def test_dp_pp_tp_train_step_matches_replicated(remat):
+    """Training through all three axes at once: one unfrozen Adam step on
+    the (data=2, stage=2, model=2) mesh == the replicated make_train_step
+    (standard param layout, so the comparison is leaf-by-leaf direct)."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import make_dp_pp_tp_train_step
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    depth, n_classes = 4, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (4, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (4, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "stage", "model"))
+    step = make_dp_pp_tp_train_step(CFG, "mlp", n_classes, opt, mesh,
+                                    n_microbatches=2, flash="off",
+                                    remat=remat)
+    opt_state = init_opt_state(opt, vit_p, head_p, False)
+    new_vit, new_head, _, loss, cm = step(vit_p, head_p, opt_state,
+                                          images, labels)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref_cm))
+    for g_l, w_l in zip(jax.tree.leaves(new_vit), jax.tree.leaves(ref_vit)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_depth_and_batch_divisibility_errors():
     p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=6)
     mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))

@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--peak_tflops", type=float, default=197.0,
                     help="bf16 MXU peak of the chip (v5e: 197)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches for the full "
+                         "step (measures the scan's overhead vs accum=1)")
+    ap.add_argument("--full_only", action="store_true",
+                    help="skip the stage ablation; time only the "
+                         "production step (for accum/batch sweeps)")
     args = ap.parse_args()
 
     import jax
@@ -114,30 +120,33 @@ def main():
         return run
 
     stages = {}
+    if not args.full_only:
+        stages["teacher_fwd"] = chain(
+            lambda c, g: jnp.sum(teacher_fwd(
+                t_p, g.at[0, 0, 0, 0, 0].add(c * 1e-12))).astype(jnp.float32),
+            args.iters)
+        stages["student_fwd"] = chain(
+            lambda c, g, l: jnp.sum(student_fwd(
+                s_p, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l)
+                ).astype(jnp.float32),
+            args.iters)
+        stages["fwd_loss"] = chain(
+            lambda c, g, l: fwd_loss(
+                s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt),
+            args.iters)
 
-    stages["teacher_fwd"] = chain(
-        lambda c, g: jnp.sum(teacher_fwd(
-            t_p, g.at[0, 0, 0, 0, 0].add(c * 1e-12))).astype(jnp.float32),
-        args.iters)
-    stages["student_fwd"] = chain(
-        lambda c, g, l: jnp.sum(student_fwd(
-            s_p, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l)).astype(jnp.float32),
-        args.iters)
-    stages["fwd_loss"] = chain(
-        lambda c, g, l: fwd_loss(
-            s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt),
-        args.iters)
-    def _grads_stage(c, g, l):
-        loss, grads = jax.value_and_grad(fwd_loss)(
-            s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt)
-        # consume every grad leaf so XLA cannot DCE the backward pass
-        gsum = sum(jnp.sum(x).astype(jnp.float32)
-                   for x in jax.tree.leaves(grads))
-        return loss + gsum * 1e-30
+        def _grads_stage(c, g, l):
+            loss, grads = jax.value_and_grad(fwd_loss)(
+                s_p, t_p, center, g.at[0, 0, 0, 0, 0].add(c * 1e-12), l, tt)
+            # consume every grad leaf so XLA cannot DCE the backward pass
+            gsum = sum(jnp.sum(x).astype(jnp.float32)
+                       for x in jax.tree.leaves(grads))
+            return loss + gsum * 1e-30
 
-    stages["grads"] = chain(_grads_stage, args.iters)
+        stages["grads"] = chain(_grads_stage, args.iters)
 
-    step = make_dino_train_step(vit_cfg, dino_cfg, opt, compute_dtype=dtype)
+    step = make_dino_train_step(vit_cfg, dino_cfg, opt, compute_dtype=dtype,
+                                accum_steps=args.accum)
 
     results = {}
     for name, fn in stages.items():
