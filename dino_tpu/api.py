@@ -666,7 +666,8 @@ class DINOSeg:
     def fit(self, ck_file_name: Optional[str] = None,
             samples_per_epoch: int = 1000, seed: int = 0,
             resume: bool = False, cache_features="auto",
-            parallelism: Optional[str] = None) -> Dict[str, float]:
+            parallelism: Optional[str] = None,
+            accum_steps: int = 1) -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
 
@@ -687,9 +688,34 @@ class DINOSeg:
         gradients match the replicated step to fp32 tolerance, so training
         curves are the same.  Default (None) keeps the automatic DP batch
         sharding.
+
+        ``accum_steps=K`` splits each batch into K microbatches inside the
+        jitted step (one optimizer update on the exactly-accumulated
+        gradient — sum/weight bookkeeping makes the masked-mean semantics
+        identical; see make_train_step).  Activation memory scales with
+        batch_size/K, so big-batch or high-resolution unfrozen finetunes
+        fit one chip; microbatch-4 also tiles the D=384 matmuls better
+        (PERF.md).  ViT backbone + mlp/linear heads; ignored on the
+        frozen-feature-cache path (head-only training is memory-trivial).
         """
         if parallelism not in (None, "sp"):
             raise ValueError(f"unsupported train parallelism {parallelism!r}")
+        if accum_steps > 1:
+            if parallelism == "sp":
+                raise ValueError("accum_steps composes with the default DP "
+                                 "path, not parallelism='sp' (the SP step "
+                                 "shards tokens, not the batch)")
+            if self.batch_size % accum_steps:
+                raise ValueError(f"batch_size {self.batch_size} must divide "
+                                 f"by accum_steps {accum_steps}")
+            if (jax.device_count() > 1
+                    and self.batch_size % jax.device_count() == 0
+                    and (self.batch_size // accum_steps)
+                    % jax.device_count()):
+                raise ValueError(
+                    f"with data sharding each microbatch "
+                    f"({self.batch_size}//{accum_steps}) must divide by the "
+                    f"device count ({jax.device_count()})")
         if parallelism == "sp":
             if self.backbone != "vit":
                 raise ValueError("parallelism='sp' requires the ViT backbone")
@@ -710,12 +736,14 @@ class DINOSeg:
             self._fit_phase(self.train_path_sim, self.val_path, ck_path,
                             samples_per_epoch, seed, log=False,
                             cache_features=cache_features,
-                            parallelism=parallelism)
+                            parallelism=parallelism,
+                            accum_steps=accum_steps)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
                         cache_features=cache_features,
-                        parallelism=parallelism)
+                        parallelism=parallelism,
+                        accum_steps=accum_steps)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -740,7 +768,8 @@ class DINOSeg:
     def _fit_phase(self, train_path: str, val_path: str, ck_path: str,
                    samples_per_epoch: int, seed: int, log: bool,
                    resume: bool = False, cache_features="auto",
-                   parallelism: Optional[str] = None) -> None:
+                   parallelism: Optional[str] = None,
+                   accum_steps: int = 1) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -789,7 +818,8 @@ class DINOSeg:
             train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                          optimizer, self.freeze_backbone,
                                          compute_dtype=self.compute_dtype,
-                                         backbone=self.backbone)
+                                         backbone=self.backbone,
+                                         accum_steps=accum_steps)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
                                    backbone=self.backbone)

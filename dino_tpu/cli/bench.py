@@ -99,14 +99,19 @@ def main():
     # secondary: unfrozen finetune throughput (the round-2 Pallas flash
     # backward win: 16 -> ~166 fps); steps chain through the param update
     train_fps = None
+    train_accum = int(os.environ.get("BENCH_TRAIN_ACCUM", "8"))
     if os.environ.get("BENCH_TRAIN", "1") == "1":
         from dino_tpu.train.loop import (init_opt_state, make_optimizer,
                                          make_train_step)
         opt = make_optimizer("adam", 1e-5)
         opt_state = init_opt_state(opt, vit_p, head_p, freeze_backbone=False)
+        # accum_steps=8 is the recommended single-chip finetune config
+        # (PERF.md: small microbatches tile the D=384 matmuls ~13% better
+        # at 480px and avoid remat entirely at 960px; update semantics are
+        # identical to the monolithic step, equality-tested)
         step = make_train_step(cfg, "mlp", n_classes, opt,
                                freeze_backbone=False, donate=False,
-                               compute_dtype=dtype)
+                               compute_dtype=dtype, accum_steps=train_accum)
         labels = jax.device_put(rs.randint(
             0, n_classes, (batch, out_size * out_size)).astype(np.int32))
         # train batches are square res x res (the loader's output shape)
@@ -136,6 +141,7 @@ def main():
         "p50_predict_latency_ms": round(p50_ms, 2),
         "p50_device_ms": round(p50_device_ms, 2),
         "unfrozen_train_fps": round(train_fps, 1) if train_fps else None,
+        "train_accum_steps": train_accum if train_fps else None,
         "batch": batch,
         "backend": jax.default_backend(),
     }

@@ -102,9 +102,30 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     freeze_backbone: bool,
                     donate: bool = True,
                     compute_dtype=None,
-                    backbone: str = "vit") -> Callable:
+                    backbone: str = "vit",
+                    accum_steps: int = 1) -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
-    (vit_p, head_p, opt_state, loss, cm)."""
+    (vit_p, head_p, opt_state, loss, cm).
+
+    ``accum_steps=K`` runs the forward/backward over K microbatches inside
+    a ``lax.scan`` and applies ONE optimizer update.  Exactness: each
+    microbatch contributes the SUM-formulation loss/gradient plus its
+    weight total, and the division by the global weight happens once after
+    the scan — so the masked-mean semantics (ragged-tail padding excluded)
+    are mathematically identical to the monolithic step, differing only in
+    f32 summation order (equality-tested).  Activation memory scales
+    with B/K, so big-batch or high-resolution unfrozen finetunes fit one
+    chip.  MoE heads (router balance is a nonlinear full-batch statistic)
+    and BatchNorm backbones (full-batch variance) cannot microbatch
+    exactly and raise.  The batch must divide by K.
+    """
+    if accum_steps > 1 and head_type == "moe":
+        raise ValueError("accum_steps>1 is exact only for per-patch losses; "
+                         "the MoE router balance term is a nonlinear "
+                         "full-batch statistic — use accum_steps=1")
+    if accum_steps > 1 and backbone != "vit":
+        raise ValueError("accum_steps>1 needs full-batch BatchNorm "
+                         "statistics for cnn backbones — use accum_steps=1")
 
     def loss_fn(trainable, static_vit, images, labels, mask):
         vit_p = static_vit if freeze_backbone else trainable["vit"]
@@ -139,6 +160,52 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         return loss, (confusion_matrix(preds, y, n_classes, weights=w),
                       bn_collect)
 
+    def loss_sum_fn(trainable, static_vit, images, labels, w):
+        """Per-microbatch SUM of masked per-patch losses (w = per-patch 0/1
+        weights); grads of sums add exactly across microbatches, and the
+        single divide by the global weight total happens after the scan."""
+        vit_p = static_vit if freeze_backbone else trainable["vit"]
+        n_tokens = images.shape[0] * (images.shape[1] // cfg.patch_size) ** 2
+        remat = (not freeze_backbone) and n_tokens > 200_000
+        logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
+                           compute_dtype=compute_dtype, backbone=backbone,
+                           remat=remat)
+        y = labels.reshape(-1)
+        picked = jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
+                                     axis=1)[:, 0]
+        loss_sum = -jnp.sum(picked * w)
+        preds = jnp.argmax(logp, axis=-1)
+        return loss_sum, confusion_matrix(preds, y, n_classes, weights=w)
+
+    def accum_impl(trainable, static_vit, images, labels, mask):
+        k = accum_steps
+        b = images.shape[0]
+        mb = b // k
+        n_patch = (images.shape[1] // cfg.patch_size) ** 2
+        m = (jnp.ones((b,), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        w = jnp.repeat(m, n_patch).reshape(k, mb * n_patch)
+        im_s = images.reshape((k, mb) + images.shape[1:])
+        lab_s = labels.reshape((k, mb) + labels.shape[1:])
+
+        def body(carry, xs):
+            g_acc, ls_acc, cm_acc = carry
+            im_k, lab_k, w_k = xs
+            (ls, cm), grads = jax.value_and_grad(loss_sum_fn, has_aux=True)(
+                trainable, static_vit, im_k, lab_k, w_k)
+            g_acc = jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
+                                 g_acc, grads)
+            return (g_acc, ls_acc + ls, cm_acc + cm), None
+
+        init = (jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             trainable),
+                jnp.float32(0.0),
+                jnp.zeros((n_classes, n_classes), jnp.int32))
+        (g_acc, ls_acc, cm), _ = jax.lax.scan(body, init, (im_s, lab_s, w))
+        w_total = jnp.maximum(jnp.sum(m) * n_patch, 1.0)
+        grads = jax.tree.map(lambda g: g / w_total, g_acc)
+        return ls_acc / w_total, cm, grads
+
     def step(vit_p, head_p, opt_state, images, labels, mask=None):
         if freeze_backbone:
             trainable = {"head": head_p}
@@ -146,9 +213,14 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         else:
             trainable = {"head": head_p, "vit": vit_p}
             static_vit = None
-        (loss, (cm, bn_collect)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable, static_vit, images, labels,
-                                   mask)
+        if accum_steps > 1:
+            loss, cm, grads = accum_impl(trainable, static_vit, images,
+                                         labels, mask)
+            bn_collect = None
+        else:
+            (loss, (cm, bn_collect)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, static_vit, images, labels,
+                                       mask)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         new_head = trainable["head"]

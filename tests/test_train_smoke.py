@@ -197,3 +197,77 @@ def test_augment_deterministic_under_seed(voc_root):
     np.testing.assert_array_equal(a_mask, b_mask)
     c_img, _ = ds.get(0, np.random.default_rng(124))
     assert not np.array_equal(a_img, c_img)
+
+
+def test_accum_steps_matches_monolithic():
+    """make_train_step(accum_steps=K) — microbatch scan with sum/weight
+    bookkeeping — equals the monolithic step: same loss, CM, params,
+    including a ragged-tail mask that makes the microbatch weight totals
+    unequal (the case mean-of-means would get wrong)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.models.vit import ViTConfig, init_vit_params
+    from dino_tpu.train.loop import (init_opt_state, make_train_step)
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    n_classes = 3
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=2)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, 64)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (4, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (4, 36)).astype(np.int32)
+    mask = np.array([1.0, 1.0, 1.0, 0.0], np.float32)  # ragged tail
+
+    opt = optax.adam(1e-3)
+    for frozen in (True, False):
+        ref = make_train_step(cfg, "mlp", n_classes, opt, frozen,
+                              donate=False)(
+            vit_p, head_p, init_opt_state(opt, vit_p, head_p, frozen),
+            images, labels, mask)
+        for k in (2, 4):
+            got = make_train_step(cfg, "mlp", n_classes, opt, frozen,
+                                  donate=False, accum_steps=k)(
+                vit_p, head_p, init_opt_state(opt, vit_p, head_p, frozen),
+                images, labels, mask)
+            np.testing.assert_allclose(float(got[3]), float(ref[3]),
+                                       rtol=1e-5)  # loss
+            np.testing.assert_array_equal(np.asarray(got[4]),
+                                          np.asarray(ref[4]))  # CM
+            for a, b in zip(jax.tree.leaves(got[0]), jax.tree.leaves(ref[0])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, rtol=1e-4)
+            for a, b in zip(jax.tree.leaves(got[1]), jax.tree.leaves(ref[1])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=1e-5, rtol=1e-4)
+
+
+def test_accum_steps_rejects_inexact_combos():
+    import optax
+    import pytest as _pytest
+    from dino_tpu.models.vit import ViTConfig
+    from dino_tpu.train.loop import make_train_step
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    opt = optax.adam(1e-3)
+    with _pytest.raises(ValueError, match="balance"):
+        make_train_step(cfg, "moe", 3, opt, True, accum_steps=2)
+    with _pytest.raises(ValueError, match="BatchNorm"):
+        make_train_step(cfg, "mlp", 3, opt, True, backbone="cnn1",
+                        accum_steps=2)
+
+
+def test_fit_accum_steps_matches_plain(voc_root, tmp_path):
+    """fit(accum_steps=2) trains to the same epoch metrics as the plain fit
+    (same seed, augmented=False so pixels are identical)."""
+    kw = dict(data_path=voc_root, class_names=[f"c{i}" for i in range(3)],
+              head="linear", n_blocks=1, batch_size=4, lr=1e-3,
+              max_epochs=2, patience=5, n_classes=N_CLASSES,
+              random_init=True, augmented=False, train_resolution=RES,
+              seed=0, precision="fp32", freeze_backbone=False)
+    a = DINOSeg(write_path=str(tmp_path / "a"), **kw)
+    ra = a.fit(samples_per_epoch=8, seed=0)
+    b = DINOSeg(write_path=str(tmp_path / "b"), **kw)
+    rb = b.fit(samples_per_epoch=8, seed=0, accum_steps=2)
+    assert abs(ra["test_acc"] - rb["test_acc"]) < 1e-4
