@@ -23,7 +23,10 @@ def main():
     from dino_tpu.train.loop import seg_forward
 
     res, n_blocks, n_classes = 480, 3, 7
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    # batch 3 is the measured serving optimum at 480px (PERF.md round-3
+    # sweep: 718 fps vs 613 at the round-2 default of 16 — small batches
+    # tile the D=384 matmuls better, the same effect as train microbatching)
+    batch = int(os.environ.get("BENCH_BATCH", "3"))
     dtype = (jnp.bfloat16 if os.environ.get("BENCH_PRECISION", "bf16")
              == "bf16" else None)
     cfg = ViTConfig(patch_size=8)
@@ -45,7 +48,9 @@ def main():
 
     # throughput: chain N predicts inside one device program (lax.scan with a
     # data dependency) so async dispatch / RPC tunnels can't skip work
-    n_iters = int(os.environ.get("BENCH_ITERS", "20"))
+    # scale the chain length so the one-per-call tunnel roundtrip (~8 ms)
+    # stays ~2% of the measured window at any batch size
+    n_iters = int(os.environ.get("BENCH_ITERS", str(max(20, 320 // batch))))
 
     def make_chained_predict(length):
         @jax.jit
@@ -112,11 +117,12 @@ def main():
         step = make_train_step(cfg, "mlp", n_classes, opt,
                                freeze_backbone=False, donate=False,
                                compute_dtype=dtype, accum_steps=train_accum)
+        tbatch = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
         labels = jax.device_put(rs.randint(
-            0, n_classes, (batch, out_size * out_size)).astype(np.int32))
+            0, n_classes, (tbatch, out_size * out_size)).astype(np.int32))
         # train batches are square res x res (the loader's output shape)
         timgs = jax.device_put(
-            rs.randint(0, 255, (batch, res, res, 3)).astype(np.uint8))
+            rs.randint(0, 255, (tbatch, res, res, 3)).astype(np.uint8))
         vp, hp, st = vit_p, head_p, opt_state
         out = step(vp, hp, st, timgs, labels)
         np.asarray(out[3])  # compile+warm
@@ -124,7 +130,7 @@ def main():
         for _ in range(8):
             vp, hp, st, loss, _ = step(vp, hp, st, timgs, labels)
         np.asarray(loss)
-        train_fps = batch * 8 / (time.perf_counter() - t0)
+        train_fps = tbatch * 8 / (time.perf_counter() - t0)
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", "..", "bench_baseline.json")
