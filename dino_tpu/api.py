@@ -667,7 +667,7 @@ class DINOSeg:
             samples_per_epoch: int = 1000, seed: int = 0,
             resume: bool = False, cache_features="auto",
             parallelism: Optional[str] = None,
-            accum_steps: int = 1) -> Dict[str, float]:
+            accum_steps: int = 1, zero: bool = False) -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
 
@@ -697,6 +697,12 @@ class DINOSeg:
         fit one chip; microbatch-4 also tiles the D=384 matmuls better
         (PERF.md).  ViT backbone + mlp/linear heads; ignored on the
         frozen-feature-cache path (head-only training is memory-trivial).
+
+        ``zero=True``: ZeRO-1 optimizer-state sharding — when DP batch
+        sharding engages, the Adam moments are stored sharded over the
+        data axis (1/N per device; GSPMD reduce-scatters the gradient
+        into the update and all-gathers the parameter delta).  Numerics
+        unchanged; a no-op on one device.
         """
         if parallelism not in (None, "sp"):
             raise ValueError(f"unsupported train parallelism {parallelism!r}")
@@ -737,13 +743,13 @@ class DINOSeg:
                             samples_per_epoch, seed, log=False,
                             cache_features=cache_features,
                             parallelism=parallelism,
-                            accum_steps=accum_steps)
+                            accum_steps=accum_steps, zero=zero)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
                         cache_features=cache_features,
                         parallelism=parallelism,
-                        accum_steps=accum_steps)
+                        accum_steps=accum_steps, zero=zero)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -769,7 +775,7 @@ class DINOSeg:
                    samples_per_epoch: int, seed: int, log: bool,
                    resume: bool = False, cache_features="auto",
                    parallelism: Optional[str] = None,
-                   accum_steps: int = 1) -> None:
+                   accum_steps: int = 1, zero: bool = False) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -815,11 +821,17 @@ class DINOSeg:
                 self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
                 compute_dtype=self.compute_dtype, donate=True)
         else:
+            zero_mesh = None
+            if (zero and jax.device_count() > 1
+                    and self.batch_size % jax.device_count() == 0):
+                from dino_tpu.parallel.mesh import data_sharding
+                zero_mesh = data_sharding().mesh
             train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                          optimizer, self.freeze_backbone,
                                          compute_dtype=self.compute_dtype,
                                          backbone=self.backbone,
-                                         accum_steps=accum_steps)
+                                         accum_steps=accum_steps,
+                                         zero_mesh=zero_mesh)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
                                    backbone=self.backbone)

@@ -93,3 +93,37 @@ def shard_params(params: Any, spec: Any, mesh: Mesh) -> Any:
 
 def named(mesh: Mesh, spec) -> NamedSharding:
     return NamedSharding(mesh, spec)
+
+
+def zero_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """ZeRO-1 optimizer-state sharding as sharding *constraints*.
+
+    Pins each array leaf's first dimension divisible by the ``axis`` size
+    to that mesh axis; scalars and indivisible leaves stay replicated.
+    Applied to the optimizer state inside a jitted train step (both the
+    incoming state and the updated one), GSPMD then materializes the
+    classic sharded-optimizer dataflow on its own: Adam moments live
+    1/N-per-device, the data-parallel gradient REDUCE-SCATTERS into the
+    moment/update math (instead of all-reducing a full replica onto every
+    chip), and the parameter delta ALL-GATHERS back — the reference's
+    ZeRO/FSDP-style memory story with zero hand-written collectives
+    (reference has none; its DDP scaffolding is utils.py:467-499).
+    """
+    n = mesh.shape[axis]
+
+    def pin(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        for d, s in enumerate(x.shape):
+            if s >= n and s % n == 0:
+                # other dims stay UNCONSTRAINED so a TP-sharded moment
+                # (e.g. Megatron qkv/fc1 kernels under DPxTP) keeps its
+                # 'model' axis — ZeRO composes instead of fighting the
+                # partitioner into a full rematerialization
+                spec = [P.UNCONSTRAINED] * x.ndim
+                spec[d] = axis
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(*spec)))
+        return x
+
+    return jax.tree.map(pin, tree)

@@ -103,7 +103,8 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     donate: bool = True,
                     compute_dtype=None,
                     backbone: str = "vit",
-                    accum_steps: int = 1) -> Callable:
+                    accum_steps: int = 1,
+                    zero_mesh=None, zero_axis: str = "data") -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm).
 
@@ -118,6 +119,12 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     chip.  MoE heads (router balance is a nonlinear full-batch statistic)
     and BatchNorm backbones (full-batch variance) cannot microbatch
     exactly and raise.  The batch must divide by K.
+
+    ``zero_mesh``: ZeRO-1 optimizer-state sharding — the Adam moments are
+    pinned sharded over ``zero_axis`` (see parallel/mesh.py:zero_constrain);
+    GSPMD then reduce-scatters the DP gradient into the update and
+    all-gathers the parameter delta, storing 1/N of the moments per device.
+    Numerics are unchanged (equality-tested).
     """
     if accum_steps > 1 and head_type == "moe":
         raise ValueError("accum_steps>1 is exact only for per-patch losses; "
@@ -221,7 +228,13 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             (loss, (cm, bn_collect)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(trainable, static_vit, images, labels,
                                        mask)
+        if zero_mesh is not None:
+            from dino_tpu.parallel.mesh import zero_constrain
+            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        if zero_mesh is not None:
+            from dino_tpu.parallel.mesh import zero_constrain
+            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis)
         trainable = optax.apply_updates(trainable, updates)
         new_head = trainable["head"]
         new_vit = vit_p if freeze_backbone else trainable["vit"]

@@ -99,3 +99,53 @@ def test_tp_serving_mode():
     assert m._serving_params("fp32", "tp")[0] is v1
     with pytest.raises(ValueError, match="unsupported parallelism"):
         m.predict(frames[0], parallelism="pp")
+
+
+def test_zero_optimizer_sharding_matches_replicated():
+    """ZeRO-1 (zero_mesh): moments stored sharded over 'data', numerics
+    unchanged — one unfrozen Adam step equals the plain step, and the big
+    optimizer-state leaves come back actually sharded."""
+    from dino_tpu.parallel.mesh import data_sharding
+
+    n_blocks, n_classes, res, batch = 2, 5, 48, 8
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=n_blocks)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, 64)
+    optimizer = make_optimizer("adam", 1e-3)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (batch, res, res, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes,
+                        (batch, (res // 8) ** 2)).astype(np.int32)
+
+    ref = make_train_step(cfg, "mlp", n_classes, optimizer,
+                          freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(optimizer, vit_p, head_p, False),
+        jnp.asarray(images), jnp.asarray(labels))
+
+    mesh = make_mesh(model_axis=1)
+    step = make_train_step(cfg, "mlp", n_classes, optimizer,
+                           freeze_backbone=False, donate=False,
+                           zero_mesh=mesh)
+    sharded_imgs = jax.device_put(jnp.asarray(images), data_sharding())
+    new_vit, new_head, opt_out, loss, cm = step(
+        vit_p, head_p, init_opt_state(optimizer, vit_p, head_p, False),
+        sharded_imgs, jnp.asarray(labels))
+
+    np.testing.assert_allclose(float(loss), float(ref[3]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(ref[4]))
+    for a, b in zip(jax.tree.leaves(new_vit), jax.tree.leaves(ref[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+    # the moments for every shardable leaf must actually live sharded
+    n_dev = jax.device_count()
+    n_sharded = 0
+    for leaf in jax.tree.leaves(opt_out):
+        if hasattr(leaf, "sharding") and leaf.ndim > 0:
+            if any(s >= n_dev and s % n_dev == 0 for s in leaf.shape):
+                assert not leaf.sharding.is_fully_replicated, leaf.shape
+                n_sharded += 1
+    assert n_sharded > 0
+
+    # a second step consumes the sharded state directly
+    step(new_vit, new_head, opt_out, sharded_imgs, jnp.asarray(labels))
