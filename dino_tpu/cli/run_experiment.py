@@ -22,7 +22,8 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
                    augmentations=False, pretrain_on_sim=False,
                    ck_file_name=None, comet_tag=None, random_state=42,
                    patience=10, backbone="vit", optimizer="adam",
-                   precision="bf16", train_resolution=480):
+                   precision="bf16", train_resolution=480, accum_steps=1,
+                   zero=False):
     """Fit a coarse segmentation model (one prediction per 8x8 patch).
 
     Reference behavior replicated from run_experiment.py:19-124, including the
@@ -47,7 +48,7 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
     if ck_file_name is None:
         ck_file_name = f"{n_blocks}_{backbone}_mlp_{random_state}"
 
-    dino_seg.fit(ck_file_name)
+    dino_seg.fit(ck_file_name, accum_steps=accum_steps, zero=zero)
 
     if finetune:
         print("\n Finetuning the previous model...")
@@ -59,7 +60,8 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
         ft.logger = logger_ft
         ft.data_path = data_path
         ft.write_path = write_path
-        ft.fit(ck_file_name + "_finetuned")
+        ft.fit(ck_file_name + "_finetuned", accum_steps=accum_steps,
+               zero=zero)
         return ft
     return dino_seg
 
@@ -98,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Experiment tag for the metrics logger.")
     p.add_argument("--random_state", default=42, type=int, help="Random seed")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--accum_steps", default=1, type=int,
+                   help="microbatches per step (exact gradient accumulation;"
+                        " accum 8 is the recommended finetune config —"
+                        " PERF.md)")
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1: shard optimizer moments over the data axis"
+                        " when DP sharding engages")
     p.add_argument("--train_resolution", default=480, type=int)
     return p
 
