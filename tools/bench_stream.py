@@ -33,7 +33,9 @@ def main():
     results = []
 
     # --- scenario 1: streaming 480px batched predict + attention every batch
-    batch, res, n_iters = 8, 480, 12
+    # (batch 3 is the measured 480px serving optimum — PERF.md round-3 sweep;
+    # smaller batches also refresh the attention maps more often)
+    batch, res, n_iters = 3, 480, 32
     frames = jax.device_put(
         rs.randint(0, 255, (batch, 480, 640, 3)).astype(np.uint8))
 
