@@ -809,6 +809,7 @@ class DINOSeg:
                   f"({mb:.0f} MB device-resident; frozen backbone runs once "
                   f"per unique image)")
         sp_mesh = None
+        zero_mesh = None
         if parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
@@ -821,7 +822,6 @@ class DINOSeg:
                 self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
                 compute_dtype=self.compute_dtype, donate=True)
         else:
-            zero_mesh = None
             if (zero and jax.device_count() > 1
                     and self.batch_size % jax.device_count() == 0):
                 from dino_tpu.parallel.mesh import data_sharding
@@ -830,7 +830,14 @@ class DINOSeg:
                                          optimizer, self.freeze_backbone,
                                          compute_dtype=self.compute_dtype,
                                          backbone=self.backbone,
-                                         accum_steps=accum_steps,
+                                         # the cached-head step does the
+                                         # actual training there, and
+                                         # accum_steps is documented ignored
+                                         # on that path (so a frozen MoE
+                                         # + accum_steps run must not trip
+                                         # make_train_step's MoE guard)
+                                         accum_steps=(1 if cache_train
+                                                      else accum_steps),
                                          zero_mesh=zero_mesh)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
@@ -1020,6 +1027,16 @@ class DINOSeg:
             # multi-host: params/metrics are identical on every process, so
             # only host 0 writes (a shared filesystem would race otherwise);
             # the barrier keeps other hosts from reading a half-written file
+            resume_state = {"vit": self.vit_params,
+                            "head": self.head_params,
+                            "opt_state": opt_state}
+            if resume and multi_host and zero_mesh is not None:
+                # ZeRO moments span non-addressable devices, so host 0
+                # alone cannot np.asarray them — every process joins a
+                # collective gather and host 0 writes the global arrays
+                from jax.experimental import multihost_utils
+                resume_state = multihost_utils.process_allgather(
+                    resume_state, tiled=True)
             if jax.process_index() == 0:
                 if metrics["val_acc"] > best_acc:
                     self.save(ck_path,
@@ -1029,8 +1046,7 @@ class DINOSeg:
                 if resume:
                     save_train_state(
                         resume_path,
-                        {"vit": self.vit_params, "head": self.head_params,
-                         "opt_state": opt_state},
+                        resume_state,
                         run_variables={"epoch": epoch,
                                        "best_acc": max(best_acc,
                                                        metrics["val_acc"])})

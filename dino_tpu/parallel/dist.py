@@ -92,11 +92,15 @@ def agree_across_hosts(name: str, value) -> np.ndarray:
     an immediate, explicit error; multi-host training requires a shared
     filesystem (docs/SCALING.md).
     """
-    local = np.atleast_1d(np.asarray(value, np.float64))
+    # f32: the broadcast goes through a jax.Array, which truncates f64 to
+    # f32 (x64 disabled) — both sides must see the same rounding or equal
+    # file contents would spuriously "disagree"
+    local = np.atleast_1d(np.asarray(value, np.float32))
     if get_world_size() < 2:
         return local
     from jax.experimental import multihost_utils
-    v0 = np.asarray(multihost_utils.broadcast_one_to_all(local))
+    v0 = np.asarray(multihost_utils.broadcast_one_to_all(local)
+                    ).astype(np.float32)
     if not np.array_equal(local, v0):
         raise RuntimeError(
             f"host {get_rank()} disagrees with host 0 on {name} "

@@ -95,10 +95,22 @@ def named(mesh: Mesh, spec) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
-def zero_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+class _SpecBox:
+    """Opaque wrapper so a PartitionSpec (a tuple subclass, hence a pytree
+    *container*) survives as a single leaf through optax.tree_map_params."""
+
+    __slots__ = ("spec",)
+
+    def __init__(self, spec):
+        self.spec = spec
+
+
+def zero_constrain(tree: Any, mesh: Mesh, axis: str = "data",
+                   param_spec: Any = None, optimizer: Any = None) -> Any:
     """ZeRO-1 optimizer-state sharding as sharding *constraints*.
 
-    Pins each array leaf's first dimension divisible by the ``axis`` size
+    Pins, for each array leaf, one dimension divisible by the ``axis``
+    size (the first such dimension the leaf's param sharding leaves free)
     to that mesh axis; scalars and indivisible leaves stay replicated.
     Applied to the optimizer state inside a jitted train step (both the
     incoming state and the updated one), GSPMD then materializes the
@@ -108,22 +120,40 @@ def zero_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
     chip), and the parameter delta ALL-GATHERS back — the reference's
     ZeRO/FSDP-style memory story with zero hand-written collectives
     (reference has none; its DDP scaffolding is utils.py:467-499).
+
+    ``param_spec`` + ``optimizer`` (both or neither): the PartitionSpec
+    tree of the params the moments mirror, mapped onto the state via
+    ``optax.tree_map_params``.  With it, a TP-sharded moment (e.g. the
+    row-parallel proj/fc2 kernels under DPxTP, spec ('model', None))
+    keeps its 'model' axis on its own dim and takes 'data' on a FREE dim
+    — ZeRO composes with the partitioner instead of evicting the TP
+    placement.  Without it, dims other than the pinned one are left
+    UNCONSTRAINED for GSPMD to place (fine under pure DP, where params
+    are replicated).
     """
     n = mesh.shape[axis]
 
-    def pin(x):
+    def pin(x, sp=None):
         if not hasattr(x, "ndim") or x.ndim == 0:
             return x
+        taken = tuple(sp) if sp is not None else ()
+        taken = taken + (None,) * (x.ndim - len(taken))
         for d, s in enumerate(x.shape):
-            if s >= n and s % n == 0:
-                # other dims stay UNCONSTRAINED so a TP-sharded moment
-                # (e.g. Megatron qkv/fc1 kernels under DPxTP) keeps its
-                # 'model' axis — ZeRO composes instead of fighting the
-                # partitioner into a full rematerialization
-                spec = [P.UNCONSTRAINED] * x.ndim
+            if s >= n and s % n == 0 and taken[d] is None:
+                spec = [t if t is not None else P.UNCONSTRAINED
+                        for t in taken]
+                if sp is None:
+                    spec = [P.UNCONSTRAINED] * x.ndim
                 spec[d] = axis
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, P(*spec)))
         return x
 
-    return jax.tree.map(pin, tree)
+    if param_spec is None or optimizer is None:
+        return jax.tree.map(pin, tree)
+
+    import optax
+    boxed = jax.tree.map(_SpecBox, param_spec,
+                         is_leaf=lambda x: isinstance(x, P))
+    return optax.tree_map_params(optimizer,
+                                 lambda x, b: pin(x, b.spec), tree, boxed)

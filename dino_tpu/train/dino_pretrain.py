@@ -98,13 +98,21 @@ def dino_loss(student_out: jnp.ndarray, teacher_out: jnp.ndarray,
     return total / n_terms
 
 
+def center_ema(center: jnp.ndarray, batch_center: jnp.ndarray,
+               momentum: float) -> jnp.ndarray:
+    """EMA of the center toward a precomputed full-batch teacher mean —
+    the single definition of the centering semantics (update_center and
+    the accumulated train step both route through it)."""
+    return center * momentum + batch_center * (1.0 - momentum)
+
+
 def update_center(center: jnp.ndarray, teacher_out: jnp.ndarray,
                   momentum: float) -> jnp.ndarray:
     """EMA of the teacher's batch mean (the anti-collapse centering);
     multi-host runs would psum the batch mean first."""
     batch_center = jnp.mean(teacher_out.astype(jnp.float32), axis=0,
                             keepdims=True)
-    return center * momentum + batch_center * (1.0 - momentum)
+    return center_ema(center, batch_center, momentum)
 
 
 def ema_update(teacher: Params, student: Params, momentum) -> Params:
@@ -238,12 +246,15 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
         s_p = optax.apply_updates(s_p, updates)
         t_p = ema_update(t_p, s_p, ema_momentum)
         # EMA of the full-batch teacher mean (update_center semantics)
-        center = (center * dino_cfg.center_momentum
-                  + batch_center * (1.0 - dino_cfg.center_momentum))
+        center = center_ema(center, batch_center, dino_cfg.center_momentum)
         return s_p, t_p, center, opt_state, loss
 
     def step(student, teacher, center, opt_state, g_crops, l_crops,
              teacher_temp, ema_momentum, freeze_last):
+        if accum_steps > 1 and g_crops.shape[1] % accum_steps:
+            raise ValueError(
+                f"batch {g_crops.shape[1]} must divide by "
+                f"accum_steps={accum_steps} (microbatches are equal-sized)")
         s_p, s_meta = _split(student)
         t_p, t_meta = _split(teacher)
         s_p, t_p, center, opt_state, loss = step_impl(

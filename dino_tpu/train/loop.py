@@ -104,7 +104,8 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     compute_dtype=None,
                     backbone: str = "vit",
                     accum_steps: int = 1,
-                    zero_mesh=None, zero_axis: str = "data") -> Callable:
+                    zero_mesh=None, zero_axis: str = "data",
+                    zero_param_spec=None) -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm).
 
@@ -124,7 +125,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     pinned sharded over ``zero_axis`` (see parallel/mesh.py:zero_constrain);
     GSPMD then reduce-scatters the DP gradient into the update and
     all-gathers the parameter delta, storing 1/N of the moments per device.
-    Numerics are unchanged (equality-tested).
+    Numerics are unchanged (equality-tested).  ``zero_param_spec``: the
+    trainable tree's PartitionSpec tree ({"head": ...} or
+    {"head": ..., "vit": ...}) — under DPxTP it keeps the TP axis of each
+    moment where the param has it (see parallel/mesh.py:zero_constrain);
+    omit under pure DP.
     """
     if accum_steps > 1 and head_type == "moe":
         raise ValueError("accum_steps>1 is exact only for per-patch losses; "
@@ -214,6 +219,10 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         return ls_acc / w_total, cm, grads
 
     def step(vit_p, head_p, opt_state, images, labels, mask=None):
+        if accum_steps > 1 and images.shape[0] % accum_steps:
+            raise ValueError(
+                f"batch {images.shape[0]} must divide by "
+                f"accum_steps={accum_steps} (microbatches are equal-sized)")
         if freeze_backbone:
             trainable = {"head": head_p}
             static_vit = jax.lax.stop_gradient(vit_p)
@@ -230,12 +239,24 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                                        mask)
         if zero_mesh is not None:
             from dino_tpu.parallel.mesh import zero_constrain
-            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis)
+            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis,
+                                       zero_param_spec, optimizer)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         if zero_mesh is not None:
-            from dino_tpu.parallel.mesh import zero_constrain
-            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis)
+            opt_state = zero_constrain(opt_state, zero_mesh, zero_axis,
+                                       zero_param_spec, optimizer)
         trainable = optax.apply_updates(trainable, updates)
+        if zero_mesh is not None:
+            # ZeRO-1 contract: the params STAY at their own sharding (the
+            # update delta all-gathers back); without this pin GSPMD may
+            # emit data-sharded params, which multi-host consumers (eval,
+            # checkpointing) cannot materialize per-host
+            from jax.sharding import NamedSharding, PartitionSpec
+            p_spec = (zero_param_spec if zero_param_spec is not None else
+                      jax.tree.map(lambda _: PartitionSpec(), trainable))
+            trainable = jax.tree.map(
+                lambda x, s: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(zero_mesh, s)), trainable, p_spec)
         new_head = trainable["head"]
         new_vit = vit_p if freeze_backbone else trainable["vit"]
         if bn_collect:

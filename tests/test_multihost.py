@@ -226,3 +226,69 @@ def test_two_process_fit_matches_single_process(voc_root, tmp_path):
     np.testing.assert_allclose(mh["b1"], ref["b1"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(mh["test_acc"]),
                                float(ref["test_acc"]), atol=1e-6)
+
+
+_ZERO_RESUME_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    kw = dict(data_path=cfg["data"], write_path=cfg["write"],
+              head="linear", n_blocks=1, n_classes=cfg["n_classes"],
+              batch_size=4, lr=1e-2, optimizer="adam",
+              freeze_backbone=False, random_init=True,
+              augmented=False, train_resolution=cfg["res"],
+              precision="fp32", seed=0)
+    # epoch-end save with ZeRO-sharded moments: the moments span BOTH
+    # processes' devices, so host 0 alone cannot materialize them — the
+    # save path must gather collectively (api.py resume_state allgather)
+    model = DINOSeg(max_epochs=1, **kw)
+    model.fit(samples_per_epoch=8, ck_file_name="zr", zero=True,
+              resume=True)
+    # resume leg: a fresh model continues from the saved state
+    model2 = DINOSeg(max_epochs=2, **kw)
+    metrics = model2.fit(samples_per_epoch=8, ck_file_name="zr", zero=True,
+                         resume=True)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"],
+                 k1=np.asarray(model2.head_params["layer_1"]["kernel"]))
+""")
+
+
+def test_two_process_zero_resume(voc_root, tmp_path):
+    """fit(zero=True, resume=True) on the 2-process cluster: the epoch-end
+    resume save must gather the cross-host ZeRO-sharded Adam moments
+    (host 0 alone cannot np.asarray them), and the resumed run matches the
+    single-process one."""
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "zr_ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_ZERO_RESUME_RUNNER)
+
+    w_mh = str(tmp_path / "zr_mh")
+    port = free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_ZERO_RESUME_RUNNER)
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)

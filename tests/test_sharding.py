@@ -149,3 +149,55 @@ def test_zero_optimizer_sharding_matches_replicated():
 
     # a second step consumes the sharded state directly
     step(new_vit, new_head, opt_out, sharded_imgs, jnp.asarray(labels))
+
+
+def test_zero_with_param_spec_keeps_tp_axis():
+    """ZeRO composed with TP (zero_param_spec): the row-parallel proj/fc2
+    kernel moments keep their 'model' axis and take 'data' on a free dim,
+    and the step still matches the replicated one."""
+    n_blocks, n_classes, res, batch = 2, 5, 48, 8
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=n_blocks)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, 64)
+    optimizer = make_optimizer("adam", 1e-3)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (batch, res, res, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes,
+                        (batch, (res // 8) ** 2)).astype(np.int32)
+
+    ref = make_train_step(cfg, "mlp", n_classes, optimizer,
+                          freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(optimizer, vit_p, head_p, False),
+        jnp.asarray(images), jnp.asarray(labels))
+
+    mesh = make_mesh(model_axis=2)  # (data=4, model=2)
+    vit_s = shard_params(vit_p, vit_param_spec(n_blocks), mesh)
+    head_s = shard_params(head_p, head_param_spec("mlp"), mesh)
+    step = make_train_step(cfg, "mlp", n_classes, optimizer,
+                           freeze_backbone=False, donate=False,
+                           zero_mesh=mesh,
+                           zero_param_spec={"head": head_param_spec("mlp"),
+                                            "vit": vit_param_spec(n_blocks)})
+    imgs_s = jax.device_put(jnp.asarray(images),
+                            NamedSharding(mesh, P("data")))
+    new_vit, new_head, opt_out, loss, cm = step(
+        vit_s, head_s, init_opt_state(optimizer, vit_s, head_s, False),
+        imgs_s, jnp.asarray(labels))
+
+    np.testing.assert_allclose(float(loss), float(ref[3]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_vit), jax.tree.leaves(ref[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+    leaves = jax.tree.flatten_with_path(opt_out)[0]
+    pk = [l for p, l in leaves
+          if "proj" in str(p) and "kernel" in str(p)
+          and getattr(l, "ndim", 0) == 2]
+    assert pk
+    for l in pk:
+        names = jax.tree.leaves(tuple(l.sharding.spec))
+        assert "model" in names, (l.shape, l.sharding)
+        assert not l.sharding.is_fully_replicated
+
+    # second step consumes the composed-sharded state directly
+    step(new_vit, new_head, opt_out, imgs_s, jnp.asarray(labels))

@@ -6,6 +6,8 @@ checkpoint is written/loadable, and the finetune (unfrozen) step runs.
 """
 import os
 
+import jax
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -256,6 +258,59 @@ def test_accum_steps_rejects_inexact_combos():
     with _pytest.raises(ValueError, match="BatchNorm"):
         make_train_step(cfg, "mlp", 3, opt, True, backbone="cnn1",
                         accum_steps=2)
+    # call-time: the batch must divide by K (clear error instead of a
+    # cryptic XLA reshape failure — covers callers that skip fit()'s check)
+    from dino_tpu.models.vit import init_vit_params
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.train.loop import init_opt_state
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=1)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", 3, 64)
+    step = make_train_step(cfg, "mlp", 3, opt, freeze_backbone=False,
+                           donate=False, accum_steps=3)
+    imgs = np.zeros((8, RES, RES, 3), np.uint8)
+    labs = np.zeros((8, (RES // 8) ** 2), np.int32)
+    with _pytest.raises(ValueError, match="divide"):
+        step(vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+             imgs, labs)
+
+
+def test_dino_accum_rejects_inexact_batch():
+    """make_dino_train_step: batch not divisible by accum_steps raises a
+    clear ValueError at call time (e.g. tools/pretrain_ablation.py misuse)."""
+    import optax
+    import pytest as _pytest
+    import jax.numpy as jnp
+    from dino_tpu.models.vit import ViTConfig
+    from dino_tpu.train.dino_pretrain import (DinoConfig, init_dino_params,
+                                              init_dino_opt_state,
+                                              make_dino_train_step)
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    dcfg = DinoConfig(out_dim=32, n_local_crops=2, global_size=32,
+                      local_size=16, hidden_dim=64, bottleneck_dim=16)
+    student, teacher = init_dino_params(jax.random.PRNGKey(0), cfg, dcfg,
+                                        depth=1)
+    opt = optax.adamw(3e-4)
+    opt_state = init_dino_opt_state(opt, student)
+    step = make_dino_train_step(cfg, dcfg, opt, accum_steps=3)
+    center = jnp.zeros((1, dcfg.out_dim), jnp.float32)
+    g = np.zeros((2, 4, 32, 32, 3), np.float32)
+    l = np.zeros((2, 4, 16, 16, 3), np.float32)
+    with _pytest.raises(ValueError, match="divide"):
+        step(student, teacher, center, opt_state, g, l, 0.04, 0.996, 0.0)
+
+
+def test_fit_accum_ignored_on_frozen_cache_path(voc_root, tmp_path):
+    """fit(accum_steps>1) on a frozen MoE model must not trip the MoE
+    accumulation guard: the feature-cache path (which ignores accum_steps,
+    as documented) does the actual training."""
+    m = DINOSeg(write_path=str(tmp_path), data_path=voc_root,
+                class_names=[f"c{i}" for i in range(3)], head="moe",
+                n_blocks=1, batch_size=4, lr=1e-3, max_epochs=1, patience=5,
+                n_classes=N_CLASSES, random_init=True, augmented=False,
+                train_resolution=RES, seed=0, freeze_backbone=True)
+    r = m.fit(samples_per_epoch=8, seed=0, accum_steps=4)
+    assert 0.0 <= r["test_acc"] <= 1.0
 
 
 def test_fit_accum_steps_matches_plain(voc_root, tmp_path):
