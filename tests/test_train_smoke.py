@@ -341,3 +341,22 @@ def test_fit_zero_sharding_matches_plain(voc_root, tmp_path):
     b = DINOSeg(write_path=str(tmp_path / "b"), **kw)
     rb = b.fit(samples_per_epoch=8, seed=0, zero=True)
     assert abs(ra["test_acc"] - rb["test_acc"]) < 1e-4
+
+
+def test_fit_zero_composes_with_accum(voc_root, tmp_path):
+    """fit(zero=True, accum_steps=2): microbatch accumulation under ZeRO-1
+    moment sharding — the two levers compose and reproduce the plain fit."""
+    kw = dict(data_path=voc_root, class_names=[f"c{i}" for i in range(3)],
+              head="linear", n_blocks=1, batch_size=16, lr=1e-3,
+              max_epochs=1, patience=5, n_classes=N_CLASSES,
+              random_init=True, augmented=False, train_resolution=RES,
+              seed=0, precision="fp32", freeze_backbone=False)
+    a = DINOSeg(write_path=str(tmp_path / "a"), **kw)
+    ra = a.fit(samples_per_epoch=16, seed=0)
+    b = DINOSeg(write_path=str(tmp_path / "b"), **kw)
+    rb = b.fit(samples_per_epoch=16, seed=0, zero=True, accum_steps=2)
+    assert abs(ra["test_acc"] - rb["test_acc"]) < 1e-4
+    for ka, kb in zip(jax.tree.leaves(a.head_params),
+                      jax.tree.leaves(b.head_params)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                   atol=2e-5, rtol=1e-4)
