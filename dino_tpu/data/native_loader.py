@@ -33,13 +33,20 @@ def _cpu_tag() -> str:
     import hashlib
     import platform
     sig = platform.machine()
+    got_flags = False
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
                 if line.startswith(("flags", "Features")):
                     sig += " ".join(sorted(line.split(":", 1)[1].split()))
+                    got_flags = True
                     break
-    except OSError:  # non-Linux: fall back to per-host keying
+    except OSError:
+        pass
+    if not got_flags:
+        # no flags/Features line (non-Linux, or cpuinfo formats like
+        # RISC-V 'isa'): fall back to per-host keying rather than letting
+        # different CPU generations collide on one machine()-only slot
         sig += platform.node()
     return hashlib.md5(sig.encode()).hexdigest()[:8]
 

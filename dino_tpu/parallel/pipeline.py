@@ -146,6 +146,12 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
 
+    if head_type not in ("mlp", "linear"):
+        # the moe balance auxiliary (train/loop.py) is not wired through
+        # the pipelined loss — reject rather than silently train a router
+        # without its load-balance term
+        raise ValueError(f"PP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
     n_stages = mesh.shape[stage_axis]
     n_mb = n_microbatches
     last = n_stages - 1
