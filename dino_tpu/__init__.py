@@ -13,14 +13,20 @@ def _enable_persistent_compile_cache() -> None:
     caching them on disk makes every process after the first start instantly.
     Disable with DINO_TPU_NO_COMPILE_CACHE=1 or by setting
     JAX_COMPILATION_CACHE_DIR yourself.
+
+    The directory is keyed per host-CPU capability (utils/hostcpu.py):
+    XLA:CPU cache entries are AOT executables for the compiling host's exact
+    ISA features, and loading one on a different CPU generation (shared home
+    dir, migrated container) mis-executes or SIGILLs.
     """
     if _os.environ.get("DINO_TPU_NO_COMPILE_CACHE") == "1":
         return
     try:
         import jax
         if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
+            from dino_tpu.utils.hostcpu import cpu_tag
             cache = _os.path.join(_os.path.expanduser("~"), ".cache",
-                                  "dino_tpu", "xla_cache")
+                                  "dino_tpu", "xla_cache", cpu_tag())
             _os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

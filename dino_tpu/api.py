@@ -701,7 +701,9 @@ class DINOSeg:
         ``zero=True``: ZeRO-1 optimizer-state sharding — when DP batch
         sharding engages, the Adam moments are stored sharded over the
         data axis (1/N per device; GSPMD reduce-scatters the gradient
-        into the update and all-gathers the parameter delta).  Numerics
+        into the update and all-gathers the parameter delta).  Under
+        ``parallelism='sp'`` the moments shard over the token axis
+        instead (same 1/N memory; make_sp_train_step).  Numerics
         unchanged; a no-op on one device.
         """
         if parallelism not in (None, "sp"):
@@ -818,9 +820,12 @@ class DINOSeg:
             from dino_tpu.parallel.mesh import make_mesh
             from dino_tpu.parallel.ring_attention import make_sp_train_step
             sp_mesh = make_mesh(model_axis=1)
+            # zero composes with SP: moments shard over the token axis
+            # (make_sp_train_step docstring); a no-op on one device
             train_step = make_sp_train_step(
                 self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
-                compute_dtype=self.compute_dtype, donate=True)
+                compute_dtype=self.compute_dtype, donate=True,
+                zero=bool(zero) and jax.device_count() > 1)
         else:
             if (zero and jax.device_count() > 1
                     and self.batch_size % jax.device_count() == 0):

@@ -26,29 +26,10 @@ def _native_dir() -> str:
 
 
 def _cpu_tag() -> str:
-    """Cache tag keyed on actual CPU capability (ISA flags), not hostname:
-    containerized hosts often share hostname+machine across different CPU
-    generations, which would collide the -march=native cache and reintroduce
-    the SIGILL this tag exists to prevent."""
-    import hashlib
-    import platform
-    sig = platform.machine()
-    got_flags = False
-    try:
-        with open("/proc/cpuinfo") as fh:
-            for line in fh:
-                if line.startswith(("flags", "Features")):
-                    sig += " ".join(sorted(line.split(":", 1)[1].split()))
-                    got_flags = True
-                    break
-    except OSError:
-        pass
-    if not got_flags:
-        # no flags/Features line (non-Linux, or cpuinfo formats like
-        # RISC-V 'isa'): fall back to per-host keying rather than letting
-        # different CPU generations collide on one machine()-only slot
-        sig += platform.node()
-    return hashlib.md5(sig.encode()).hexdigest()[:8]
+    """Cache tag keyed on actual CPU capability (shared with the XLA
+    compile cache — see utils/hostcpu.py for why hostname is not enough)."""
+    from dino_tpu.utils.hostcpu import cpu_tag
+    return cpu_tag()
 
 
 def _build(src_dir: str) -> Optional[str]:

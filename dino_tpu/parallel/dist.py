@@ -82,8 +82,8 @@ def setup_for_distributed(is_master: bool) -> None:
 
 
 def agree_across_hosts(name: str, value) -> np.ndarray:
-    """Broadcast host 0's value to every rank and fail fast if any rank's
-    local value disagrees.
+    """Allgather every rank's value, fail fast on EVERY rank if any two
+    disagree, and return host 0's value.
 
     Resume decisions depend on what each host sees on disk; host 0 alone
     writes the resume/checkpoint files, so on a non-shared filesystem other
@@ -91,23 +91,32 @@ def agree_across_hosts(name: str, value) -> np.ndarray:
     k+1 — one SPMD program fed different schedules).  This turns that into
     an immediate, explicit error; multi-host training requires a shared
     filesystem (docs/SCALING.md).
+
+    Allgather rather than broadcast-and-check-locally: with a broadcast,
+    host 0 compares its value against its own copy and can never detect the
+    mismatch — the other ranks raise while host 0 sails into the epoch loop
+    and hangs at the first collective.  With the allgather every rank sees
+    every value, so the writing host raises too.
     """
-    # f32: the broadcast goes through a jax.Array, which truncates f64 to
-    # f32 (x64 disabled) — both sides must see the same rounding or equal
+    # f32: the gather goes through a jax.Array, which truncates f64 to
+    # f32 (x64 disabled) — every rank must see the same rounding or equal
     # file contents would spuriously "disagree"
     local = np.atleast_1d(np.asarray(value, np.float32))
     if get_world_size() < 2:
         return local
     from jax.experimental import multihost_utils
-    v0 = np.asarray(multihost_utils.broadcast_one_to_all(local)
-                    ).astype(np.float32)
-    if not np.array_equal(local, v0):
+    gathered = np.asarray(multihost_utils.process_allgather(local)
+                          ).astype(np.float32)  # (world, *local.shape)
+    bad = [r for r in range(gathered.shape[0])
+           if not np.array_equal(gathered[r], gathered[0])]
+    if bad:
         raise RuntimeError(
-            f"host {get_rank()} disagrees with host 0 on {name} "
-            f"(local={local.tolist()} host0={v0.tolist()}): multi-host "
+            f"hosts disagree on {name} (this is rank {get_rank()}; ranks "
+            f"{bad} differ from host 0: "
+            f"{ {r: gathered[r].tolist() for r in [0] + bad} }): multi-host "
             "resume/checkpointing requires a filesystem shared by every "
             "host (docs/SCALING.md)")
-    return v0
+    return gathered[0]
 
 
 def reduce_dict(input_dict: Dict[str, float], average: bool = True

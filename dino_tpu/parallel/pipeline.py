@@ -132,16 +132,18 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     The backward schedule is not hand-written: differentiating the
     fill-drain forward transposes every ``ppermute`` hop into the reverse
     hop, so AD generates the drain-fill backward pipeline automatically
-    (T = M + S - 1 reverse ticks).  Gradient bookkeeping is made exact by
-    construction: the NLL is computed on every device but gated to the LAST
-    stage (``where(s == last, nll, 0)``), so the output cotangent enters the
-    pipeline exactly once and flows back stage-to-stage; embedding grads
-    land on stage 0, final-norm/head grads on the last stage, and one psum
-    over ``stage_axis`` assembles the replicated-parameter grads while the
-    per-stage block grads stay sharded (out_spec ``P(stage_axis)``) —
-    matching the replicated step's gradient to reduction-order tolerance
-    (tests/test_pipeline.py).  ``remat=True`` rematerializes each pipeline
-    tick on the backward (activation memory ~1 tick instead of M+S-1).
+    (T = M + S - 1 reverse ticks).  The final norm + head are SHARDED over
+    the stages: a psum replicates the last stage's banked tokens, each
+    device scores its 1/S chunk of the patch tokens, and the psum's
+    transpose assembles the full output cotangent back on the last stage —
+    so the output cotangent enters the pipeline exactly once and flows back
+    stage-to-stage; embedding grads land on stage 0, and one psum over
+    ``stage_axis`` assembles the replicated-parameter (rest/head) grads
+    while the per-stage block grads stay sharded (out_spec
+    ``P(stage_axis)``) — matching the replicated step's gradient to
+    reduction-order tolerance (tests/test_pipeline.py).  ``remat=True``
+    rematerializes each pipeline tick on the backward (activation memory
+    ~1 tick instead of M+S-1).
     """
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
@@ -194,19 +196,43 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     if 0 <= mb_idx < n_mb:
                         out = jnp.where(s == last, out.at[mb_idx].set(y), out)
                     recv = jax.lax.ppermute(y, stage_axis, perm)
-                tokens_out = out.reshape(tokens.shape)
-                normed = layer_norm(rest["norm"], tokens_out, cfg.ln_eps)
-                feats = normed[:, 1:, :].reshape(-1, normed.shape[-1])
-                logp = head_apply(head_type, head_p, feats)
-                picked = jnp.take_along_axis(
-                    logp, y_rep.reshape(-1)[:, None].astype(jnp.int32),
-                    axis=1)[:, 0]
-                nll = -jnp.mean(picked)
-                # gate to the last stage: non-last devices ran the head on
-                # zero-banked garbage, and the gate both kills their loss
-                # contribution AND zeroes their cotangents, so every
-                # gradient path is counted exactly once
-                return jnp.where(s == last, nll, 0.0)
+                # Final norm + head, sharded over the stages: one psum
+                # replicates the last stage's banked tokens, then each
+                # device norms/scores only ITS 1/S chunk of the patch
+                # tokens and returns its partial of the global-mean NLL —
+                # instead of every device running head fwd+bwd over the
+                # full B*N tokens gated by where(s == last, ...), which
+                # wastes (S-1)/S of the head work on zero-banked garbage.
+                # Gradient exactness: the psum transposes to a psum of the
+                # chunk cotangents, so the full output cotangent assembles
+                # on the last stage and the AD-reversed pipeline carries it
+                # back as before (probed + grad-equality-tested).
+                full = jax.lax.psum(
+                    jnp.where(s == last, out, jnp.zeros_like(out)),
+                    stage_axis)
+                feats = full.reshape(tokens.shape)[:, 1:, :]
+                feats = feats.reshape(-1, feats.shape[-1])   # (B*N, D)
+                y_all = y_rep.reshape(-1).astype(jnp.int32)
+                total = feats.shape[0]
+                pad = (-total) % n_stages
+                if pad:  # dead padding rows so chunks are equal-sized
+                    feats = jnp.pad(feats, ((0, pad), (0, 0)))
+                    y_all = jnp.pad(y_all, (0, pad))
+                chunk = (total + pad) // n_stages
+                my_f = jax.lax.dynamic_slice_in_dim(feats, s * chunk,
+                                                    chunk, 0)
+                my_y = jax.lax.dynamic_slice_in_dim(y_all, s * chunk,
+                                                    chunk, 0)
+                w = (jnp.arange(chunk) + s * chunk < total).astype(
+                    jnp.float32)
+                normed = layer_norm(rest["norm"], my_f, cfg.ln_eps)
+                logp = head_apply(head_type, head_p, normed)
+                picked = jnp.take_along_axis(logp, my_y[:, None],
+                                             axis=1)[:, 0]
+                # partial of -mean over the B*N real tokens; the psum
+                # after value_and_grad assembles the total (as it already
+                # does for g_rest/g_head)
+                return -jnp.sum(picked * w) / total
 
             loss, (g_st, g_rest, g_head) = jax.value_and_grad(local_loss)(
                 (stages_in, rest_in, head_in))
@@ -241,54 +267,35 @@ def init_pp_train_state(optimizer, stages, rest, head_p):
 # ---------------------------------------------------------------------------
 
 def _pp_tp_stage_specs(stage_axis: str, tp_axis: str):
-    """PartitionSpecs for TP-packed blocks stacked into (S, per) stage slabs:
-    every leaf shards its leading stage axis; head/hidden-split leaves shard
-    their TP axis too, so each device holds only its stage's head-group."""
-    s, t = stage_axis, tp_axis
-    ln = {"scale": P(s), "bias": P(s)}
-    return {
-        "norm1": ln, "norm2": ln,
-        "qkv_w": P(s, None, t), "qkv_b": P(s, None, t),
-        "proj_w": P(s, None, t), "proj_b": P(s),
-        "fc1_w": P(s, None, None, t), "fc1_b": P(s, None, t),
-        "fc2_w": P(s, None, t, None), "fc2_b": P(s),
-    }
+    """PartitionSpecs for TP-packed blocks stacked into (S, per) stage
+    slabs: the per-block TP spec (parallel/tp.py:tp_block_spec) with the
+    leading stage axis prepended — each device holds only its own stage's
+    head-group."""
+    from dino_tpu.parallel.tp import tp_block_spec
+    return jax.tree.map(lambda spec: P(stage_axis, None, *spec),
+                        tp_block_spec(tp_axis),
+                        is_leaf=lambda x: isinstance(x, P))
 
 
 def _block_tp(p: Params, tokens: jnp.ndarray, cfg: ViTConfig, tp_axis: str,
               flash: str) -> jnp.ndarray:
-    """One block on the full local sequence with head/hidden dims split over
-    ``tp_axis`` (Megatron rules: qkv/fc1 column-parallel with no comms,
-    proj/fc2 row-parallel with one psum each riding ICI).  Unlike
-    ring_attention._block_sp_tp there is no sequence axis here — attention
-    runs whole per local head group (the flash kernel on TPU)."""
+    """One block on the full local sequence with head/hidden dims split
+    over ``tp_axis``: the shared Megatron math (parallel/tp.py) with
+    whole-sequence attention per local head group (the flash kernel on
+    TPU) — unlike ring_attention._block_sp_tp there is no sequence axis
+    here."""
     from dino_tpu.ops.attention import attention_xla, flash_attention
+    from dino_tpu.parallel.tp import tp_block_apply
 
-    h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
-    qkv = jnp.einsum("bnc,hctd->tbhnd", h, p["qkv_w"].astype(h.dtype),
-                     preferred_element_type=jnp.float32)
-    qkv = (qkv + p["qkv_b"].astype(jnp.float32)
-           .transpose(1, 0, 2)[:, None, :, None, :]).astype(h.dtype)
     use_flash = (flash == "force" or
                  (flash == "auto" and jax.default_backend() == "tpu"))
     if use_flash:
-        out = flash_attention(qkv[0], qkv[1], qkv[2], cfg.scale,
-                              interpret=jax.default_backend() != "tpu")
+        attn = lambda q, k, v: flash_attention(  # noqa: E731
+            q, k, v, cfg.scale,
+            interpret=jax.default_backend() != "tpu")
     else:
-        out = attention_xla(qkv[0], qkv[1], qkv[2], cfg.scale)[0]
-    part = jnp.einsum("bhnd,hdc->bnc", out, p["proj_w"].astype(out.dtype),
-                      preferred_element_type=jnp.float32)
-    attn_out = jax.lax.psum(part, tp_axis) + p["proj_b"].astype(jnp.float32)
-    tokens = tokens + attn_out.astype(tokens.dtype)
-    h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
-    h1 = jnp.dot(h, p["fc1_w"].astype(h.dtype),
-                 preferred_element_type=jnp.float32)
-    h1 = (h1 + p["fc1_b"].astype(jnp.float32)).astype(h.dtype)
-    h1 = jax.nn.gelu(h1, approximate=False)
-    part = jnp.dot(h1, p["fc2_w"].astype(h1.dtype),
-                   preferred_element_type=jnp.float32)
-    mlp_out = jax.lax.psum(part, tp_axis) + p["fc2_b"].astype(jnp.float32)
-    return tokens + mlp_out.astype(tokens.dtype)
+        attn = lambda q, k, v: attention_xla(q, k, v, cfg.scale)[0]  # noqa: E731
+    return tp_block_apply(p, tokens, cfg, tp_axis, attn)
 
 
 def vit_forward_pp_tp(params: Params, x: jnp.ndarray, cfg: ViTConfig,
@@ -307,7 +314,7 @@ def vit_forward_pp_tp(params: Params, x: jnp.ndarray, cfg: ViTConfig,
     use make_pp_train_step's pre-sharded layout when per-device weight
     memory is the constraint).  Returns the normed tokens (B, N+1, D);
     matches vit_forward to reduction order."""
-    from dino_tpu.parallel.ring_attention import _tp_pack_block
+    from dino_tpu.parallel.tp import tp_pack_block as _tp_pack_block
 
     n_stages = mesh.shape[stage_axis]
     t = mesh.shape[tp_axis]
@@ -390,39 +397,10 @@ def make_dp_pp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     gradient — one jitted program over the 3-axis mesh (gradient equality
     vs the replicated step is tested on the (data=2, stage=2, model=2)
     virtual mesh)."""
-    from dino_tpu.models.heads import head_apply
-    from dino_tpu.ops.preprocess import normalize_imagenet
-    from dino_tpu.train.loop import nll_loss
-    from dino_tpu.train.metrics import confusion_matrix
-
-    if head_type not in ("mlp", "linear"):
-        raise ValueError(f"DPxPPxTP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
-
-    def step(vit_p, head_p, opt_state, images, labels, mask=None):
-        x = normalize_imagenet(images)
-        if compute_dtype is not None:
-            x = x.astype(compute_dtype)
-
-        def loss_fn(params):
-            tokens = vit_forward_pp_tp(params["vit"], x, cfg, mesh,
-                                       data_axis, stage_axis, tp_axis,
-                                       n_microbatches, flash, remat)
-            feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
-            logp = head_apply(head_type, params["head"], feats)
-            y = labels.reshape(-1)
-            w = (None if mask is None
-                 else jnp.repeat(mask.astype(logp.dtype),
-                                 y.shape[0] // mask.shape[0]))
-            return nll_loss(logp, y, w), (logp, y, w)
-
-        params = {"vit": vit_p, "head": head_p}
-        (loss, (logp, y, w)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        cm = confusion_matrix(jnp.argmax(logp, axis=-1), y, n_classes,
-                              weights=w)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params["vit"], params["head"], opt_state, loss, cm
-
-    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+    from dino_tpu.parallel.tp import make_composed_train_step
+    return make_composed_train_step(
+        lambda vit_p, x: vit_forward_pp_tp(vit_p, x, cfg, mesh, data_axis,
+                                           stage_axis, tp_axis,
+                                           n_microbatches, flash, remat),
+        "DPxPPxTP", head_type, n_classes, optimizer,
+        compute_dtype=compute_dtype, donate=donate)

@@ -291,77 +291,26 @@ def vit_forward_seq_parallel(params: Params, x, cfg: ViTConfig, mesh: Mesh,
 # params over tp_axis (docs/SCALING.md composition table)
 # ---------------------------------------------------------------------------
 
-def _tp_pack_block(blk: Params, cfg: ViTConfig) -> Params:
-    """Re-lay a block's params head-aligned for explicit tensor parallelism.
-
-    The GSPMD TP spec (parallel/mesh.py:_vit_block_spec) splits the qkv
-    kernel's flat output columns, which is fine when XLA manages the
-    resharding — but explicit shard_map TP needs each device to hold WHOLE
-    heads (its q/k/v triples), so the qkv/proj weights are regrouped onto a
-    leading head axis and sharded there.
-    """
-    c, nh, hd = cfg.embed_dim, cfg.num_heads, cfg.head_dim
-    return {
-        "norm1": blk["norm1"], "norm2": blk["norm2"],
-        # (nh, C, 3, hd): head h's full q/k/v projection
-        "qkv_w": blk["attn"]["qkv"]["kernel"].reshape(c, 3, nh, hd)
-                 .transpose(2, 0, 1, 3),
-        "qkv_b": blk["attn"]["qkv"]["bias"].reshape(3, nh, hd)
-                 .transpose(1, 0, 2),                      # (nh, 3, hd)
-        "proj_w": blk["attn"]["proj"]["kernel"].reshape(nh, hd, c),
-        "proj_b": blk["attn"]["proj"]["bias"],
-        "fc1_w": blk["mlp"]["fc1"]["kernel"],              # (C, H) col-split
-        "fc1_b": blk["mlp"]["fc1"]["bias"],
-        "fc2_w": blk["mlp"]["fc2"]["kernel"],              # (H, C) row-split
-        "fc2_b": blk["mlp"]["fc2"]["bias"],
-    }
-
-
-def _tp_block_spec(tp_axis: str):
-    ln = {"scale": P(), "bias": P()}
-    return {
-        "norm1": ln, "norm2": ln,
-        "qkv_w": P(tp_axis), "qkv_b": P(tp_axis),
-        "proj_w": P(tp_axis), "proj_b": P(),
-        "fc1_w": P(None, tp_axis), "fc1_b": P(tp_axis),
-        "fc2_w": P(tp_axis, None), "fc2_b": P(),
-    }
+# Megatron block packing/specs/math shared with the PPxTP stages — ONE
+# implementation of the numerics-critical TP dataflow (parallel/tp.py)
+from dino_tpu.parallel.tp import (tp_pack_block as _tp_pack_block,  # noqa: E402,F401 (re-export: pipeline.py and tests import from here)
+                                  tp_block_spec as _tp_block_spec,
+                                  tp_block_apply)
 
 
 def _block_sp_tp(p: Params, tokens, cfg: ViTConfig, n_real: int,
                  seq_axis: str, tp_axis: str, flash: str):
-    """One block on a token shard with head/hidden dims split over tp_axis.
-
-    Megatron rules with explicit collectives: qkv/fc1 column-parallel (no
-    comms), proj/fc2 row-parallel (one psum each over ``tp_axis`` riding
-    ICI); attention itself rings over ``seq_axis`` per local head group —
-    the 2-D (sequence x tensor) attention decomposition.
-    """
-    h = layer_norm(p["norm1"], tokens, cfg.ln_eps)
-    b, n_local, c = h.shape
-    qkv = jnp.einsum("bnc,hctd->tbhnd", h, p["qkv_w"].astype(h.dtype),
-                     preferred_element_type=jnp.float32)
-    qkv = (qkv + p["qkv_b"].astype(jnp.float32)
-           .transpose(1, 0, 2)[:, None, :, None, :]).astype(h.dtype)
+    """One block on a token shard with head/hidden dims split over tp_axis:
+    the shared Megatron math (tp.py) with attention ringing over
+    ``seq_axis`` per local head group — the 2-D (sequence x tensor)
+    attention decomposition."""
     use_flash = (flash == "force" or
                  (flash == "auto" and jax.default_backend() == "tpu"))
-    out = ring_attention(qkv[0], qkv[1], qkv[2], cfg.scale, n_real, seq_axis,
-                         "flash" if use_flash else "xla",
-                         jax.default_backend() != "tpu")
-    part = jnp.einsum("bhnd,hdc->bnc", out, p["proj_w"].astype(out.dtype),
-                      preferred_element_type=jnp.float32)
-    attn_out = (jax.lax.psum(part, tp_axis)
-                + p["proj_b"].astype(jnp.float32))
-    tokens = tokens + attn_out.astype(tokens.dtype)
-    h = layer_norm(p["norm2"], tokens, cfg.ln_eps)
-    h1 = jnp.dot(h, p["fc1_w"].astype(h.dtype),
-                 preferred_element_type=jnp.float32)
-    h1 = (h1 + p["fc1_b"].astype(jnp.float32)).astype(h.dtype)
-    h1 = jax.nn.gelu(h1, approximate=False)
-    part = jnp.dot(h1, p["fc2_w"].astype(h1.dtype),
-                   preferred_element_type=jnp.float32)
-    mlp_out = jax.lax.psum(part, tp_axis) + p["fc2_b"].astype(jnp.float32)
-    return tokens + mlp_out.astype(tokens.dtype)
+    return tp_block_apply(
+        p, tokens, cfg, tp_axis,
+        lambda q, k, v: ring_attention(q, k, v, cfg.scale, n_real, seq_axis,
+                                       "flash" if use_flash else "xla",
+                                       jax.default_backend() != "tpu"))
 
 
 def vit_forward_sp_tp(params: Params, x, cfg: ViTConfig, mesh: Mesh,
@@ -417,41 +366,12 @@ def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     optimizer state matches make_train_step's (grad equality vs the
     replicated step is tested leaf-by-leaf on the (data=4, model=2) mesh).
     """
-    from dino_tpu.models.heads import head_apply
-    from dino_tpu.ops.preprocess import normalize_imagenet
-    from dino_tpu.train.loop import nll_loss
-    from dino_tpu.train.metrics import confusion_matrix
-
-    if head_type not in ("mlp", "linear"):
-        raise ValueError(f"SPxTP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
-
-    def step(vit_p, head_p, opt_state, images, labels, mask=None):
-        x = normalize_imagenet(images)
-        if compute_dtype is not None:
-            x = x.astype(compute_dtype)
-
-        def loss_fn(params):
-            tokens = vit_forward_sp_tp(params["vit"], x, cfg, mesh,
-                                       seq_axis, tp_axis, flash)
-            feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
-            logp = head_apply(head_type, params["head"], feats)
-            y = labels.reshape(-1)
-            w = (None if mask is None
-                 else jnp.repeat(mask.astype(logp.dtype),
-                                 y.shape[0] // mask.shape[0]))
-            return nll_loss(logp, y, w), (logp, y, w)
-
-        params = {"vit": vit_p, "head": head_p}
-        (loss, (logp, y, w)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        cm = confusion_matrix(jnp.argmax(logp, axis=-1), y, n_classes,
-                              weights=w)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params["vit"], params["head"], opt_state, loss, cm
-
-    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+    from dino_tpu.parallel.tp import make_composed_train_step
+    return make_composed_train_step(
+        lambda vit_p, x: vit_forward_sp_tp(vit_p, x, cfg, mesh, seq_axis,
+                                           tp_axis, flash),
+        "SPxTP", head_type, n_classes, optimizer,
+        compute_dtype=compute_dtype, donate=donate)
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +381,7 @@ def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, seq_axis: str = "data",
                        flash: str = "auto", compute_dtype=None,
-                       donate: bool = False):
+                       donate: bool = False, zero: bool = False):
     """Unfrozen finetune step with the token axis sharded over ``seq_axis``.
 
     step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
@@ -479,6 +399,14 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     replicated step's gradient.  This is what makes multi-chip 960px
     finetuning possible: no device ever holds the full token sequence's
     activations.
+
+    ``zero=True``: ZeRO-1 over the SAME axis the tokens shard on — the
+    Adam moments are pinned 1/N-per-device (parallel/mesh.py:
+    zero_constrain; params stay replicated, so the pure-DP constraint
+    form applies), GSPMD reduce-scatters the psum'd gradient into the
+    update and all-gathers the delta.  SP is the high-resolution
+    unfrozen-finetune mode, exactly where the 2x-param-size moment
+    buffer hurts; numerics unchanged (equality-tested).
     """
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
@@ -551,8 +479,21 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         params = {"vit": vit_p, "head": head_p}
         loss, grads, cm = value_and_psum_grads(params, x, y_tok, w_tok,
                                                denom)
+        if zero:
+            from dino_tpu.parallel.mesh import zero_constrain
+            opt_state = zero_constrain(opt_state, mesh, seq_axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
+        if zero:
+            opt_state = zero_constrain(opt_state, mesh, seq_axis)
         params = optax.apply_updates(params, updates)
+        if zero:
+            # params stay replicated (the delta all-gathers back): without
+            # the pin GSPMD may leave token-axis-sharded params that eval /
+            # checkpointing cannot materialize per-host
+            from jax.sharding import NamedSharding
+            params = jax.tree.map(
+                lambda t: jax.lax.with_sharding_constraint(
+                    t, NamedSharding(mesh, P())), params)
         return params["vit"], params["head"], opt_state, loss, cm
 
     # donate params+moments (like make_train_step's default) — the memory

@@ -292,3 +292,42 @@ def test_two_process_zero_resume(voc_root, tmp_path):
     np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(mh["test_acc"]),
                                float(ref["test_acc"]), atol=1e-6)
+
+
+_AGREE_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                               num_processes=cfg["num_processes"],
+                               process_id=cfg["process_id"])
+    from dino_tpu.parallel.dist import agree_across_hosts
+
+    # agreement returns host 0's value everywhere
+    v = agree_across_hosts("same", 7.0)
+    assert float(v[0]) == 7.0, v
+
+    # disagreement must raise on EVERY rank — the writing host (rank 0)
+    # included, or it sails into the epoch loop and hangs at the first
+    # collective while the others have already died
+    try:
+        agree_across_hosts("resume epoch", float(jax.process_index()))
+    except RuntimeError as e:
+        assert "disagree" in str(e), e
+    else:
+        raise SystemExit(f"rank {jax.process_index()} did not raise")
+""")
+
+
+def test_agree_across_hosts_raises_on_every_rank(tmp_path):
+    """On divergent values, agree_across_hosts raises on all ranks (rank 0
+    too): allgather-and-compare, not broadcast-and-check-locally."""
+    port = free_port()
+    _run([dict(local_devices=2, num_processes=2, process_id=i,
+               coordinator=f"127.0.0.1:{port}") for i in range(2)],
+         runner=_AGREE_RUNNER, timeout=300)

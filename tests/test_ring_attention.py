@@ -156,6 +156,57 @@ def test_sp_train_step_matches_replicated():
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_sp_zero_matches_sp():
+    """zero=True under SP: the Adam moments come back sharded over the
+    token axis, numerics identical to the plain SP step, and a second step
+    consumes the sharded state (the fit epoch loop's access pattern)."""
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.ring_attention import make_sp_train_step
+    from dino_tpu.train.loop import init_opt_state, make_optimizer
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=2)
+    n_classes = 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=2)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes, cfg.embed_dim)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (2, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (2, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    mesh = make_mesh(8, model_axis=1)
+    ref = make_sp_train_step(cfg, "mlp", n_classes, opt, mesh)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    z_step = make_sp_train_step(cfg, "mlp", n_classes, opt, mesh, zero=True)
+    z_vit, z_head, z_opt, z_loss, z_cm = z_step(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    np.testing.assert_allclose(float(z_loss), float(ref[3]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(z_cm), np.asarray(ref[4]))
+    for a, b in zip(jax.tree.leaves(z_vit), jax.tree.leaves(ref[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(z_head), jax.tree.leaves(ref[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+    n_dev = jax.device_count()
+    n_sharded = 0
+    for leaf in jax.tree.leaves(z_opt):
+        if hasattr(leaf, "sharding") and leaf.ndim > 0:
+            if any(s >= n_dev and s % n_dev == 0 for s in leaf.shape):
+                assert not leaf.sharding.is_fully_replicated, leaf.shape
+                n_sharded += 1
+    assert n_sharded > 0
+    # params stay replicated: eval/checkpointing np.asarray them per-host
+    for leaf in jax.tree.leaves(z_vit):
+        assert leaf.sharding.is_fully_replicated
+
+    z_step(z_vit, z_head, z_opt, images, labels)
+
+
 def test_sp_train_step_flash_kernels_match_xla():
     """The Pallas per-hop forward+backward kernels (dynamic valid-K bound,
     interpret mode on CPU) give the same SP training step as the XLA hops."""
