@@ -69,7 +69,8 @@ _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "batch_size", "lr", "optimizer", "freeze_backbone",
                 "max_epochs", "patience", "grayscale", "n_classes",
                 "pretrain_on_sim", "augmented", "random_init", "backbone",
-                "train_resolution", "precision", "n_experts")
+                "train_resolution", "precision", "n_experts", "moe_dispatch",
+                "moe_capacity")
 
 
 class DINOSeg:
@@ -87,6 +88,7 @@ class DINOSeg:
                  backbone: str = "vit", pretrained_path: Optional[str] = None,
                  seed: int = 0, train_resolution: int = 480,
                  precision: str = "bf16", n_experts: int = 4,
+                 moe_dispatch: str = "dense", moe_capacity: float = 1.25,
                  comet_logger=None, _vit_params=None, _head_params=None):
         if logger is None and comet_logger is not None:
             logger = comet_logger  # reference kwarg name (:144-147)
@@ -107,7 +109,9 @@ class DINOSeg:
                 n_classes=n_classes, pretrain_on_sim=pretrain_on_sim,
                 augmented=augmented, random_init=random_init,
                 backbone=backbone, train_resolution=train_resolution,
-                precision=precision, n_experts=n_experts).items()}
+                precision=precision, n_experts=n_experts,
+                moe_dispatch=moe_dispatch,
+                moe_capacity=float(moe_capacity)).items()}
         self.__dict__.update(self.hparams)
         self.class_names = tuple(class_names) if class_names else None
         self.logger = logger
@@ -117,6 +121,13 @@ class DINOSeg:
         if precision == "int8" and backbone != "vit":
             raise ValueError("precision='int8' is only supported for the ViT "
                              "backbone")
+        if moe_dispatch not in ("dense", "sparse"):
+            raise ValueError(f"unsupported moe_dispatch {moe_dispatch!r}")
+        # capacity-bounded sparse dispatch (models/heads.py:
+        # moe_head_apply_sparse) vs the exact dense-over-experts combine;
+        # threaded to every head_apply via these static kwargs
+        self._head_kwargs = dict(moe_dispatch=moe_dispatch,
+                                 moe_capacity=float(moe_capacity))
         self.precision = precision
         # int8 quantizes the fat projections only; everything else runs bf16
         self.compute_dtype = (jnp.bfloat16 if precision in ("bf16", "int8")
@@ -214,7 +225,7 @@ class DINOSeg:
         return seg_forward(self.vit_params, self.head_params, self.cfg,
                            self.head, jnp.asarray(images_u8),
                            compute_dtype=self.compute_dtype,
-                           backbone=self.backbone)
+                           backbone=self.backbone, **self._head_kwargs)
 
     def _check_precision(self, precision: Optional[str]):
         if precision is None:
@@ -238,6 +249,7 @@ class DINOSeg:
             res = self.resolution
             cfg, head_type = self.cfg, self.head
             cdt, bb = self._compute_dtype_for(precision), self.backbone
+            hk = dict(self._head_kwargs)
             out_size = res // 8
             factor = 480 // out_size
 
@@ -247,7 +259,7 @@ class DINOSeg:
                     x = preprocess(img_u8[None], res)
                     logp = seg_forward(vit_p, head_p, cfg, head_type,
                                        images_u8=None, pre_normalized=x,
-                                       compute_dtype=cdt, backbone=bb)
+                                       compute_dtype=cdt, backbone=bb, **hk)
                 low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
                 return kron_upsample(low.astype(jnp.int32), factor)
 
@@ -338,6 +350,7 @@ class DINOSeg:
         res = self.resolution
         cfg, head_type = self.cfg, self.head
         cdt, bb = self._compute_dtype_for(precision), self.backbone
+        hk = dict(self._head_kwargs)
         out_size = res // 8
         factor = 480 // out_size
 
@@ -356,7 +369,7 @@ class DINOSeg:
                     tokens = vit_forward_seq_parallel(vit_p, x, cfg, mesh,
                                                       seq_axis="data")
                     feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
-                    logp = head_apply(head_type, head_p, feats)
+                    logp = head_apply(head_type, head_p, feats, **hk)
                 low = jnp.argmax(logp, axis=-1).reshape(-1, out_size,
                                                         out_size)
                 return jax.vmap(
@@ -369,7 +382,7 @@ class DINOSeg:
                 x = preprocess(imgs_u8, res)
                 logp = seg_forward(vit_p, head_p, cfg, head_type,
                                    images_u8=None, pre_normalized=x,
-                                   compute_dtype=cdt, backbone=bb)
+                                   compute_dtype=cdt, backbone=bb, **hk)
             low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
             return jax.vmap(
                 lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
@@ -759,7 +772,8 @@ class DINOSeg:
         self.head_params = best.head_params
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
-                                   backbone=self.backbone)
+                                   backbone=self.backbone,
+                                   **self._head_kwargs)
         test_cm = self._run_eval(eval_step,
                                  DuckieSegDataset(
                                      self.test_path, augmented=False,
@@ -798,13 +812,14 @@ class DINOSeg:
             if cache_val:
                 val_feats, val_labels_c = self._precompute_features(
                     val_ds, feature_fn)
-                cached_eval_step = make_cached_head_eval_step(self.head,
-                                                              self.n_classes)
+                cached_eval_step = make_cached_head_eval_step(
+                    self.head, self.n_classes, **self._head_kwargs)
             if cache_train:
                 train_feats, train_labels_c = self._precompute_features(
                     train_ds, feature_fn)
                 cached_train_step = make_cached_head_train_step(
-                    self.head, self.n_classes, optimizer)
+                    self.head, self.n_classes, optimizer,
+                    **self._head_kwargs)
             mb = sum(int(np.prod(f.shape)) * f.dtype.itemsize for f in
                      (train_feats, val_feats) if f is not None) / 1e6
             print(f"feature cache: train={cache_train} val={cache_val} "
@@ -843,10 +858,12 @@ class DINOSeg:
                                          # make_train_step's MoE guard)
                                          accum_steps=(1 if cache_train
                                                       else accum_steps),
-                                         zero_mesh=zero_mesh)
+                                         zero_mesh=zero_mesh,
+                                         **self._head_kwargs)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,
-                                   backbone=self.backbone)
+                                   backbone=self.backbone,
+                                   **self._head_kwargs)
         opt_state = init_opt_state(optimizer, self.vit_params,
                                    self.head_params, self.freeze_backbone)
 

@@ -149,12 +149,71 @@ def moe_head_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.log_softmax(out, axis=-1)
 
 
-def head_apply(head_type: str, p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def moe_head_apply_sparse(p: Params, x: jnp.ndarray,
+                          capacity_factor: float = 1.25) -> jnp.ndarray:
+    """(M, input_dim) -> (M, n_classes) log-probs via capacity-bounded top-1
+    dispatch — the large-scale EP formulation.
+
+    Where the dense form computes every expert on every patch (E*M rows of
+    MLP work), this one gathers each expert's routed patches into a static
+    (E, C, D) buffer with C = ceil(capacity_factor * M / E) and computes only
+    ~capacity_factor * M rows, then scatter-adds results back.  Under the EP
+    sharding (expert axis on mesh 'model') each device gathers/computes only
+    its local experts' (C, D) slabs and the scatter's partial sums combine
+    with the all-reduce GSPMD inserts — the Switch-transformer dataflow.
+
+    Capacity semantics (Switch): tokens claim expert slots in batch order;
+    a patch that overflows its expert's capacity is DROPPED — its logits are
+    zero, i.e. it predicts the uniform distribution.  With
+    ``capacity_factor >= E`` nothing can drop and the output equals
+    ``moe_head_apply`` exactly (equality-tested).  The router balance loss
+    (``moe_balance_loss``) is what keeps expert loads near-uniform so the
+    default 1.25 drops ~nothing once trained.
+    """
+    gate = moe_gate(p, x)                                     # (M, E) f32
+    m, n_experts = gate.shape
+    capacity = max(1, int(math.ceil(capacity_factor * m / n_experts)))
+    best = jnp.argmax(gate, axis=-1)                          # (M,)
+    top_w = jnp.take_along_axis(gate, best[:, None], axis=1)  # (M, 1)
+
+    # slot: this patch's arrival position within its expert's queue
+    one_hot = jax.nn.one_hot(best, n_experts, dtype=jnp.int32)
+    slot = jnp.cumsum(one_hot, axis=0) - 1                    # (M, E)
+    slot = jnp.take_along_axis(slot, best[:, None], axis=1)[:, 0]
+    # (E, C) table of patch ids; sentinel M = empty/overflowed slot
+    idx = jnp.full((n_experts, capacity), m, jnp.int32)
+    idx = idx.at[best, slot].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+
+    x_pad = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+    h = x_pad[idx]                                            # (E, C, D)
+
+    def expert_affine(layer, h):
+        y = jnp.einsum("eci,eio->eco", h,
+                       layer["kernel"].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return y + layer["bias"][:, None, :].astype(jnp.float32)
+
+    h = jax.nn.relu(expert_affine(p["layer_1"], h).astype(x.dtype))
+    h = jax.nn.relu(expert_affine(p["layer_2"], h).astype(x.dtype))
+    y = expert_affine(p["layer_3"], h)                        # (E, C, Cl) f32
+
+    out = jnp.zeros((m + 1, y.shape[-1]), jnp.float32).at[idx].add(y)
+    out = out[:m] * top_w            # dropped patches stay 0 -> uniform
+    return jax.nn.log_softmax(out, axis=-1)
+
+
+def head_apply(head_type: str, p: Params, x: jnp.ndarray,
+               moe_dispatch: str = "dense",
+               moe_capacity: float = 1.25) -> jnp.ndarray:
     if head_type == "mlp":
         return mlp_head_apply(p, x)
     if head_type == "linear":
         return linear_head_apply(p, x)
     if head_type == "moe":
+        if moe_dispatch == "sparse":
+            return moe_head_apply_sparse(p, x, capacity_factor=moe_capacity)
+        if moe_dispatch != "dense":
+            raise ValueError(f"unknown moe_dispatch {moe_dispatch!r}")
         return moe_head_apply(p, x)
     raise ValueError(f"unknown head {head_type!r}")
 

@@ -50,7 +50,9 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
                 backbone: str = "vit",
                 remat: bool = False,
                 bn_collect=None,
-                feat_sink=None) -> jnp.ndarray:
+                feat_sink=None,
+                moe_dispatch: str = "dense",
+                moe_capacity: float = 1.25) -> jnp.ndarray:
     """uint8 (B,res,res,3) -> (B*N_patches, n_classes) log-probs.
 
     Mirrors DINOSeg.forward (:239-256): backbone -> drop CLS -> fold patches
@@ -80,7 +82,8 @@ def seg_forward(vit_params: Params, head_params: Params, cfg: ViTConfig,
         # train-time aux losses (e.g. the MoE router balance term) need the
         # pre-head features; sink them like bn_collect does for BN stats
         feat_sink["feats"] = feats
-    return head_apply(head_type, head_params, feats)
+    return head_apply(head_type, head_params, feats,
+                      moe_dispatch=moe_dispatch, moe_capacity=moe_capacity)
 
 
 def nll_loss(log_probs: jnp.ndarray, labels: jnp.ndarray,
@@ -105,7 +108,9 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     backbone: str = "vit",
                     accum_steps: int = 1,
                     zero_mesh=None, zero_axis: str = "data",
-                    zero_param_spec=None) -> Callable:
+                    zero_param_spec=None,
+                    moe_dispatch: str = "dense",
+                    moe_capacity: float = 1.25) -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
     (vit_p, head_p, opt_state, loss, cm).
 
@@ -152,7 +157,8 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
                            compute_dtype=compute_dtype, backbone=backbone,
                            remat=remat, bn_collect=bn_collect,
-                           feat_sink=feat_sink)
+                           feat_sink=feat_sink, moe_dispatch=moe_dispatch,
+                           moe_capacity=moe_capacity)
         y = labels.reshape(-1)
         # per-sample mask -> per-patch weights (ragged tail batches are padded
         # to the static batch size; padding must not touch loss/grads/CM —
@@ -294,7 +300,9 @@ def make_feature_fn(cfg: ViTConfig, compute_dtype=None) -> Callable:
 
 def make_cached_head_train_step(head_type: str, n_classes: int,
                                 optimizer: optax.GradientTransformation,
-                                donate: bool = True) -> Callable:
+                                donate: bool = True,
+                                moe_dispatch: str = "dense",
+                                moe_capacity: float = 1.25) -> Callable:
     """Head-only train step over a device-resident feature cache.
 
     step(head_p, opt_state, feats_all, labels_all, ids, mask) ->
@@ -308,7 +316,9 @@ def make_cached_head_train_step(head_type: str, n_classes: int,
 
     def loss_fn(trainable, feats, labels, mask):
         flat = feats.reshape(-1, feats.shape[-1])
-        logp = head_apply(head_type, trainable["head"], flat)
+        logp = head_apply(head_type, trainable["head"], flat,
+                          moe_dispatch=moe_dispatch,
+                          moe_capacity=moe_capacity)
         y = labels.reshape(-1)
         w = (None if mask is None
              else jnp.repeat(mask.astype(logp.dtype),
@@ -335,21 +345,29 @@ def make_cached_head_train_step(head_type: str, n_classes: int,
     return jax.jit(step, donate_argnums=donate_args)
 
 
-def make_cached_head_eval_step(head_type: str, n_classes: int) -> Callable:
+def make_cached_head_eval_step(head_type: str, n_classes: int,
+                               moe_dispatch: str = "dense",
+                               moe_capacity: float = 1.25) -> Callable:
     """Head-only eval over the full cached feature set in one device call."""
     def step(head_p, feats_all, labels_all):
         logp = head_apply(head_type, head_p,
-                          feats_all.reshape(-1, feats_all.shape[-1]))
+                          feats_all.reshape(-1, feats_all.shape[-1]),
+                          moe_dispatch=moe_dispatch,
+                          moe_capacity=moe_capacity)
         preds = jnp.argmax(logp, axis=-1)
         return confusion_matrix(preds, labels_all.reshape(-1), n_classes)
     return jax.jit(step)
 
 
 def make_eval_step(cfg: ViTConfig, head_type: str, n_classes: int,
-                   compute_dtype=None, backbone: str = "vit") -> Callable:
+                   compute_dtype=None, backbone: str = "vit",
+                   moe_dispatch: str = "dense",
+                   moe_capacity: float = 1.25) -> Callable:
     def step(vit_p, head_p, images, labels):
         logp = seg_forward(vit_p, head_p, cfg, head_type, images,
-                           compute_dtype=compute_dtype, backbone=backbone)
+                           compute_dtype=compute_dtype, backbone=backbone,
+                           moe_dispatch=moe_dispatch,
+                           moe_capacity=moe_capacity)
         preds = jnp.argmax(logp, axis=-1)
         return confusion_matrix(preds, labels.reshape(-1), n_classes)
     return jax.jit(step)

@@ -111,3 +111,119 @@ def test_dinoseg_moe_fit(tmp_path):
     img = np.random.RandomState(0).randint(0, 255, (RES, RES, 3), np.uint8)
     loaded.set_resolution(RES)
     assert loaded.predict(img).shape == (480, 480)
+
+
+# ---------------------------------------------------------------------------
+# Sparse (capacity-bounded) dispatch — the large-scale EP formulation
+# ---------------------------------------------------------------------------
+
+def test_sparse_matches_dense_when_capacity_ample():
+    """capacity_factor >= E: no patch can overflow its expert, so the sparse
+    gather-compute-scatter path equals the dense one-hot combine exactly."""
+    from dino_tpu.models.heads import moe_head_apply, moe_head_apply_sparse
+    p = init_moe_head(jax.random.PRNGKey(0), n_classes=7, input_dim=64,
+                      n_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (123, 64))
+    dense = np.asarray(moe_head_apply(p, x))
+    sparse = np.asarray(moe_head_apply_sparse(p, x, capacity_factor=4.0))
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5, atol=1e-6)
+    # and through the head_apply switch
+    via_switch = np.asarray(head_apply("moe", p, x, moe_dispatch="sparse",
+                                       moe_capacity=4.0))
+    np.testing.assert_allclose(via_switch, dense, rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_drops_overflow_to_uniform():
+    """Patches beyond an expert's capacity are dropped: their logits are zero
+    -> uniform log-probs (Switch token-dropping semantics)."""
+    from dino_tpu.models.heads import moe_head_apply_sparse
+    n_classes, m, e = 5, 64, 4
+    p = init_moe_head(jax.random.PRNGKey(0), n_classes=n_classes,
+                      input_dim=16, n_experts=e)
+    # route EVERYTHING to expert 0
+    p["router"] = {"kernel": jnp.zeros((16, e), jnp.float32),
+                   "bias": jnp.array([50.0, 0.0, 0.0, 0.0])}
+    x = jax.random.normal(jax.random.PRNGKey(1), (m, 16))
+    logp = np.asarray(moe_head_apply_sparse(p, x, capacity_factor=1.0))
+    cap = m // e  # 16 slots on expert 0; the other 48 patches drop
+    uniform = np.full((n_classes,), -np.log(n_classes), np.float32)
+    for row in logp[cap:]:
+        np.testing.assert_allclose(row, uniform, rtol=1e-5)
+    # kept patches got real (non-uniform) predictions
+    assert np.abs(logp[:cap] - uniform).max() > 1e-3
+
+
+def test_sparse_capacity_order_is_batch_order():
+    """Slots are claimed in batch order (Switch): with capacity 1 per expert
+    the FIRST patch routed to an expert is kept, later ones drop."""
+    from dino_tpu.models.heads import moe_head_apply_sparse
+    e, n_classes = 2, 3
+    p = init_moe_head(jax.random.PRNGKey(0), n_classes=n_classes,
+                      input_dim=8, n_experts=e)
+    p["router"] = {"kernel": jnp.zeros((8, e), jnp.float32),
+                   "bias": jnp.array([10.0, 0.0])}  # all -> expert 0
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    logp = np.asarray(moe_head_apply_sparse(p, x, capacity_factor=1.0))
+    uniform = np.full((n_classes,), -np.log(n_classes), np.float32)
+    assert np.abs(logp[0] - uniform).max() > 1e-4       # kept
+    np.testing.assert_allclose(logp[1], uniform, rtol=1e-5)  # dropped
+
+
+def test_sparse_gradients_flow():
+    from dino_tpu.models.heads import moe_balance_loss, moe_head_apply_sparse
+    p = init_moe_head(jax.random.PRNGKey(0), n_classes=3, input_dim=32,
+                      n_experts=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (200, 32))
+
+    def loss(params):
+        logp = moe_head_apply_sparse(params, x, capacity_factor=1.25)
+        return -jnp.mean(logp[:, 0]) + 0.01 * moe_balance_loss(params, x)
+
+    g = jax.grad(loss)(p)
+    assert float(jnp.abs(g["router"]["kernel"]).max()) > 0
+    assert float(jnp.abs(g["layer_1"]["kernel"]).max()) > 0
+    assert float(jnp.abs(g["layer_3"]["kernel"]).max()) > 0
+
+
+def test_sparse_expert_parallel_matches_replicated():
+    """EP sharding of the sparse path: experts on the mesh 'model' axis, the
+    scatter's partial sums combined by GSPMD == the replicated result."""
+    from dino_tpu.parallel.mesh import head_param_spec, make_mesh, shard_params
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    p = init_moe_head(jax.random.PRNGKey(0), n_classes=7, input_dim=64,
+                      n_experts=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (256, 64))
+    ref = np.asarray(head_apply("moe", p, x, moe_dispatch="sparse",
+                                moe_capacity=2.0))
+    mesh = make_mesh(8, model_axis=4)
+    p_sh = shard_params(p, head_param_spec("moe"), mesh)
+    out = np.asarray(jax.jit(
+        lambda pp, xx: head_apply("moe", pp, xx, moe_dispatch="sparse",
+                                  moe_capacity=2.0))(p_sh, x))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_dinoseg_moe_sparse_fit(tmp_path):
+    """DINOSeg(head='moe', moe_dispatch='sparse') trains end-to-end; the
+    dispatch mode survives the checkpoint round-trip."""
+    from dino_tpu import DINOSeg
+    from tests.test_train_smoke import RES, N_CLASSES, _make_split
+    root = str(tmp_path / "voc")
+    _make_split(root, "train", 8, 0)
+    _make_split(root, "val", 3, 1)
+    _make_split(root, "test", 3, 2)
+    model = DINOSeg(data_path=root, write_path=str(tmp_path / "w"),
+                    head="moe", n_experts=2, moe_dispatch="sparse",
+                    moe_capacity=2.0, n_blocks=1,
+                    n_classes=N_CLASSES, batch_size=4, lr=1e-3,
+                    optimizer="adam", freeze_backbone=True, max_epochs=2,
+                    random_init=True, augmented=False, train_resolution=RES,
+                    seed=0)
+    metrics = model.fit(samples_per_epoch=8)
+    assert 0.0 <= metrics["test_acc"] <= 1.0
+    loaded = DINOSeg.load_from_checkpoint(model.best_ck)
+    assert loaded.moe_dispatch == "sparse" and loaded.moe_capacity == 2.0
+    img = np.random.RandomState(0).randint(0, 255, (RES, RES, 3), np.uint8)
+    loaded.set_resolution(RES)
+    assert loaded.predict(img).shape == (480, 480)
