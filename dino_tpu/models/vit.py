@@ -216,6 +216,16 @@ def interpolate_pos_encoding(pos_embed: jnp.ndarray, h: int, w: int,
 
 def prepare_tokens(params: Params, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     """(B, H, W, 3) image -> (B, 1+N, D) tokens (patchify + CLS + pos-embed)."""
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        # The network runs in the input dtype (bf16/f32 serving modes); an
+        # integer image here would silently drag every matmul and Pallas
+        # kernel to uint8 (Mosaic then fails with an opaque f32->uint8
+        # cast error).  Raw frames must come through ops.preprocess /
+        # normalize_imagenet first — fail at trace time with the contract.
+        raise TypeError(
+            f"prepare_tokens expects float (ImageNet-normalized) pixels, "
+            f"got {x.dtype}; route raw uint8 frames through "
+            f"dino_tpu.ops.preprocess")
     b, h, w, _ = x.shape
     patches = dense(params["patch_embed"], patchify(x, cfg.patch_size))
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),

@@ -56,7 +56,13 @@ def attention_probs_xla(q: jnp.ndarray, k: jnp.ndarray, scale: float,
 
     cls_mask semantics (reference :88-99): binary masks multiply the CLS-row
     *logits* (zeroing, not -inf), after prepending a zero for the CLS column.
+    Only that row of the score matrix is consumed, so q is sliced to the CLS
+    token BEFORE the dot — the (N, N) matrix never materializes and
+    ``forward_mask`` stays O(n_masks*N) memory at any resolution (960px
+    would otherwise need ~5 GB f32 for the full matrix).
     """
+    if cls_mask is not None:
+        q = q[0:1, :, 0:1, :]  # CLS query row only: (1, nh, 1, hd)
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if cls_mask is not None:
@@ -64,7 +70,7 @@ def attention_probs_xla(q: jnp.ndarray, k: jnp.ndarray, scale: float,
         flat = cls_mask.reshape(n_masks, -1).astype(jnp.float32)
         flat = jnp.concatenate(
             [jnp.zeros((n_masks, 1), jnp.float32), flat], axis=1)  # (n_masks, N)
-        logits = logits[0:1, :, 0:1, :] * flat[None, None, :, :]
+        logits = logits * flat[None, None, :, :]  # broadcast to n_masks rows
     return jax.nn.softmax(logits, axis=-1)
 
 

@@ -99,6 +99,28 @@ def test_forward_mask(vit_golden, params):
     np.testing.assert_allclose(out, vit_golden["fm120"], atol=ATOL, rtol=RTOL)
 
 
+def test_forward_mask_long_sequence_no_quadratic():
+    """Region embedding at a 960px-shaped sequence (N = 14,401): the CLS
+    query row is sliced before the score dot (ops/attention.py
+    attention_probs_xla), so forward_mask is O(n_masks*N) memory — the
+    lowered program contains no (N, N) intermediate — and runs on a thin
+    ViT where the full matrix would be ~1.7 GB f32 per head."""
+    import jax
+    from dino_tpu.models.vit import init_vit_params
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=1, num_heads=2)
+    p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=1)
+    x = np.random.RandomState(1).randn(1, 960, 960, 3).astype(np.float32)
+    mask = np.zeros((3, 120, 120), np.float32)
+    mask[0, :40], mask[1, 40:80], mask[2, 80:] = 1, 1, 1
+    fn = jax.jit(lambda p, x, m: forward_mask(p, x, m, cfg))
+    hlo = fn.lower(p, x, mask).as_text()
+    n = 120 * 120 + 1
+    assert f"{n},{n}" not in hlo, "full (N, N) score matrix materialized"
+    out = fn(p, x, mask)
+    assert out.shape == (3, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_masked_attention(vit_golden, params):
     attn = get_last_selfattention(params, _nhwc(vit_golden["x120"]), CFG,
                                   cls_mask=vit_golden["cls_mask"])
