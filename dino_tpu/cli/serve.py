@@ -13,21 +13,30 @@ Endpoints:
                               response: .npy bytes of the int label map
   POST /predict?format=png -> response: colorized PNG (VOC palette)
 
-Single-flight: requests serialize through one device program (the TPU runs
-one program at a time anyway); throughput deployments should batch client-
-side via predict_batch / exported batch artifacts instead.
+By default requests are single-flight: they serialize through one device
+program via a lock.  ``--max_batch N`` turns on server-side DYNAMIC
+BATCHING: concurrent /predict requests that arrive within
+``--batch_timeout_ms`` coalesce into one predict_batch device program —
+the measured serving optimum on a v5e chip is batch 3 at 480px (PERF.md),
+so a loaded daemon should run ``--max_batch 3`` (or the artifact's baked
+batch).  Same-shape frames share a program; batch sizes pad up to
+power-of-two buckets so the compile cache stays O(log max_batch) per shape.
 """
 from __future__ import annotations
 
 import argparse
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def _build_backend(path: str, resolution: int, precision):
-    """Returns (predict_fn: uint8 HWC -> int2d map, info dict)."""
+    """Returns (predict_fn: uint8 HWC -> int2d map,
+                predict_many: [uint8 HWC same shape] -> [int2d maps],
+                info dict)."""
     import numpy as np
     if path.endswith((".shlo", ".stablehlo")):
         from dino_tpu.serving import load_exported_predict
@@ -41,19 +50,29 @@ def _build_backend(path: str, resolution: int, precision):
         if art_batch > 1:
             print(f"dt-serve: artifact is batch-{art_batch}; single frames "
                   "will be tiled to fill the batch (export with "
-                  "--batch-size 1 for latency serving)")
+                  "--batch-size 1 for latency serving, or --max_batch "
+                  f"{art_batch} to fill it with concurrent requests)")
 
-        def predict(img):
+        def fit(img):
             if list(img.shape) != want[1:]:
                 from PIL import Image
                 img = np.asarray(Image.fromarray(img).resize(
                     (want[2], want[1])))
-            batch = np.broadcast_to(img, (art_batch,) + img.shape)
-            return served(np.ascontiguousarray(batch))[0]
+            return img
+
+        def predict_many(imgs):
+            out = []
+            for i in range(0, len(imgs), art_batch):
+                chunk = [fit(im) for im in imgs[i:i + art_batch]]
+                n = len(chunk)
+                chunk += [chunk[-1]] * (art_batch - n)  # fill the fixed batch
+                res = served(np.ascontiguousarray(np.stack(chunk)))
+                out.extend(np.asarray(res)[:n])
+            return out
 
         info = {"backend": "artifact", "artifact": path,
                 "contract": served.contract}
-        return predict, info
+        return (lambda img: predict_many([img])[0]), predict_many, info
     from dino_tpu import DINOSeg
     model = DINOSeg.load_from_checkpoint(path)
     model.set_resolution(resolution)
@@ -61,20 +80,84 @@ def _build_backend(path: str, resolution: int, precision):
     def predict(img):
         return model.predict(img, precision=precision)
 
+    def predict_many(imgs):
+        batch = np.stack(imgs)
+        n = batch.shape[0]
+        bucket = 1 << (n - 1).bit_length()  # O(log max_batch) programs/shape
+        if bucket != n:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], bucket - n, axis=0)])
+        return list(model.predict_batch(batch, precision=precision)[:n])
+
     info = {"backend": "model", "checkpoint": path,
             "resolution": resolution,
             "precision": precision or model.precision,
             "n_classes": model.n_classes}
-    return predict, info
+    return predict, predict_many, info
+
+
+class _Batcher:
+    """Dynamic request batching: a dispatcher thread drains the request
+    queue up to (max_batch, timeout) per round, groups frames by shape, and
+    answers each round with one batched device program per group.  Request
+    threads block on a per-request event; errors propagate to exactly the
+    requests that caused them (whole group, since the program is shared)."""
+
+    def __init__(self, predict_many, max_batch: int, timeout_s: float):
+        self._predict_many = predict_many
+        self._max = max_batch
+        self._timeout = timeout_s
+        self._q: "queue.Queue" = queue.Queue()
+        threading.Thread(target=self._loop, daemon=True,
+                         name="dt-serve-batcher").start()
+
+    def __call__(self, img):
+        done = threading.Event()
+        box: dict = {}
+        self._q.put((img, done, box))
+        done.wait()
+        if "error" in box:
+            raise box["error"]
+        return box["labels"]
+
+    def _loop(self):
+        while True:
+            items = [self._q.get()]
+            deadline = time.monotonic() + self._timeout
+            while len(items) < self._max:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    items.append(self._q.get(timeout=left))
+                except queue.Empty:
+                    break
+            groups: dict = {}
+            for it in items:
+                groups.setdefault(tuple(it[0].shape), []).append(it)
+            for group in groups.values():
+                try:
+                    labels = self._predict_many([g[0] for g in group])
+                    for (_, done, box), lab in zip(group, labels):
+                        box["labels"] = lab
+                        done.set()
+                except Exception as exc:
+                    for _, done, box in group:
+                        box["error"] = exc
+                        done.set()
 
 
 def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
-                resolution: int = 480, precision=None) -> ThreadingHTTPServer:
+                resolution: int = 480, precision=None, max_batch: int = 1,
+                batch_timeout_ms: float = 3.0) -> ThreadingHTTPServer:
     import numpy as np
     from PIL import Image
 
-    predict, info = _build_backend(path, resolution, precision)
+    predict, predict_many, info = _build_backend(path, resolution, precision)
     lock = threading.Lock()
+    batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3)
+               if max_batch > 1 else None)
+    info["max_batch"] = max_batch
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet access log
@@ -102,8 +185,11 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                 n = int(self.headers.get("Content-Length", 0))
                 img = np.asarray(
                     Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB"))
-                with lock:  # single-flight through the device
-                    labels = np.asarray(predict(img))
+                if batcher is not None:  # dynamic batching (module docstring)
+                    labels = np.asarray(batcher(img))
+                else:
+                    with lock:  # single-flight through the device
+                        labels = np.asarray(predict(img))
             except Exception as exc:  # bad image, shape mismatch, ...
                 self._send(400, json.dumps(
                     {"error": str(exc)}).encode(), "application/json")
@@ -129,9 +215,18 @@ def main(argv=None) -> None:
     p.add_argument("--resolution", type=int, default=480)
     p.add_argument("--precision", default=None,
                    choices=["bf16", "fp32", "int8"])
+    p.add_argument("--max_batch", type=int, default=1,
+                   help="dynamic batching: coalesce up to N concurrent "
+                        "requests into one device program (3 is the "
+                        "measured 480px serving optimum, PERF.md); "
+                        "1 = single-flight")
+    p.add_argument("--batch_timeout_ms", type=float, default=3.0,
+                   help="how long the batcher waits to fill a batch after "
+                        "the first request arrives")
     args = p.parse_args(argv)
     server = make_server(args.model, args.host, args.port, args.resolution,
-                         args.precision)
+                         args.precision, max_batch=args.max_batch,
+                         batch_timeout_ms=args.batch_timeout_ms)
     print(f"dt-serve: listening on http://{args.host}:{args.port} "
           f"(POST /predict, GET /healthz)")
     try:

@@ -102,3 +102,75 @@ def test_serve_batched_artifact(model, tmp_path):
             labels, model.predict_batch(np.stack([img] * 3))[0])
     finally:
         server.shutdown()
+
+
+def test_serve_dynamic_batching(model, tmp_path):
+    """--max_batch: concurrent requests coalesce server-side; every client
+    gets the same labels the single-flight server would return (fp32 ->
+    batch-N and batch-1 programs are bit-identical, PERF.md)."""
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    model.save(ckpt)
+    port = free_port()
+    server = make_server(ckpt, port=port, resolution=64, precision="fp32",
+                         max_batch=4, batch_timeout_ms=200.0)
+    _serve(server)
+    try:
+        rs = np.random.RandomState(4)
+        imgs = [rs.randint(0, 255, (100, 120, 3), np.uint8)
+                for _ in range(6)]
+        want = [model.predict(im, precision="fp32") for im in imgs]
+
+        results = [None] * len(imgs)
+
+        def req(i):
+            body, _ = _post(f"http://127.0.0.1:{port}/predict", imgs[i])
+            results[i] = np.load(io.BytesIO(body))
+
+        threads = [threading.Thread(target=req, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for got, exp in zip(results, want):
+            np.testing.assert_array_equal(got, exp)
+
+        # health reports the batching contract
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert '"max_batch": 4' in r.read().decode()
+    finally:
+        server.shutdown()
+
+
+def test_serve_dynamic_batching_mixed_shapes(model, tmp_path):
+    """Frames of different shapes land in the same batching window but run
+    in per-shape groups — both shapes answer correctly."""
+    ckpt = str(tmp_path / "m2.ckpt.npz")
+    model.save(ckpt)
+    port = free_port()
+    server = make_server(ckpt, port=port, resolution=64, precision="fp32",
+                         max_batch=4, batch_timeout_ms=200.0)
+    _serve(server)
+    try:
+        rs = np.random.RandomState(5)
+        a = rs.randint(0, 255, (100, 120, 3), np.uint8)
+        b = rs.randint(0, 255, (64, 64, 3), np.uint8)
+        want = {0: model.predict(a, precision="fp32"),
+                1: model.predict(b, precision="fp32")}
+        results = {}
+
+        def req(i, im):
+            body, _ = _post(f"http://127.0.0.1:{port}/predict", im)
+            results[i] = np.load(io.BytesIO(body))
+
+        threads = [threading.Thread(target=req, args=(0, a)),
+                   threading.Thread(target=req, args=(1, b))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        np.testing.assert_array_equal(results[0], want[0])
+        np.testing.assert_array_equal(results[1], want[1])
+    finally:
+        server.shutdown()
