@@ -901,8 +901,13 @@ class DINOSeg:
             return host_slab_to_global(local_rows, batch_sharding)
 
         # Resume support (upgraded reference restart_from_checkpoint).
-        from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
-                                                   save_train_state)
+        # Saves go through the async writer: the npz serialization overlaps
+        # the next epoch's steps instead of stalling the loop (the
+        # device->host snapshot in save_train_state stays synchronous —
+        # donated buffers, checkpointing/async_writer.py).
+        from dino_tpu.checkpointing.async_writer import AsyncCheckpointer
+        from dino_tpu.checkpointing.resume import restart_from_checkpoint
+        ck_writer = AsyncCheckpointer(name="fit-ckpt")
         resume_path = ck_path + ".resume.npz"
         start_epoch, best_acc = 0, -1.0
         have_resume = os.path.exists(resume_path)
@@ -1066,7 +1071,7 @@ class DINOSeg:
                                              metrics["val_acc"],
                                              "epoch": epoch})
                 if resume:
-                    save_train_state(
+                    ck_writer.save_train_state(
                         resume_path,
                         resume_state,
                         run_variables={"epoch": epoch,
@@ -1074,8 +1079,14 @@ class DINOSeg:
                                                        metrics["val_acc"])})
             best_acc = max(best_acc, metrics["val_acc"])
             if n_proc > 1:
+                # the barrier publishes the resume file to other ranks, so
+                # the async write must land first; single-host stays async
+                if jax.process_index() == 0:
+                    ck_writer.wait()
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices(f"dt_epoch_{epoch}")
+        ck_writer.close()  # drain + join: resume file on disk, no thread
+        #                    left behind across repeated fit() calls
         # the resume point is left in place: re-running with a larger
         # max_epochs continues training; with the same value it's a no-op
 

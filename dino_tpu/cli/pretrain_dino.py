@@ -53,12 +53,29 @@ def main(argv=None):
                     help="epochs with the last-layer gradient cancelled")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
-                    help="continue an interrupted run from the epoch "
-                         "checkpoint in write_path")
+                    help="continue an interrupted run from the checkpoint "
+                         "in write_path (epoch- or step-granular)")
     ap.add_argument("--stop_after", type=int, default=None,
                     help="checkpoint and exit after this epoch index "
                          "(chunk a long run across job allocations; "
                          "schedules still span --epochs)")
+    ap.add_argument("--save_every_steps", type=int, default=0,
+                    help="ALSO checkpoint every N optimizer steps "
+                         "(asynchronously — the npz write overlaps the next "
+                         "steps), so a preempted long epoch resumes "
+                         "mid-epoch instead of replaying from its start; "
+                         "0 = epoch-end saves only")
+    ap.add_argument("--stop_after_steps", type=int, default=None,
+                    help="(testing/chunking) request a graceful stop after "
+                         "this many optimizer steps of THIS invocation — "
+                         "same checkpoint-and-exit path a SIGTERM takes")
+    ap.add_argument("--nan_guard", action="store_true",
+                    help="failure detection: if a step's loss is non-finite, "
+                         "roll the train state back to the last checkpoint "
+                         "and SKIP the offending batch (schedules keep "
+                         "their global step) instead of poisoning the run; "
+                         "raises after 3 consecutive rollbacks.  Rollback "
+                         "granularity = --save_every_steps (or epoch-end)")
     args = ap.parse_args(argv)
 
     import jax
@@ -67,8 +84,8 @@ def main(argv=None):
 
     from dino_tpu import models
     from dino_tpu.checkpointing.io import flatten_params
+    from dino_tpu.data.prefetch import prefetched
     from dino_tpu.models import vit as vit_mod
-    from dino_tpu.ops.preprocess import normalize_imagenet
     from dino_tpu.train.dino_pretrain import (DinoConfig, dino_multi_crop,
                                               dino_schedules,
                                               init_dino_opt_state,
@@ -169,6 +186,9 @@ def main(argv=None):
         return jax.device_put(jnp.asarray(crops), dp_sharding)
 
     def load_crops(rows, epoch):
+        # Crops stay uint8 on the host: the train step normalizes on-device
+        # (4x smaller host->device transfer, and the old per-batch
+        # normalize-on-device-then-copy-back roundtrip is gone entirely)
         gs, ls = [], []
         for i in rows:
             img = np.array(Image.open(files[i]).convert("RGB"))
@@ -180,21 +200,18 @@ def main(argv=None):
         g_crops = np.stack([np.stack([g[c] for g in gs]) for c in range(2)])
         l_crops = np.stack([np.stack([l[c] for l in ls])
                             for c in range(dino_cfg.n_local_crops)])
+        return g_crops, l_crops
 
-        def norm(crops):
-            flat = crops.reshape((-1,) + crops.shape[2:])
-            return np.asarray(normalize_imagenet(jnp.asarray(flat))).reshape(
-                crops.shape[:2] + crops.shape[2:])
-
-        return norm(g_crops), norm(l_crops)
-
-    # resume: per-epoch keyed rngs (shuffle + crops) make a restart
-    # bit-deterministic — epoch k replays identically whether or not the
-    # process died after epoch k-1
-    from dino_tpu.checkpointing.resume import (restart_from_checkpoint,
-                                               save_train_state)
+    # resume: per-epoch keyed rngs (shuffle + per-image crops) make a
+    # restart bit-deterministic at STEP granularity — step s of epoch k
+    # replays identically whether the process died before it or not, so a
+    # mid-epoch checkpoint (--save_every_steps) resumes exactly
+    from dino_tpu.checkpointing.async_writer import AsyncCheckpointer
+    from dino_tpu.checkpointing.resume import restart_from_checkpoint
+    writer = AsyncCheckpointer(name="pretrain-ckpt")
     resume_path = os.path.join(args.write_path, "pretrain_resume.npz")
     start_epoch = 0
+    start_step = 0  # first step index to RUN within start_epoch
     have_resume = os.path.exists(resume_path)
     if args.resume and n_proc > 1:
         # host 0 alone writes the resume file; verify every rank sees the
@@ -202,35 +219,91 @@ def main(argv=None):
         from dino_tpu.parallel.dist import agree_across_hosts
         agree_across_hosts("pretrain resume-state visibility",
                            int(have_resume))
-    if args.resume and have_resume:
-        run_vars = {"epoch": 0}
+    def load_resume_state(cur_student, cur_teacher, cur_center,
+                          cur_opt_state):
+        """(student, teacher, center, opt_state, run_vars) from resume_path;
+        shared by --resume startup and the NaN-guard rollback."""
+        run_vars = {"epoch": 0, "step": None}
         restored = restart_from_checkpoint(
-            resume_path, run_vars, student=student, teacher=teacher,
-            center=center, opt_state=opt_state)
-        meta = student["head"]["_meta"]  # static config, not train state
-        student = jax.tree.map(jnp.asarray, restored["student"])
-        teacher = jax.tree.map(jnp.asarray, restored["teacher"])
-        student["head"]["_meta"] = dict(meta)
-        teacher["head"]["_meta"] = dict(meta)
-        center = jnp.asarray(restored["center"])
-        opt_state = jax.tree.unflatten(
-            jax.tree.structure(opt_state),
+            resume_path, run_vars, student=cur_student, teacher=cur_teacher,
+            center=cur_center, opt_state=cur_opt_state)
+        meta = cur_student["head"]["_meta"]  # static config, not train state
+        r_student = jax.tree.map(jnp.asarray, restored["student"])
+        r_teacher = jax.tree.map(jnp.asarray, restored["teacher"])
+        r_student["head"]["_meta"] = dict(meta)
+        r_teacher["head"]["_meta"] = dict(meta)
+        r_center = jnp.asarray(restored["center"])
+        r_opt = jax.tree.unflatten(
+            jax.tree.structure(cur_opt_state),
             [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
-        start_epoch = int(run_vars["epoch"]) + 1
+        return r_student, r_teacher, r_center, r_opt, run_vars
+
+    if args.resume and have_resume:
+        student, teacher, center, opt_state, run_vars = load_resume_state(
+            student, teacher, center, opt_state)
+        # "step" = last COMPLETED step within "epoch" (older epoch-end
+        # checkpoints carry no step and mean the whole epoch finished)
+        last_step = (niter - 1 if run_vars["step"] is None
+                     else int(run_vars["step"]))
+        if last_step >= niter - 1:
+            start_epoch = int(run_vars["epoch"]) + 1
+        else:
+            start_epoch = int(run_vars["epoch"])
+            start_step = last_step + 1
         if n_proc > 1:  # torn read / stale NFS cache => fail fast
             from dino_tpu.parallel.dist import agree_across_hosts
-            agree_across_hosts("pretrain resume epoch", start_epoch)
+            agree_across_hosts("pretrain resume epoch/step",
+                               start_epoch * niter + start_step)
 
-    it = start_epoch * niter
+    # Preemption safety: SIGTERM/SIGINT (what a TPU-VM maintenance event or
+    # scheduler delivers — on every host) requests a graceful stop; the loop
+    # finishes the in-flight step, checkpoints at step granularity, and
+    # exits 0 so the restarted job --resume's exactly where it stopped.
+    import signal
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+
+    old_handlers = {s: signal.signal(s, _request_stop)
+                    for s in (signal.SIGTERM, signal.SIGINT)}
+
+    def save_state(epoch, s):
+        if p_i == 0:
+            writer.save_train_state(
+                resume_path,
+                {"student": student, "teacher": teacher,
+                 "center": center, "opt_state": opt_state},
+                run_variables={"epoch": epoch, "step": s})
+
+    steps_done = 0
+    stopped = False
+    rollbacks = 0  # consecutive NaN-guard rollbacks
+    # fault injection (tests / chaos drills): poison the crops of the step
+    # at this 0-based index so the guard's detect->rollback->skip path can
+    # be exercised deterministically (SURVEY §5 "fault injection")
+    fault_step = int(os.environ.get("DINO_TPU_FAULT_NAN_STEP", "-1"))
+    it = start_epoch * niter + start_step
     for epoch in range(start_epoch, args.epochs):
         order = np.random.default_rng([args.seed, epoch]).permutation(
             len(files))
         t0 = time.time()
         losses = []
-        for start in range(0, niter * args.batch_size, args.batch_size):
-            idx = order[start:start + args.batch_size]
+        first = start_step if epoch == start_epoch else 0
+
+        def load_step(s, _epoch=epoch):
+            idx = order[s * args.batch_size:(s + 1) * args.batch_size]
             rows = idx[p_i * b_loc:(p_i + 1) * b_loc]  # this host's slab
-            g_crops, l_crops = load_crops(rows, epoch)
+            return load_crops(rows, _epoch)
+
+        # decode/augment step s+1 on a background thread while the device
+        # runs step s (JAX dispatch releases the GIL).  Crop randomness is
+        # keyed by (seed, epoch, image-index), so prefetching cannot change
+        # the pixel stream — resume bit-determinism is untouched.
+        for s, (g_crops, l_crops) in prefetched(range(first, niter),
+                                                load_step, depth=2):
+            if steps_done == fault_step:
+                g_crops = g_crops + np.float32("nan")
             opt_state.hyperparams["learning_rate"] = jnp.float32(lr_s[it])
             opt_state.hyperparams["weight_decay"] = jnp.float32(wd_s[it])
             student, teacher, center, opt_state, loss = step(
@@ -240,15 +313,63 @@ def main(argv=None):
                 jnp.float32(1.0 if epoch < args.freeze_last_layer else 0.0))
             losses.append(float(loss))
             it += 1
+            steps_done += 1
+            if args.nan_guard and not np.isfinite(losses[-1]):
+                # Failure detection: the state is poisoned — roll back to
+                # the last checkpoint and skip this batch.  float(loss) is
+                # the globally-aggregated SPMD loss, so every host takes
+                # the same decision; the guard runs BEFORE the periodic
+                # save, so a NaN state is never checkpointed.
+                losses.pop()
+                rollbacks += 1
+                if rollbacks > 3:
+                    raise RuntimeError(
+                        "nan_guard: 3 consecutive rollbacks — the "
+                        "divergence is persistent (lr too high / data "
+                        "corruption); aborting instead of looping")
+                writer.wait()  # pending async saves must land before reading
+                if not os.path.exists(resume_path):
+                    raise RuntimeError(
+                        "nan_guard: non-finite loss before the first "
+                        "checkpoint exists — nothing to roll back to")
+                if p_i == 0:
+                    print(f"nan_guard: non-finite loss at epoch {epoch} "
+                          f"step {s} — rolled back to {resume_path} and "
+                          f"skipped the batch ({rollbacks}/3)")
+                student, teacher, center, opt_state, _ = load_resume_state(
+                    student, teacher, center, opt_state)
+                continue
+            rollbacks = 0
+            stopped = (stop_requested["flag"]
+                       or (args.stop_after_steps is not None
+                           and steps_done >= args.stop_after_steps))
+            if stopped or (args.save_every_steps
+                           and s != niter - 1
+                           and (s + 1) % args.save_every_steps == 0):
+                save_state(epoch, s)
+            if stopped:
+                break
+        if stopped:
+            writer.close()  # the preemption save must land before we exit
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+                multihost_utils.sync_global_devices("dt_pretrain_stop")
+            if p_i == 0:
+                print(f"graceful stop at epoch {epoch} step "
+                      f"{it - 1 - epoch * niter} "
+                      f"(signal or --stop_after_steps); resume with --resume")
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
+            return None
         if p_i == 0:
             print(f"[epoch {epoch}] dino_loss={np.mean(losses):.4f} "
                   f"lr={lr_s[it-1]:.2e} m={mom_s[it-1]:.4f} "
                   f"({time.time()-t0:.1f}s)")
-            save_train_state(resume_path,
-                             {"student": student, "teacher": teacher,
-                              "center": center, "opt_state": opt_state},
-                             run_variables={"epoch": epoch})
+        save_state(epoch, niter - 1)
         if n_proc > 1:
+            # the barrier publishes the file to the other ranks, so the
+            # write must land first; single-host runs keep it async
+            writer.wait()
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"dt_pretrain_ep{epoch}")
         if args.stop_after is not None and epoch >= args.stop_after:
@@ -256,6 +377,9 @@ def main(argv=None):
                 print(f"stopping after epoch {epoch} (--stop_after); resume "
                       "with --resume")
             break
+    for sig, h in old_handlers.items():
+        signal.signal(sig, h)
+    writer.close()  # drain + join: resume file on disk, no leaked thread
 
     # save the TEACHER backbone (the better model, per the paper) in the
     # converted-npz layout the rest of the framework loads directly

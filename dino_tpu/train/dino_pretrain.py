@@ -198,6 +198,19 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                        donate_argnums=(0, 1, 2, 3) if donate else ())
     def step_impl(s_p, t_p, center, opt_state, g_crops, l_crops,
                   teacher_temp, ema_momentum, freeze_last):
+        # uint8 crops normalize ON-DEVICE inside the fused program: the
+        # host->device transfer is 4x smaller than shipping f32 and the
+        # (x - mean) / std folds into the patchify matmul's producers for
+        # free (float crops pass through for callers that pre-normalize,
+        # e.g. the golden-parity tests).  Checked PER TENSOR: fault
+        # injection (DINO_TPU_FAULT_NAN_STEP) poisons only g_crops to
+        # float32 NaN, and a single shared check would then leak raw
+        # uint8 l_crops into the ViT.
+        from dino_tpu.ops.preprocess import normalize_imagenet
+        if g_crops.dtype == jnp.uint8:
+            g_crops = normalize_imagenet(g_crops)
+        if l_crops.dtype == jnp.uint8:
+            l_crops = normalize_imagenet(l_crops)
         if accum_steps == 1:
             (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 s_p, t_p, center, g_crops, l_crops, teacher_temp)

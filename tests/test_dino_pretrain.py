@@ -111,6 +111,39 @@ def test_pretrain_loss_decreases_and_teacher_tracks():
     assert float(jnp.abs(center).sum()) > 0
 
 
+def test_step_uint8_crops_match_prenormalized():
+    """uint8 crops normalize ON-DEVICE inside the step (4x smaller
+    host->device transfer); the result is identical to feeding
+    ImageNet-prenormalized f32 crops (the CLI's old host path)."""
+    from dino_tpu.ops.preprocess import normalize_imagenet
+    student, teacher = init_dino_params(jax.random.PRNGKey(4), VIT, DINO,
+                                        depth=1)
+    opt = optax.adamw(3e-4)
+    rs = np.random.RandomState(5)
+    g_u8 = rs.randint(0, 255, (2, 4, DINO.global_size, DINO.global_size, 3),
+                      np.uint8)
+    l_u8 = rs.randint(0, 255, (DINO.n_local_crops, 4, DINO.local_size,
+                               DINO.local_size, 3), np.uint8)
+    outs = []
+    for crops in [(jnp.asarray(g_u8), jnp.asarray(l_u8)),
+                  (normalize_imagenet(jnp.asarray(g_u8)),
+                   normalize_imagenet(jnp.asarray(l_u8)))]:
+        step = make_dino_train_step(VIT, DINO, opt)
+        opt_state = init_dino_opt_state(opt, student)
+        center = jnp.zeros((1, DINO.out_dim), jnp.float32)
+        outs.append(step(student, teacher, center, opt_state, crops[0],
+                         crops[1], jnp.float32(0.04), jnp.float32(0.99),
+                         jnp.float32(0.0)))
+    # fusing the normalize into the step reassociates a handful of f32 ops
+    # (~1e-7 noise on the grads); Adam's g/(sqrt(v)+eps) amplifies that for
+    # near-zero grads at step 1, so post-update params can differ by a few
+    # 1e-6 on a 3e-4 update (observed max 6.3e-6)
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=2e-5)
+
+
 def test_accum_steps_matches_big_batch_step():
     """accum_steps=K (scan over microbatches, one update on the accumulated
     mean gradient) produces the same post-step state as the plain big-batch
