@@ -86,7 +86,8 @@ def main(argv=None):
     from dino_tpu.checkpointing.io import flatten_params
     from dino_tpu.data.prefetch import prefetched
     from dino_tpu.models import vit as vit_mod
-    from dino_tpu.train.dino_pretrain import (DinoConfig, dino_multi_crop,
+    from dino_tpu.train.dino_pretrain import (DinoConfig,
+                                              dino_multi_crop_batch,
                                               dino_schedules,
                                               init_dino_opt_state,
                                               init_dino_params,
@@ -145,7 +146,6 @@ def main(argv=None):
         teacher_temp=args.teacher_temp,
         warmup_teacher_temp_epochs=args.warmup_teacher_temp_epochs)
 
-    from PIL import Image
 
     # Multi-host (the reference DINO recipe trains multi-GPU DDP;
     # facebookresearch/dino main_dino.py): crops shard on the batch axis
@@ -188,19 +188,14 @@ def main(argv=None):
     def load_crops(rows, epoch):
         # Crops stay uint8 on the host: the train step normalizes on-device
         # (4x smaller host->device transfer, and the old per-batch
-        # normalize-on-device-then-copy-back roundtrip is gone entirely)
-        gs, ls = [], []
-        for i in rows:
-            img = np.array(Image.open(files[i]).convert("RGB"))
-            g, l = dino_multi_crop(
-                np.random.default_rng([args.seed, epoch, int(i)]), img,
-                dino_cfg)
-            gs.append(g)
-            ls.append(l)
-        g_crops = np.stack([np.stack([g[c] for g in gs]) for c in range(2)])
-        l_crops = np.stack([np.stack([l[c] for l in ls])
-                            for c in range(dino_cfg.n_local_crops)])
-        return g_crops, l_crops
+        # normalize-on-device-then-copy-back roundtrip is gone entirely).
+        # Pixels run through the C++ thread-pool pipeline when available
+        # (decode each JPEG once, all crops off the GIL); crop randomness
+        # stays keyed by (seed, epoch, image-index) in Python either way.
+        return dino_multi_crop_batch(
+            [files[i] for i in rows],
+            [np.random.default_rng([args.seed, epoch, int(i)])
+             for i in rows], dino_cfg)
 
     # resume: per-epoch keyed rngs (shuffle + per-image crops) make a
     # restart bit-deterministic at STEP granularity — step s of epoch k

@@ -20,7 +20,8 @@ BATCHING: concurrent /predict requests that arrive within
 the measured serving optimum on a v5e chip is batch 3 at 480px (PERF.md),
 so a loaded daemon should run ``--max_batch 3`` (or the artifact's baked
 batch).  Same-shape frames share a program; batch sizes pad up to
-power-of-two buckets so the compile cache stays O(log max_batch) per shape.
+power-of-two buckets capped at max_batch (a full round runs the exact
+max_batch program) so the compile cache stays O(log max_batch) per shape.
 """
 from __future__ import annotations
 
@@ -33,7 +34,16 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
-def _build_backend(path: str, resolution: int, precision):
+def _bucket(n: int, max_batch: int = 1) -> int:
+    """Padded batch size for an n-request round: next power of two
+    (O(log max_batch) programs per shape) capped at max_batch — a full
+    --max_batch 3 round runs the exact batch-3 program (the measured
+    optimum the flag targets), not a padded batch-4 one."""
+    pow2 = 1 << (n - 1).bit_length()
+    return min(pow2, max_batch) if max_batch > 1 else pow2
+
+
+def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
     """Returns (predict_fn: uint8 HWC -> int2d map,
                 predict_many: [uint8 HWC same shape] -> [int2d maps],
                 info dict)."""
@@ -83,7 +93,7 @@ def _build_backend(path: str, resolution: int, precision):
     def predict_many(imgs):
         batch = np.stack(imgs)
         n = batch.shape[0]
-        bucket = 1 << (n - 1).bit_length()  # O(log max_batch) programs/shape
+        bucket = _bucket(n, max_batch)
         if bucket != n:
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bucket - n, axis=0)])
@@ -153,7 +163,8 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
     import numpy as np
     from PIL import Image
 
-    predict, predict_many, info = _build_backend(path, resolution, precision)
+    predict, predict_many, info = _build_backend(path, resolution, precision,
+                                                 max_batch)
     lock = threading.Lock()
     batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3)
                if max_batch > 1 else None)

@@ -102,6 +102,12 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
         lib.dt_augment_batch.restype = ctypes.c_int
+        lib.dt_dino_crops_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
+        lib.dt_dino_crops_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -163,6 +169,33 @@ def augment_batch(paths: List[str], masks: List[np.ndarray], res: int,
         out_imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         out_masks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n_threads)
     return (out_imgs, out_masks) if failures == 0 else None
+
+
+def dino_crops_batch(paths: List[str], params: np.ndarray, n_local: int,
+                     g_size: int, l_size: int, n_threads: int = 0):
+    """DINO multi-crop batch on the C++ thread pool (decode each JPEG once,
+    all 2 + n_local crops per image off the GIL).
+
+    ``params`` is (n, 2 + n_local, 20) float32 from
+    train.dino_pretrain.pack_dino_params (all randomness drawn in Python).
+    Returns (g_crops u8 (2, n, g, g, 3), l_crops u8 (n_local, n, l, l, 3))
+    or None on any failure (caller falls back to the cv2 path)."""
+    lib = get_lib()
+    if lib is None or not paths:
+        return None
+    n = len(paths)
+    params = np.ascontiguousarray(params, np.float32)
+    assert params.shape == (n, 2 + n_local, 20), params.shape
+    out_g = np.empty((2, n, g_size, g_size, 3), np.uint8)
+    out_l = np.empty((n_local, n, l_size, l_size, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    n_threads = n_threads or min(n, os.cpu_count() or 1)
+    failures = lib.dt_dino_crops_batch(
+        arr, n, n_local, g_size, l_size,
+        params.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out_g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
+    return (out_g, out_l) if failures == 0 else None
 
 
 def load_batch(paths: List[str], out_h: int, out_w: int,

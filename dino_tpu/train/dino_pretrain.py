@@ -281,13 +281,24 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
 
 # ---------------------------------------------------------------------------
 # Host-side multi-crop augmentation (DataAugmentationDINO semantics; the
-# PIL GaussianBlur/Solarization components live in data/pil_augs.py — this is
-# the cv2/numpy batch pipeline with the same distributions)
+# PIL GaussianBlur/Solarization components live in data/pil_augs.py).
+# Randomness is DRAWN in Python (draw_dino_params) and pixels are APPLIED by
+# either the cv2 path (apply_dino_crop, the oracle) or the C++ thread-pool
+# pipeline (native/dtloader.cpp) — same split as the supervised
+# data/augment.py design, so the parameter stream is backend-independent.
 # ---------------------------------------------------------------------------
 
-def _rrc(rng: np.random.Generator, img: np.ndarray, size: int, scale):
+def _blur_sigma(img: np.ndarray, radius: float) -> np.ndarray:
+    """pil_augs.GaussianBlur equivalence: explicit sigma, ksize from it."""
     import cv2
-    h, w = img.shape[:2]
+    k = max(3, int(radius * 4) | 1)
+    return cv2.GaussianBlur(img, (k, k), sigmaX=radius)
+
+
+def _rrc_rect(rng: np.random.Generator, h: int, w: int, scale):
+    """RandomResizedCrop rectangle (y0, x0, ch, cw) — exactly the draws the
+    pixel-path _rrc makes (torchvision sampling: 10 area/aspect attempts,
+    whole-image fallback)."""
     area = h * w
     for _ in range(10):
         ta = area * rng.uniform(*scale)
@@ -297,62 +308,142 @@ def _rrc(rng: np.random.Generator, img: np.ndarray, size: int, scale):
         if 0 < cw <= w and 0 < ch <= h:
             x0 = int(rng.integers(0, w - cw + 1))
             y0 = int(rng.integers(0, h - ch + 1))
-            crop = img[y0:y0 + ch, x0:x0 + cw]
-            return cv2.resize(crop, (size, size),
-                              interpolation=cv2.INTER_CUBIC)
-    return cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
+            return (y0, x0, ch, cw)
+    return (0, 0, h, w)
 
 
-def _photometric(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
-    import cv2
-    from dino_tpu.data.augment import _apply_jitter
-    if rng.random() < 0.8:  # ColorJitter(.4,.4,.2,.1)
-        factors = (rng.uniform(0.6, 1.4), rng.uniform(0.6, 1.4),
-                   rng.uniform(0.8, 1.2), rng.uniform(-0.1, 0.1))
-        img = _apply_jitter(img, rng.permutation(4), factors)
-    if rng.random() < 0.2:  # RandomGrayscale
-        g = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
-        img = np.repeat(g[..., None], 3, axis=-1)
-    return img
-
-
-def _blur(rng: np.random.Generator, img: np.ndarray) -> np.ndarray:
-    import cv2
-    radius = rng.uniform(0.1, 2.0)  # pil_augs.GaussianBlur radius range
-    k = max(3, int(radius * 4) | 1)
-    return cv2.GaussianBlur(img, (k, k), sigmaX=radius)
-
-
-def dino_multi_crop(rng: np.random.Generator, img: np.ndarray,
-                    cfg: DinoConfig):
-    """One image -> (2 global crops, n_local local crops), uint8 HWC.
+def draw_dino_params(rng: np.random.Generator, h: int, w: int,
+                     cfg: DinoConfig):
+    """All randomness of one image's multi-crop, as plain parameters.
 
     Distributions follow DataAugmentationDINO: global RandomResizedCrop
     scale (0.4, 1), local (0.05, 0.4); flip .5; jitter .8 / grayscale .2;
     blur p=1.0 / 0.1 / 0.5 for global1/global2/locals is simplified to
     (1.0, 0.1) globals and 0.5 locals; solarization .2 on global 2.
+
+    Splitting draw from apply keeps the determinism contract backend-
+    independent: the same rng produces the same parameters whether pixels
+    are then transformed by the cv2 path (apply_dino_crop) or the C++ one
+    (native/dtloader.cpp dino_crop_one).  Returns a list of 2 + n_local
+    param dicts (globals first).
     """
     def base(size, scale):
-        out = _rrc(rng, img, size, scale)
-        if rng.random() < 0.5:
-            out = out[:, ::-1].copy()
-        return _photometric(rng, out)
+        p = {"size": size, "rect": _rrc_rect(rng, h, w, scale),
+             "flip": rng.random() < 0.5, "jitter": None, "gray": False,
+             "blur_sigma": None, "solarize": False}
+        if rng.random() < 0.8:  # ColorJitter(.4,.4,.2,.1)
+            factors = (rng.uniform(0.6, 1.4), rng.uniform(0.6, 1.4),
+                       rng.uniform(0.8, 1.2), rng.uniform(-0.1, 0.1))
+            p["jitter"] = (rng.permutation(4), factors)
+        if rng.random() < 0.2:  # RandomGrayscale
+            p["gray"] = True
+        return p
 
     g1 = base(cfg.global_size, (0.4, 1.0))
-    g1 = _blur(rng, g1)  # p = 1.0
+    g1["blur_sigma"] = rng.uniform(0.1, 2.0)  # p = 1.0
     g2 = base(cfg.global_size, (0.4, 1.0))
     if rng.random() < 0.1:
-        g2 = _blur(rng, g2)
+        g2["blur_sigma"] = rng.uniform(0.1, 2.0)
     if rng.random() < 0.2:  # Solarization
-        g2 = np.where(g2 >= 128, 255 - g2.astype(np.int16), g2).astype(
-            np.uint8)
-    locals_ = []
+        g2["solarize"] = True
+    crops = [g1, g2]
     for _ in range(cfg.n_local_crops):
         lc = base(cfg.local_size, (0.05, 0.4))
         if rng.random() < 0.5:
-            lc = _blur(rng, lc)
-        locals_.append(lc)
-    return [g1, g2], locals_
+            lc["blur_sigma"] = rng.uniform(0.1, 2.0)
+        crops.append(lc)
+    return crops
+
+
+def apply_dino_crop(img: np.ndarray, p: dict) -> np.ndarray:
+    """cv2/numpy pixel path for one drawn crop (the oracle the C++ path is
+    tested against)."""
+    import cv2
+    y0, x0, ch, cw = p["rect"]
+    out = cv2.resize(img[y0:y0 + ch, x0:x0 + cw], (p["size"], p["size"]),
+                     interpolation=cv2.INTER_CUBIC)
+    if p["flip"]:
+        out = out[:, ::-1].copy()
+    if p["jitter"] is not None:
+        from dino_tpu.data.augment import _apply_jitter
+        order, factors = p["jitter"]
+        out = _apply_jitter(out, order, factors)
+    if p["gray"]:
+        g = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+        out = np.repeat(g[..., None], 3, axis=-1)
+    if p["blur_sigma"] is not None:
+        out = _blur_sigma(out, p["blur_sigma"])
+    if p["solarize"]:
+        out = np.where(out >= 128, 255 - out.astype(np.int16), out).astype(
+            np.uint8)
+    return out
+
+
+def pack_dino_params(crops) -> np.ndarray:
+    """Param dicts -> the float32 (n_crops, 20) layout dino_crop_one reads."""
+    out = np.zeros((len(crops), 20), np.float32)
+    for i, p in enumerate(crops):
+        out[i, 0:4] = p["rect"]
+        out[i, 4] = p["flip"]
+        if p["jitter"] is not None:
+            order, (fb, fc, fs, fh) = p["jitter"]
+            out[i, 5] = 1
+            out[i, 6:10] = np.asarray(order, np.float32)
+            out[i, 10:14] = (fb, fc, fs, fh)
+        out[i, 14] = p["gray"]
+        if p["blur_sigma"] is not None:
+            r = p["blur_sigma"]
+            out[i, 15] = 1
+            out[i, 16] = max(3, int(r * 4) | 1)
+            out[i, 17] = r
+        out[i, 18] = p["solarize"]
+        out[i, 19] = p["size"]
+    return out
+
+
+def dino_multi_crop(rng: np.random.Generator, img: np.ndarray,
+                    cfg: DinoConfig):
+    """One image -> (2 global crops, n_local local crops), uint8 HWC
+    (cv2 pixel path; the pretrain CLI batches through
+    dino_multi_crop_batch which prefers the C++ pipeline)."""
+    crops = [apply_dino_crop(img, p)
+             for p in draw_dino_params(rng, *img.shape[:2], cfg)]
+    return crops[:2], crops[2:]
+
+
+def dino_multi_crop_batch(paths, rngs, cfg: DinoConfig):
+    """Batch of images -> (g_crops (2, n, G, G, 3), l_crops (L, n, l, l, 3)).
+
+    Pixels run through the C++ thread-pool pipeline (decode each JPEG once,
+    all crops off the GIL — native/dtloader.cpp dt_dino_crops_batch) when
+    the toolchain built it, else the cv2 path; parameters are drawn in
+    Python either way, so the crop GEOMETRY/photometric draws are
+    backend-independent (pixels differ within the documented cv2-variant
+    envelope: cubic resize +-1, jitter/blur tolerance — PERF.md)."""
+    from PIL import Image
+    sizes = []
+    for f in paths:
+        with Image.open(f) as im:  # header-only: no full decode
+            sizes.append((im.height, im.width))
+    params = [draw_dino_params(rng, h, w, cfg)
+              for rng, (h, w) in zip(rngs, sizes)]
+    from dino_tpu.data import native_loader
+    packed = np.stack([pack_dino_params(c) for c in params])
+    native = native_loader.dino_crops_batch(
+        [str(p) for p in paths], packed, cfg.n_local_crops,
+        cfg.global_size, cfg.local_size)
+    if native is not None:
+        return native
+    gs, ls = [], []
+    for f, crops in zip(paths, params):
+        img = np.array(Image.open(f).convert("RGB"))
+        outs = [apply_dino_crop(img, p) for p in crops]
+        gs.append(outs[:2])
+        ls.append(outs[2:])
+    g = np.stack([np.stack([g[c] for g in gs]) for c in range(2)])
+    l = np.stack([np.stack([l[c] for l in ls])
+                  for c in range(cfg.n_local_crops)])
+    return g, l
 
 
 def dino_schedules(base_lr: float, epochs: int, niter_per_ep: int,

@@ -123,6 +123,107 @@ inline int clampi(int v, int lo, int hi) {
   return v < lo ? lo : (v > hi ? hi : v);
 }
 
+// cv2-bit-exact BICUBIC resize of packed RGB uint8 (OpenCV INTER_CUBIC, 8U
+// path; oracle cv2.resize, cf. the INTER_LINEAR twin below).  The DINO
+// multi-crop pipeline's RandomResizedCrop uses INTER_CUBIC
+// (train/dino_pretrain.py:_rrc), so this replicates cv2's arithmetic:
+//   * coords/coeffs exactly like linear: (i+0.5)*scale-0.5 in double, cast
+//     to float, floor; 4-tap Catmull-Rom-style kernel A=-0.75 computed in
+//     float; fixed-point saturate_cast<short>(w * 2048) round-half-even
+//   * border taps CLAMP their index; unlike linear, coefficients of
+//     out-of-range taps are NOT redistributed (clamping the index is what
+//     cv2's border handling amounts to for replicate)
+//   * horizontal pass in int32 (u8 * short taps)
+//   * vertical pass follows cv2's SIMD float path (VResizeCubicVec_32s8u):
+//     each int row scales by beta[i]/2048^2 as float32,
+//     (S0*b0 + S1*b1) + (S2*b2 + S3*b3), round-half-even, saturate
+// Exactness contract (tests/test_native_augment.py): cv2's OWN INTER_CUBIC
+// output is not stable across machines — the default wheel routes through
+// Intel IPP, the generic fallback mixes a SIMD-float row body with a
+// fixed-point scalar tail (so even the generic path varies with vector
+// width).  All variants agree within +-1 level; this implementation sits
+// in that same envelope (measured <=7% of pixels off by 1 vs any given
+// cv2 build), and is itself deterministic across hosts.
+void cubic_coeffs_2048(float t, int32_t* c) {
+  const float A = -0.75f;
+  const float w0 = ((A * (t + 1) - 5 * A) * (t + 1) + 8 * A) * (t + 1) - 4 * A;
+  const float w1 = ((A + 2) * t - (A + 3)) * t * t + 1;
+  const float w2 = ((A + 2) * (1 - t) - (A + 3)) * (1 - t) * (1 - t) + 1;
+  const float w3 = 1.f - w0 - w1 - w2;
+  c[0] = static_cast<int32_t>(std::nearbyint(static_cast<double>(w0) * 2048.0));
+  c[1] = static_cast<int32_t>(std::nearbyint(static_cast<double>(w1) * 2048.0));
+  c[2] = static_cast<int32_t>(std::nearbyint(static_cast<double>(w2) * 2048.0));
+  c[3] = static_cast<int32_t>(std::nearbyint(static_cast<double>(w3) * 2048.0));
+}
+
+void resize_cubic_u8_cv2(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                         int dh, int dw) {
+  std::vector<int> xi(static_cast<size_t>(dw) * 4);
+  std::vector<int32_t> xc(static_cast<size_t>(dw) * 4);
+  // cv2 computes the forward scale as the reciprocal of the inverse scale
+  // (resize.cpp: scale_x = 1./inv_scale_x) — the last-ulp difference vs
+  // sw/dw flips coefficient LSBs, so it must be reproduced exactly
+  const double scale_x = 1.0 / (static_cast<double>(dw) / sw);
+  for (int x = 0; x < dw; ++x) {
+    const float c = static_cast<float>((x + 0.5) * scale_x - 0.5);
+    const int s = static_cast<int>(std::floor(c));
+    cubic_coeffs_2048(c - static_cast<float>(s), xc.data() + 4 * x);
+    for (int i = 0; i < 4; ++i) xi[4 * x + i] = clampi(s - 1 + i, 0, sw - 1);
+  }
+  const double scale_y = 1.0 / (static_cast<double>(dh) / sh);
+  // 4-row int32 cache of horizontally-resized source rows
+  std::vector<int32_t> rows(static_cast<size_t>(4) * dw * 3);
+  int have[4] = {-1, -1, -1, -1};
+  auto hresize = [&](int sy, int slot) {
+    const uint8_t* r = src + static_cast<size_t>(sy) * sw * 3;
+    int32_t* out = rows.data() + static_cast<size_t>(slot) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int* ix = xi.data() + 4 * x;
+      const int32_t* cx = xc.data() + 4 * x;
+      for (int ch = 0; ch < 3; ++ch)
+        out[x * 3 + ch] = r[ix[0] * 3 + ch] * cx[0] + r[ix[1] * 3 + ch] * cx[1]
+                        + r[ix[2] * 3 + ch] * cx[2] + r[ix[3] * 3 + ch] * cx[3];
+    }
+    have[slot] = sy;
+  };
+  for (int y = 0; y < dh; ++y) {
+    const float c = static_cast<float>((y + 0.5) * scale_y - 0.5);
+    const int s = static_cast<int>(std::floor(c));
+    int32_t bc[4];
+    cubic_coeffs_2048(c - static_cast<float>(s), bc);
+    const int32_t* S[4];
+    for (int i = 0; i < 4; ++i) {
+      const int sy = clampi(s - 1 + i, 0, sh - 1);
+      int slot = -1;
+      for (int j = 0; j < 4; ++j)
+        if (have[j] == sy) { slot = j; break; }
+      if (slot < 0) {  // evict a slot not needed by this dst row
+        for (int j = 0; j < 4; ++j) {
+          bool needed = false;
+          for (int k = 0; k < i; ++k)
+            if (have[j] >= 0 && have[j] == clampi(s - 1 + k, 0, sh - 1))
+              needed = true;
+          if (!needed) { slot = j; break; }
+        }
+        hresize(sy, slot);
+      }
+      S[i] = rows.data() + static_cast<size_t>(slot) * dw * 3;
+    }
+    const float inv = 1.0f / (2048.0f * 2048.0f);
+    const float b0 = bc[0] * inv, b1 = bc[1] * inv;
+    const float b2 = bc[2] * inv, b3 = bc[3] * inv;
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * 3;
+    for (int j = 0; j < dw * 3; ++j) {
+      const float v = (static_cast<float>(S[0][j]) * b0
+                       + static_cast<float>(S[1][j]) * b1)
+                    + (static_cast<float>(S[2][j]) * b2
+                       + static_cast<float>(S[3][j]) * b3);
+      const int iv = static_cast<int>(std::nearbyint(v));
+      out[j] = static_cast<uint8_t>(clampi(iv, 0, 255));
+    }
+  }
+}
+
 // cv2-bit-exact bilinear resize of packed RGB uint8 (OpenCV INTER_LINEAR,
 // 8U fixed-point path).  The augmentation pipeline's oracle is cv2 (the
 // reference's albumentations wraps it), so this path replicates cv2's exact
@@ -412,12 +513,15 @@ void color_jitter(float* x, int h, int w, const float order[4],
   }
 }
 
-// Separable Gaussian blur, sigma from ksize like cv2 (sigma=0 convention),
-// reflect-101 borders.
-void gaussian_blur_u8(uint8_t* img, int h, int w, int k) {
+// Separable Gaussian blur, reflect-101 borders.  sigma <= 0 derives it from
+// ksize like cv2's sigma=0 convention; sigma > 0 matches an explicit
+// cv2.GaussianBlur(..., sigmaX=sigma) (the DINO pil_augs radius).
+void gaussian_blur_u8(uint8_t* img, int h, int w, int k,
+                      double sigma_in = 0.0) {
   if (k < 3) return;
   const int half = k / 2;
-  const double sigma = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8;
+  const double sigma = sigma_in > 0.0
+      ? sigma_in : 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8;
   std::vector<float> kern(k);
   double sum = 0.0;
   for (int i = 0; i < k; ++i) {
@@ -530,9 +634,100 @@ int augment_one(const char* path, const int32_t* mask_in, int mh, int mw,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// DINO multi-crop pipeline (parameters drawn in Python —
+// train/dino_pretrain.py draw_dino_params — pixels transformed here, off the
+// GIL; the pixel oracle is the cv2/numpy apply_dino_crop path).
+// Per crop: rect crop -> INTER_CUBIC resize -> hflip -> color jitter ->
+// grayscale -> gaussian blur(sigma) -> solarize.
+// ---------------------------------------------------------------------------
+
+// params float32[20] per crop: [0]=y0 [1]=x0 [2]=ch [3]=cw [4]=flip
+// [5]=do_jitter [6..9]=order [10]=fb [11]=fc [12]=fs [13]=fh [14]=do_gray
+// [15]=do_blur [16]=ksize [17]=sigma [18]=do_solarize [19]=out_size
+void dino_crop_one(const uint8_t* src, int h, int w, const float* p,
+                   uint8_t* out) {
+  const int y0 = static_cast<int>(p[0]), x0 = static_cast<int>(p[1]);
+  const int ch = static_cast<int>(p[2]), cw = static_cast<int>(p[3]);
+  const int size = static_cast<int>(p[19]);
+  std::vector<uint8_t> crop(static_cast<size_t>(ch) * cw * 3);
+  for (int y = 0; y < ch; ++y)
+    memcpy(crop.data() + static_cast<size_t>(y) * cw * 3,
+           src + (static_cast<size_t>(y0 + y) * w + x0) * 3,
+           static_cast<size_t>(cw) * 3);
+  resize_cubic_u8_cv2(crop.data(), ch, cw, out, size, size);
+  if (p[4] > 0.5f) {  // HorizontalFlip
+    for (int y = 0; y < size; ++y) {
+      uint8_t* row = out + static_cast<size_t>(y) * size * 3;
+      for (int x = 0; x < size / 2; ++x)
+        for (int c = 0; c < 3; ++c)
+          std::swap(row[x * 3 + c], row[(size - 1 - x) * 3 + c]);
+    }
+  }
+  if (p[5] > 0.5f) {  // ColorJitter (same kernel as the supervised path)
+    std::vector<float> xf(out, out + static_cast<size_t>(size) * size * 3);
+    color_jitter(xf.data(), size, size, p + 6, p[10], p[11], p[12], p[13]);
+    for (size_t i = 0; i < xf.size(); ++i)
+      out[i] = static_cast<uint8_t>(xf[i]);  // numpy cast truncates
+  }
+  if (p[14] > 0.5f) {  // RandomGrayscale: cv2 u8 RGB2GRAY fixed point
+    for (size_t i = 0; i < static_cast<size_t>(size) * size; ++i) {
+      const int g = (out[3 * i] * 4899 + out[3 * i + 1] * 9617
+                     + out[3 * i + 2] * 1868 + (1 << 13)) >> 14;
+      out[3 * i] = out[3 * i + 1] = out[3 * i + 2] =
+          static_cast<uint8_t>(g);
+    }
+  }
+  if (p[15] > 0.5f)  // GaussianBlur with the drawn radius as explicit sigma
+    gaussian_blur_u8(out, size, size, static_cast<int>(p[16]), p[17]);
+  if (p[18] > 0.5f)  // Solarization: v >= 128 -> 255 - v
+    for (size_t i = 0; i < static_cast<size_t>(size) * size * 3; ++i)
+      if (out[i] >= 128) out[i] = 255 - out[i];
+}
+
 }  // namespace
 
 extern "C" {
+
+// DINO multi-crop batch on the C++ thread pool: decode each JPEG ONCE, cut
+// 2 global + n_local local crops per image.  params is
+// (n, 2 + n_local, 20) float32; out_g is (2, n, g_size, g_size, 3) and
+// out_l (n_local, n, l_size, l_size, 3) — the (crop, batch, ...) layout the
+// pretrain step consumes, written directly (no Python restack).  Returns
+// the number of failed images (caller falls back to the cv2 path).
+int dt_dino_crops_batch(const char** paths, int n, int n_local, int g_size,
+                        int l_size, const float* params, uint8_t* out_g,
+                        uint8_t* out_l, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int> failures(n_threads, 0);
+  const int n_crops = 2 + n_local;
+  const size_t gframe = static_cast<size_t>(g_size) * g_size * 3;
+  const size_t lframe = static_cast<size_t>(l_size) * l_size * 3;
+
+  auto work = [&](int tid) {
+    for (int i = tid; i < n; i += n_threads) {
+      int h, w;
+      uint8_t* img = decode_rgb(paths[i], &h, &w);
+      if (!img) { failures[tid]++; continue; }
+      const float* p = params + static_cast<size_t>(i) * n_crops * 20;
+      for (int c = 0; c < 2; ++c)
+        dino_crop_one(img, h, w, p + static_cast<size_t>(c) * 20,
+                      out_g + (static_cast<size_t>(c) * n + i) * gframe);
+      for (int c = 0; c < n_local; ++c)
+        dino_crop_one(img, h, w, p + static_cast<size_t>(2 + c) * 20,
+                      out_l + (static_cast<size_t>(c) * n + i) * lframe);
+      free(img);
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; ++t) threads.emplace_back(work, t);
+  for (auto& t : threads) t.join();
+  int total = 0;
+  for (int f : failures) total += f;
+  return total;
+}
 
 // Augment a batch on the C++ thread pool. Returns the number of failures;
 // out_imgs is (n, res, res, 3) u8, out_masks (n, res, res) i32.
@@ -561,6 +756,13 @@ int dt_augment_batch(const char** paths, int n, int res, const float* params,
   int total = 0;
   for (int f : failures) total += f;
   return total;
+}
+
+// Standalone cubic resize (testing: bit-exactness oracle is cv2.resize
+// INTER_CUBIC; also reused by the DINO multi-crop pipeline below).
+void dt_resize_cubic(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                     int dh, int dw) {
+  resize_cubic_u8_cv2(src, sh, sw, dst, dh, dw);
 }
 
 // Decode into caller buffer of capacity max_h*max_w*3. Returns 0 on success.

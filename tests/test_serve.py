@@ -174,3 +174,12 @@ def test_serve_dynamic_batching_mixed_shapes(model, tmp_path):
         np.testing.assert_array_equal(results[1], want[1])
     finally:
         server.shutdown()
+
+
+def test_bucket_caps_at_max_batch():
+    """A full --max_batch round runs the exact max_batch program; partial
+    rounds pad to powers of two below it."""
+    from dino_tpu.cli.serve import _bucket
+    assert [_bucket(n, 3) for n in (1, 2, 3)] == [1, 2, 3]
+    assert [_bucket(n, 8) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
+    assert _bucket(3) == 4  # no cap configured
