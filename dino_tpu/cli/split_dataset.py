@@ -1,60 +1,91 @@
 #!/usr/bin/env python
-"""Split a VOC-style dataset into _train/_test/_val directories.
+"""Carve a VOC-style dataset directory into train/test/val datasets.
 
-Mirrors dt_segmentation/split_dataset.py: seeded (42) shuffle, first n_test to
-test, next n_val to val, rest to train; copies all four artifact dirs.
+Behavior parity with the reference tool (dt_segmentation/split_dataset.py):
+given ``<root>`` produced by dt-sim2voc / dt-labelme2voc, creates
+``<root>_train`` / ``<root>_test`` / ``<root>_val`` siblings with the same
+four artifact subdirectories, assigns images by a seeded numpy shuffle of
+the JPEG list (first ``n_test`` to test, the next ``n_val`` to val, the
+remainder to train — defaults 20/10, seed 42), and copies every artifact
+that exists for each image plus ``class_names.txt`` into each split.
+
+Implementation is original: the assignment is computed up front as a
+split plan (so the tool can report what it did), and copies tolerate
+missing per-image artifacts (a dataset without the visualization dir
+still splits cleanly).
 """
 from __future__ import annotations
 
 import argparse
 import glob
 import os
-import os.path as osp
 import shutil
+from typing import Dict, List
 
 import numpy as np
 
+# artifact subdirectory -> file extension for each image stem
+_ARTIFACTS = {
+    "JPEGImages": ".jpg",
+    "SegmentationClass": ".npy",
+    "SegmentationClassPNG": ".png",
+    "SegmentationClassVisualization": ".jpg",
+}
+_SPLIT_SUFFIXES = ("_train", "_test", "_val")
 
-def main():
-    parser = argparse.ArgumentParser(
+
+def plan_splits(root: str, n_test: int, n_val: int,
+                seed: int) -> Dict[str, List[str]]:
+    """Return {suffix: [image stems]} using the reference's assignment rule.
+
+    The shuffle runs over the raw ``glob`` listing (not a sorted one) with
+    ``np.random.seed(seed)`` — the exact procedure the reference uses, so a
+    given filesystem enumeration + seed reproduces the published splits.
+    """
+    jpgs = glob.glob(os.path.join(root, "JPEGImages", "*.jpg"))
+    np.random.seed(seed)
+    np.random.shuffle(jpgs)
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in jpgs]
+    return {
+        "_test": stems[:n_test],
+        "_val": stems[n_test:n_test + n_val],
+        "_train": stems[n_test + n_val:],
+    }
+
+
+def materialize(root: str, plan: Dict[str, List[str]]) -> None:
+    """Create the split directories and copy assigned artifacts."""
+    labels_src = os.path.join(root, "class_names.txt")
+    for suffix in _SPLIT_SUFFIXES:
+        dst_root = root + suffix
+        for sub in _ARTIFACTS:
+            os.makedirs(os.path.join(dst_root, sub))
+        shutil.copy(labels_src, os.path.join(dst_root, "class_names.txt"))
+        for stem in plan[suffix]:
+            for sub, ext in _ARTIFACTS.items():
+                src = os.path.join(root, sub, stem + ext)
+                if os.path.exists(src):
+                    shutil.copy(src, os.path.join(dst_root, sub, stem + ext))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument("input_dir", help="input voc style dataset")
-    parser.add_argument("--n_test", default=20, type=int,
-                        help="Number of images in test set")
-    parser.add_argument("--n_val", default=10, type=int,
-                        help="Number of images in val set")
-    parser.add_argument("--seed", default=42, type=int)
-    args = parser.parse_args()
+    ap.add_argument("input_dir", help="input voc style dataset")
+    ap.add_argument("--n_test", type=int, default=20,
+                    help="Number of images in test set")
+    ap.add_argument("--n_val", type=int, default=10,
+                    help="Number of images in val set")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="shuffle seed (42 reproduces the reference splits)")
+    args = ap.parse_args()
 
-    np.random.seed(args.seed)
-
-    dirs = ["JPEGImages", "SegmentationClass", "SegmentationClassPNG",
-            "SegmentationClassVisualization"]
-    for split in ["_train", "_test", "_val"]:
-        os.makedirs(args.input_dir + split)
-        for d in dirs:
-            os.makedirs(osp.join(args.input_dir + split, d))
-            shutil.copy(osp.join(args.input_dir, "class_names.txt"),
-                        osp.join(args.input_dir + split, "class_names.txt"))
-
-    files = glob.glob(osp.join(args.input_dir, "JPEGImages", "*.jpg"))
-    np.random.shuffle(files)
-
-    for i, filename in enumerate(files):
-        if i < args.n_test:
-            split = "_test"
-        elif i < args.n_test + args.n_val:
-            split = "_val"
-        else:
-            split = "_train"
-        base = osp.basename(filename)[:-4]
-        for d, ext in [("JPEGImages", "jpg"), ("SegmentationClass", "npy"),
-                       ("SegmentationClassPNG", "png"),
-                       ("SegmentationClassVisualization", "jpg")]:
-            src = osp.join(args.input_dir, d, base + "." + ext)
-            if osp.exists(src):
-                shutil.copy(src, osp.join(args.input_dir + split, d,
-                                          base + "." + ext))
+    root = args.input_dir.rstrip(os.sep)
+    plan = plan_splits(root, args.n_test, args.n_val, args.seed)
+    materialize(root, plan)
+    for suffix in _SPLIT_SUFFIXES:
+        print(f"{root}{suffix}: {len(plan[suffix])} images")
 
 
 if __name__ == "__main__":
