@@ -549,6 +549,24 @@ class DINOSeg:
         save_checkpoint(path, {"vit": self.vit_params,
                                "head": self.head_params}, hp)
 
+    def save_torch_checkpoint(self, path: str, epoch: int = 0,
+                              global_step: int = 0) -> None:
+        """Export this model as a reference-compatible PL ``.ckpt``.
+
+        The inverse of loading a torch checkpoint: the file carries the
+        exact ``dino.``/``clf.`` state_dict layout and ``hyper_parameters``
+        the reference's save_hyperparameters produces
+        (pl_torch_modules.py:225), so a user of the reference stack can
+        ``DINOSeg.load_from_checkpoint`` a model trained here.  ViT
+        backbone + mlp/linear heads only (cnn/moe have no torch-side
+        counterpart in the reference checkpoint format).
+        """
+        from dino_tpu.checkpointing.torch_convert import export_pl_checkpoint
+        export_pl_checkpoint(path, jax.tree.map(np.asarray, self.vit_params),
+                             jax.tree.map(np.asarray, self.head_params),
+                             self.head, hparams=self.hparams, epoch=epoch,
+                             global_step=global_step)
+
     @classmethod
     def load_from_checkpoint(cls, path: str, **overrides) -> "DINOSeg":
         """Rebuild a DINOSeg from a native .npz checkpoint or a torch PL .ckpt."""
@@ -600,6 +618,34 @@ class DINOSeg:
         ds = DuckieSegDataset(self.test_path, augmented=False,
                               resolution=self.train_resolution)
         return batched_loader(ds, np.arange(len(ds)), self.batch_size)
+
+    def evaluate(self, data_path: str, resolution: Optional[int] = None,
+                 batch_size: Optional[int] = None, prefix: str = "test",
+                 per_class: bool = False):
+        """Standalone metrics over one VOC-style split directory.
+
+        The reference computes balanced accuracy / macro-F1 / macro-IoU only
+        inside its Lightning fit/test loops (pl_torch_modules.py:310-341);
+        this is the same computation as a one-call API (and the ``dt-eval``
+        CLI) against any ``JPEGImages/`` + ``SegmentationClass/*.npy`` dir.
+        Returns a metrics dict (``{prefix}_acc/_F1/_iou/_support``, plus a
+        ``{prefix}_per_class`` row list when ``per_class=True``).
+        """
+        from dino_tpu.train.metrics import per_class_metrics_from_cm
+        ds = DuckieSegDataset(data_path, augmented=False,
+                              resolution=resolution or self.train_resolution)
+        if len(ds) == 0:
+            raise FileNotFoundError(f"no images under {data_path}")
+        eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
+                                   compute_dtype=self.compute_dtype,
+                                   backbone=self.backbone,
+                                   **self._head_kwargs)
+        cm = self._run_eval(eval_step, ds, batch_size or self.batch_size)
+        metrics = segmentation_metrics(cm, prefix=prefix)
+        if per_class:
+            metrics[f"{prefix}_per_class"] = per_class_metrics_from_cm(
+                cm, self.class_names)
+        return metrics
 
     def _run_eval(self, eval_step, dataset, batch_size: int) -> np.ndarray:
         n_classes = self.n_classes
@@ -680,9 +726,18 @@ class DINOSeg:
             samples_per_epoch: int = 1000, seed: int = 0,
             resume: bool = False, cache_features="auto",
             parallelism: Optional[str] = None,
-            accum_steps: int = 1, zero: bool = False) -> Dict[str, float]:
+            accum_steps: int = 1, zero: bool = False,
+            early_stopping: bool = False) -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
+
+        ``early_stopping=True`` activates the reference's commented-out
+        EarlyStopping callback (pl_torch_modules.py:385-388 — monitor
+        val_acc, mode max, patience = ``self.patience`` epochs without
+        strict improvement).  Opt-in so the default matches the reference's
+        shipped behavior (train to max_epochs); the no-improvement counter
+        rides the resume state, so an interrupted run stops at the same
+        epoch it would have uninterrupted.
 
         ``cache_features`` ('auto'/True/False): with a frozen ViT backbone,
         per-image backbone features are epoch-constant, so they are computed
@@ -764,7 +819,8 @@ class DINOSeg:
                         samples_per_epoch, seed, log=True, resume=resume,
                         cache_features=cache_features,
                         parallelism=parallelism,
-                        accum_steps=accum_steps, zero=zero)
+                        accum_steps=accum_steps, zero=zero,
+                        early_stopping=early_stopping)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -791,7 +847,8 @@ class DINOSeg:
                    samples_per_epoch: int, seed: int, log: bool,
                    resume: bool = False, cache_features="auto",
                    parallelism: Optional[str] = None,
-                   accum_steps: int = 1, zero: bool = False) -> None:
+                   accum_steps: int = 1, zero: bool = False,
+                   early_stopping: bool = False) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution)
         val_ds = DuckieSegDataset(val_path, augmented=False,
@@ -909,7 +966,7 @@ class DINOSeg:
         from dino_tpu.checkpointing.resume import restart_from_checkpoint
         ck_writer = AsyncCheckpointer(name="fit-ckpt")
         resume_path = ck_path + ".resume.npz"
-        start_epoch, best_acc = 0, -1.0
+        start_epoch, best_acc, since_improve = 0, -1.0, 0
         have_resume = os.path.exists(resume_path)
         if resume and n_proc > 1:
             # host 0 alone writes resume files; verify every rank sees the
@@ -917,7 +974,9 @@ class DINOSeg:
             from dino_tpu.parallel.dist import agree_across_hosts
             agree_across_hosts("resume-state visibility", int(have_resume))
         if resume and have_resume:
-            run_vars = {"epoch": 0, "best_acc": -1.0}
+            # since_improve absent in pre-early-stopping resume files ->
+            # stays 0 (restart_from_checkpoint only fills present keys)
+            run_vars = {"epoch": 0, "best_acc": -1.0, "since_improve": 0}
             restored = restart_from_checkpoint(
                 resume_path, run_vars, vit=self.vit_params,
                 head=self.head_params, opt_state=opt_state)
@@ -928,6 +987,7 @@ class DINOSeg:
                 [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
             start_epoch = int(run_vars["epoch"]) + 1
             best_acc = float(run_vars["best_acc"])
+            since_improve = int(run_vars["since_improve"])
             if n_proc > 1:  # torn read / stale NFS cache => fail fast
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts("resume epoch/best_acc",
@@ -1041,6 +1101,13 @@ class DINOSeg:
             metrics.update(segmentation_metrics(train_cm, prefix="train"))
             metrics["train_loss"] = float(np.mean([float(l) for l in losses]))
             metrics["epoch_time_s"] = time.time() - t0
+            # HBM headroom telemetry (None on backends without memory_stats)
+            from dino_tpu.utils.profiling import hbm_stats
+            hbm = hbm_stats()
+            if hbm is not None:
+                metrics["hbm_peak_gb"] = round(
+                    hbm["peak_bytes_in_use"] / 2**30, 3)
+                metrics["hbm_util"] = round(hbm["utilization"], 4)
             if log:
                 self._log(metrics, step=epoch)
                 # per-epoch confusion matrix (reference logs these to Comet,
@@ -1064,8 +1131,13 @@ class DINOSeg:
                 from jax.experimental import multihost_utils
                 resume_state = multihost_utils.process_allgather(
                     resume_state, tiled=True)
+            # EarlyStopping bookkeeping (reference pl_torch_modules.py:
+            # 385-388 semantics: strict improvement resets the counter);
+            # derived from the psum'd CM, so identical on every host
+            improved = metrics["val_acc"] > best_acc
+            since_improve = 0 if improved else since_improve + 1
             if jax.process_index() == 0:
-                if metrics["val_acc"] > best_acc:
+                if improved:
                     self.save(ck_path,
                               extra_hparams={"best_val_acc":
                                              metrics["val_acc"],
@@ -1076,7 +1148,8 @@ class DINOSeg:
                         resume_state,
                         run_variables={"epoch": epoch,
                                        "best_acc": max(best_acc,
-                                                       metrics["val_acc"])})
+                                                       metrics["val_acc"]),
+                                       "since_improve": since_improve})
             best_acc = max(best_acc, metrics["val_acc"])
             if n_proc > 1:
                 # the barrier publishes the resume file to other ranks, so
@@ -1085,6 +1158,12 @@ class DINOSeg:
                     ck_writer.wait()
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices(f"dt_epoch_{epoch}")
+            if early_stopping and since_improve >= self.patience:
+                if jax.process_index() == 0:
+                    print(f"[early stopping] val_acc has not improved for "
+                          f"{since_improve} epochs (patience="
+                          f"{self.patience}); stopping at epoch {epoch}")
+                break
         ck_writer.close()  # drain + join: resume file on disk, no thread
         #                    left behind across repeated fit() calls
         # the resume point is left in place: re-running with a larger

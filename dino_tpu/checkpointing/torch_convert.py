@@ -121,3 +121,139 @@ def convert_dino_pretrain(path: str) -> Params:
     """Raw DINO backbone .pth (plain state_dict) -> ViT param pytree."""
     sd = state_dict_to_numpy(load_torch_file(path))
     return convert_vit_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: JAX pytree -> torch / PyTorch-Lightning checkpoint.
+# Completes the interop loop: a model trained (or finetuned) in dino_tpu can
+# be handed back to users of the reference stack — the exported .ckpt has the
+# exact key layout PL's save_hyperparameters/state_dict produce for DINOSeg
+# (pl_torch_modules.py:141-237), so reference DINOSeg.load_from_checkpoint
+# restores it unchanged.
+# ---------------------------------------------------------------------------
+
+def _f32(a) -> np.ndarray:
+    # master params are f32; any bf16 leaf (serving trees) widens losslessly
+    return np.ascontiguousarray(np.asarray(a, np.float32))
+
+
+def _export_linear(sd: Dict[str, np.ndarray], p: str, lin: Params) -> None:
+    sd[p + ".weight"] = _f32(lin["kernel"]).T.copy()      # (in,out)->(out,in)
+    sd[p + ".bias"] = _f32(lin["bias"])
+
+
+def _export_ln(sd: Dict[str, np.ndarray], p: str, ln: Params) -> None:
+    sd[p + ".weight"] = _f32(ln["scale"])
+    sd[p + ".bias"] = _f32(ln["bias"])
+
+
+def export_vit_state_dict(params: Params, prefix: str = ""
+                          ) -> Dict[str, np.ndarray]:
+    """Our ViT param pytree -> torch state_dict layout (numpy values).
+
+    Exact inverse of :func:`convert_vit_state_dict` (verified round-trip in
+    tests/test_torch_export.py): Linear kernels transpose back to (out, in),
+    the patchify matmul kernel folds back to the Conv2d (D, 3, P, P) weight.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    sd[prefix + "cls_token"] = _f32(params["cls_token"])
+    sd[prefix + "pos_embed"] = _f32(params["pos_embed"])
+    k = _f32(params["patch_embed"]["kernel"])             # (3*P*P, D)
+    d = k.shape[1]
+    p_sz = int(round((k.shape[0] // 3) ** 0.5))
+    if 3 * p_sz * p_sz != k.shape[0]:
+        raise ValueError(f"patch_embed kernel rows {k.shape[0]} are not "
+                         f"3*P*P for any integer P")
+    sd[prefix + "patch_embed.proj.weight"] = k.T.reshape(d, 3, p_sz, p_sz).copy()
+    sd[prefix + "patch_embed.proj.bias"] = _f32(params["patch_embed"]["bias"])
+    for i, blk in enumerate(params["blocks"]):
+        b = f"{prefix}blocks.{i}."
+        _export_ln(sd, b + "norm1", blk["norm1"])
+        _export_linear(sd, b + "attn.qkv", blk["attn"]["qkv"])
+        _export_linear(sd, b + "attn.proj", blk["attn"]["proj"])
+        _export_ln(sd, b + "norm2", blk["norm2"])
+        _export_linear(sd, b + "mlp.fc1", blk["mlp"]["fc1"])
+        _export_linear(sd, b + "mlp.fc2", blk["mlp"]["fc2"])
+    _export_ln(sd, prefix + "norm", params["norm"])
+    return sd
+
+
+def export_head_state_dict(head_params: Params, head_type: str,
+                           prefix: str = "clf.") -> Dict[str, np.ndarray]:
+    """MLP / Linear head pytree -> reference clf.* keys (numpy values)."""
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"torch export supports the reference's mlp/linear "
+                         f"heads; got {head_type!r} (the moe head has no "
+                         "torch-side counterpart)")
+    layers = (["layer_1", "layer_2", "layer_3"] if head_type == "mlp"
+              else ["layer_1"])
+    sd: Dict[str, np.ndarray] = {}
+    for name in layers:
+        _export_linear(sd, prefix + name, head_params[name])
+    return sd
+
+
+def export_pl_checkpoint(path: str, vit_params: Params,
+                         head_params: Optional[Params], head_type: str,
+                         hparams: Optional[Dict[str, Any]] = None,
+                         epoch: int = 0, global_step: int = 0) -> None:
+    """Write a PyTorch-Lightning-compatible DINOSeg ``.ckpt``.
+
+    The file carries ``state_dict`` (``dino.`` backbone + ``clf.`` head
+    prefixes) and ``hyper_parameters`` restricted to the reference
+    constructor's signature (pl_torch_modules.py:144-147), with the
+    ``optimizer`` entry materialized back to the torch class PL saved
+    (save_hyperparameters keeps the class object).  ViT backbones only —
+    the cnn1/cnn2 torch modules are nn.Sequential slices whose keys depend
+    on torch.hub internals we do not reproduce.
+    """
+    import torch
+
+    hp_in = dict(hparams or {})
+    if hp_in.get("backbone", "vit") != "vit":
+        raise ValueError("torch export supports the ViT backbone only")
+    opt_name = str(hp_in.get("optimizer", "adamw")).lower()
+    opt_cls = {"adam": torch.optim.Adam, "adamw": torch.optim.AdamW}.get(
+        opt_name, torch.optim.AdamW)
+    # exactly the reference __init__ signature; unknown kwargs would crash
+    # PL's load_from_checkpoint replay
+    hp_out: Dict[str, Any] = {
+        "data_path": hp_in.get("data_path"),
+        "write_path": hp_in.get("write_path"),
+        "class_names": hp_in.get("class_names"),
+        "head": head_type,
+        "n_blocks": len(vit_params["blocks"]),
+        "batch_size": hp_in.get("batch_size", 1),
+        "lr": hp_in.get("lr", 1e-6),
+        "optimizer": opt_cls,
+        "freeze_backbone": hp_in.get("freeze_backbone", True),
+        "max_epochs": hp_in.get("max_epochs", 200),
+        "patience": hp_in.get("patience", 10),
+        "grayscale": hp_in.get("grayscale", False),
+        "n_classes": hp_in.get("n_classes", 7),
+        "pretrain_on_sim": hp_in.get("pretrain_on_sim", False),
+        "comet_logger": None,
+        "augmented": hp_in.get("augmented", True),
+        "random_init": hp_in.get("random_init", False),
+        "backbone": "vit",
+    }
+    sd = export_vit_state_dict(vit_params, prefix="dino.")
+    if head_params is not None:
+        sd.update(export_head_state_dict(head_params, head_type))
+    ckpt = {
+        "epoch": int(epoch),
+        "global_step": int(global_step),
+        "pytorch-lightning_version": "1.5.10",   # the reference's pin
+        # np.array(...) copy: jax-exported buffers are non-writable and
+        # torch.from_numpy refuses to alias them
+        "state_dict": {k: torch.from_numpy(np.array(v))
+                       for k, v in sd.items()},
+        "hparams_name": "kwargs",
+        "hyper_parameters": hp_out,
+    }
+    import os
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    tmp = path + ".tmp"
+    torch.save(ckpt, tmp)
+    os.replace(tmp, path)   # atomic: a crash never tears an existing file
