@@ -23,7 +23,7 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
                    ck_file_name=None, comet_tag=None, random_state=42,
                    patience=10, backbone="vit", optimizer="adam",
                    precision="bf16", train_resolution=480, accum_steps=1,
-                   zero=False):
+                   zero=False, early_stopping=False):
     """Fit a coarse segmentation model (one prediction per 8x8 patch).
 
     Reference behavior replicated from run_experiment.py:19-124, including the
@@ -48,7 +48,8 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
     if ck_file_name is None:
         ck_file_name = f"{n_blocks}_{backbone}_mlp_{random_state}"
 
-    dino_seg.fit(ck_file_name, accum_steps=accum_steps, zero=zero)
+    dino_seg.fit(ck_file_name, accum_steps=accum_steps, zero=zero,
+                 early_stopping=early_stopping)
 
     if finetune:
         print("\n Finetuning the previous model...")
@@ -61,7 +62,7 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
         ft.data_path = data_path
         ft.write_path = write_path
         ft.fit(ck_file_name + "_finetuned", accum_steps=accum_steps,
-               zero=zero)
+               zero=zero, early_stopping=early_stopping)
         return ft
     return dino_seg
 
@@ -104,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per step (exact gradient accumulation;"
                         " accum 8 is the recommended finetune config —"
                         " PERF.md)")
+    p.add_argument("--early_stopping", action="store_true",
+                   help="stop after `patience` epochs without val_acc "
+                        "improvement (activates the reference's "
+                        "commented-out EarlyStopping callback)")
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1: shard optimizer moments over the data axis"
                         " when DP sharding engages")

@@ -75,3 +75,33 @@ def segmentation_metrics(cm: np.ndarray, prefix: str = "val") -> Dict[str, float
         # total patches counted — surfaces silently-dropped samples
         f"{prefix}_support": float(np.asarray(cm).sum()),
     }
+
+
+def per_class_metrics_from_cm(cm: np.ndarray, class_names=None) -> list:
+    """Per-class recall / precision / F1 / IoU / support rows from a CM.
+
+    The per-class breakdown behind the macro numbers (the reference only
+    logs the confusion matrix itself to Comet, pl_torch_modules.py:326-330);
+    absent classes (no true or predicted patches) report zeros, matching the
+    macro functions' zero-division semantics.
+    """
+    cm = np.asarray(cm, np.float64)
+    n = cm.shape[0]
+    names = (list(class_names) if class_names is not None
+             else [str(i) for i in range(n)])
+    tp = np.diag(cm)
+    true_sum = cm.sum(axis=1)
+    pred_sum = cm.sum(axis=0)
+    rows = []
+    for c in range(n):
+        t, p = true_sum[c], pred_sum[c]
+        recall = tp[c] / t if t > 0 else 0.0
+        precision = tp[c] / p if p > 0 else 0.0
+        f1 = 2 * tp[c] / (t + p) if (t + p) > 0 else 0.0
+        union = t + p - tp[c]
+        iou = tp[c] / union if union > 0 else 0.0
+        rows.append({"class": names[c] if c < len(names) else str(c),
+                     "recall": float(recall), "precision": float(precision),
+                     "f1": float(f1), "iou": float(iou),
+                     "support": float(t)})
+    return rows

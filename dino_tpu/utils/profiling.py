@@ -37,6 +37,35 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def hbm_stats(device=None) -> Optional[dict]:
+    """Device-memory telemetry for one chip (HBM on TPU).
+
+    Returns ``{"bytes_in_use", "peak_bytes_in_use", "bytes_limit",
+    "utilization"}`` (utilization = in-use / limit), or ``None`` when the
+    backend doesn't expose memory_stats (the virtual CPU mesh).  The
+    reference's equivalent telemetry is torch.cuda.max_memory_allocated in
+    the dormant MetricLogger (utils.py:395-399); here it is a first-class
+    utility — fit() logs it once after the first step so OOM headroom is
+    visible in every training log.
+    """
+    if device is None:
+        devices = jax.local_devices()
+        if not devices:
+            return None
+        device = devices[0]
+    stats = getattr(device, "memory_stats", lambda: None)()
+    if not stats or "bytes_in_use" not in stats:
+        return None
+    limit = stats.get("bytes_limit", 0)
+    in_use = stats["bytes_in_use"]
+    return {
+        "bytes_in_use": int(in_use),
+        "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", in_use)),
+        "bytes_limit": int(limit),
+        "utilization": float(in_use / limit) if limit else 0.0,
+    }
+
+
 class StepTimer:
     """Wall-clock step timer that forces device completion at mark points.
 

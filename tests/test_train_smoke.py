@@ -360,3 +360,43 @@ def test_fit_zero_composes_with_accum(voc_root, tmp_path):
                       jax.tree.leaves(b.head_params)):
         np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_early_stopping_on_patience(voc_root, tmp_path):
+    """Opt-in activation of the reference's commented-out EarlyStopping
+    (pl_torch_modules.py:385-388): lr=0 pins val_acc flat, so after the
+    first epoch sets the best, `patience` flat epochs end the run."""
+    model = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "r"),
+                    head="linear", n_blocks=1, n_classes=N_CLASSES,
+                    batch_size=4, lr=0.0, optimizer="adam",
+                    freeze_backbone=True, max_epochs=10, patience=2,
+                    random_init=True, augmented=False, train_resolution=RES,
+                    seed=0, precision="fp32")
+    epochs = []
+    orig_log = model._log
+
+    def capture(metrics, step):
+        if "val_acc" in metrics and step >= 0:
+            epochs.append(step)
+        orig_log(metrics, step)
+
+    model._log = capture
+    model.fit(samples_per_epoch=8, early_stopping=True)
+    # epoch 0 improves (from -1), epochs 1 and 2 are flat -> stop at 2
+    assert epochs == [0, 1, 2], epochs
+
+
+def test_early_stopping_default_off(voc_root, tmp_path):
+    model = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "r"),
+                    head="linear", n_blocks=1, n_classes=N_CLASSES,
+                    batch_size=4, lr=0.0, optimizer="adam",
+                    freeze_backbone=True, max_epochs=4, patience=1,
+                    random_init=True, augmented=False, train_resolution=RES,
+                    seed=0, precision="fp32")
+    epochs = []
+    orig_log = model._log
+    model._log = lambda m, step: (epochs.append(step)
+                                  if "val_acc" in m and step >= 0 else None,
+                                  orig_log(m, step))
+    model.fit(samples_per_epoch=8)
+    assert epochs == [0, 1, 2, 3]  # runs to max_epochs, like the reference

@@ -60,6 +60,29 @@ def test_step_timer_and_trace(tmp_path):
     assert any(files for _, _, files in os.walk(d))
 
 
+def test_hbm_stats():
+    from dino_tpu.utils.profiling import hbm_stats
+
+    # virtual CPU devices expose no memory_stats -> graceful None
+    assert hbm_stats() is None
+
+    class FakeDev:   # the real-TPU shape of memory_stats()
+        def memory_stats(self):
+            return {"bytes_in_use": 2 * 2**30, "peak_bytes_in_use": 3 * 2**30,
+                    "bytes_limit": 16 * 2**30}
+
+    s = hbm_stats(FakeDev())
+    assert s == {"bytes_in_use": 2 * 2**30, "peak_bytes_in_use": 3 * 2**30,
+                 "bytes_limit": 16 * 2**30, "utilization": 0.125}
+
+    class NoLimit:
+        def memory_stats(self):
+            return {"bytes_in_use": 5}
+
+    s = hbm_stats(NoLimit())
+    assert s["utilization"] == 0.0 and s["peak_bytes_in_use"] == 5
+
+
 def test_dist_helpers_single_process():
     from dino_tpu.parallel.dist import (get_rank, get_world_size,
                                         is_dist_avail_and_initialized,
