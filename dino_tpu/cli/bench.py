@@ -134,10 +134,12 @@ def main():
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "..", "..", "bench_baseline.json")
-    baseline_fps = None
+    baseline_fps = baseline_train_fps = None
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline_fps = json.load(f).get("torch_cpu_fps")
+            base = json.load(f)
+        baseline_fps = base.get("torch_cpu_fps")
+        baseline_train_fps = base.get("torch_cpu_train_fps")
 
     result = {
         "metric": "frames_per_sec_480px_vit_s8_3block_mlp",
@@ -147,6 +149,8 @@ def main():
         "p50_predict_latency_ms": round(p50_ms, 2),
         "p50_device_ms": round(p50_device_ms, 2),
         "unfrozen_train_fps": round(train_fps, 1) if train_fps else None,
+        "train_vs_baseline": (round(train_fps / baseline_train_fps, 2)
+                              if train_fps and baseline_train_fps else None),
         "train_accum_steps": train_accum if train_fps else None,
         "batch": batch,
         "backend": jax.default_backend(),

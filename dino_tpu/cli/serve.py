@@ -9,6 +9,8 @@ either a checkpoint (live model) or an AOT artifact from `dt-export`:
 
 Endpoints:
   GET  /healthz            -> JSON status + serving contract
+  GET  /stats              -> JSON request counters, recent-latency p50/p95,
+                              dynamic-batch round-size histogram
   POST /predict            -> request body: JPEG/PNG image bytes
                               response: .npy bytes of the int label map
   POST /predict?format=png -> response: colorized PNG (VOC palette)
@@ -32,6 +34,7 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 
 def _bucket(n: int, max_batch: int = 1) -> int:
@@ -106,6 +109,57 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
     return predict, predict_many, info
 
 
+class _Stats:
+    """Thread-safe serving counters behind GET /stats.
+
+    Latencies keep the last 512 requests (a ring, so the percentiles track
+    CURRENT behavior, not the lifetime mix); the batch histogram counts how
+    full the dynamic-batching rounds actually run — the direct check of
+    whether --max_batch/--batch_timeout_ms are doing anything under the
+    observed request rate.
+    """
+
+    def __init__(self):
+        import collections
+        self._lock = threading.Lock()
+        self._lat_ms = collections.deque(maxlen=512)
+        self._requests = 0
+        self._errors = 0
+        self._rounds: dict = {}
+        self._t0 = time.monotonic()
+
+    def record(self, ms: float, error: bool = False) -> None:
+        with self._lock:
+            self._requests += 1
+            if error:
+                self._errors += 1
+            else:
+                self._lat_ms.append(ms)
+
+    def record_round(self, n: int) -> None:
+        with self._lock:
+            self._rounds[n] = self._rounds.get(n, 0) + 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lats = sorted(self._lat_ms)
+            out = {
+                "requests": self._requests,
+                "errors": self._errors,
+                "uptime_s": round(time.monotonic() - self._t0, 1),
+                "batch_rounds": {str(k): v
+                                 for k, v in sorted(self._rounds.items())},
+            }
+            if lats:
+                out["latency_ms"] = {
+                    "p50": round(lats[len(lats) // 2], 2),
+                    "p95": round(lats[min(len(lats) - 1,
+                                          int(len(lats) * 0.95))], 2),
+                    "window": len(lats),
+                }
+            return out
+
+
 class _Batcher:
     """Dynamic request batching: a dispatcher thread drains the request
     queue up to (max_batch, timeout) per round, groups frames by shape, and
@@ -113,10 +167,12 @@ class _Batcher:
     threads block on a per-request event; errors propagate to exactly the
     requests that caused them (whole group, since the program is shared)."""
 
-    def __init__(self, predict_many, max_batch: int, timeout_s: float):
+    def __init__(self, predict_many, max_batch: int, timeout_s: float,
+                 stats: Optional["_Stats"] = None):
         self._predict_many = predict_many
         self._max = max_batch
         self._timeout = timeout_s
+        self._stats = stats
         self._q: "queue.Queue" = queue.Queue()
         threading.Thread(target=self._loop, daemon=True,
                          name="dt-serve-batcher").start()
@@ -146,6 +202,8 @@ class _Batcher:
             for it in items:
                 groups.setdefault(tuple(it[0].shape), []).append(it)
             for group in groups.values():
+                if self._stats is not None:
+                    self._stats.record_round(len(group))
                 try:
                     labels = self._predict_many([g[0] for g in group])
                     for (_, done, box), lab in zip(group, labels):
@@ -166,7 +224,9 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
     predict, predict_many, info = _build_backend(path, resolution, precision,
                                                  max_batch)
     lock = threading.Lock()
-    batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3)
+    stats = _Stats()
+    batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3,
+                        stats=stats)
                if max_batch > 1 else None)
     info["max_batch"] = max_batch
 
@@ -182,8 +242,12 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.split("?")[0] == "/healthz":
+            route = self.path.split("?")[0]
+            if route == "/healthz":
                 self._send(200, json.dumps({"ok": True, **info}).encode(),
+                           "application/json")
+            elif route == "/stats":
+                self._send(200, json.dumps(stats.snapshot()).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
@@ -192,6 +256,7 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
             if self.path.split("?")[0] != "/predict":
                 self._send(404, b"not found", "text/plain")
                 return
+            t_req = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 img = np.asarray(
@@ -202,9 +267,11 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                     with lock:  # single-flight through the device
                         labels = np.asarray(predict(img))
             except Exception as exc:  # bad image, shape mismatch, ...
+                stats.record((time.monotonic() - t_req) * 1e3, error=True)
                 self._send(400, json.dumps(
                     {"error": str(exc)}).encode(), "application/json")
                 return
+            stats.record((time.monotonic() - t_req) * 1e3)
             if "format=png" in (self.path.split("?") + [""])[1]:
                 from dino_tpu.utils.viz import label2rgb
                 buf = io.BytesIO()

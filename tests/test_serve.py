@@ -1,6 +1,7 @@
 """dt-serve HTTP daemon: predict over the wire matches in-process predict."""
 import io
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -183,3 +184,50 @@ def test_bucket_caps_at_max_batch():
     assert [_bucket(n, 3) for n in (1, 2, 3)] == [1, 2, 3]
     assert [_bucket(n, 8) for n in (1, 2, 3, 5, 8)] == [1, 2, 4, 8, 8]
     assert _bucket(3) == 4  # no cap configured
+
+
+def test_serve_stats_endpoint(model, tmp_path):
+    import json
+    ckpt = str(tmp_path / "m.ckpt.npz")
+    model.save(ckpt)
+    port = free_port()
+    server = make_server(ckpt, port=port, resolution=64, precision="fp32",
+                         max_batch=2, batch_timeout_ms=20.0)
+    _serve(server)
+    try:
+        def get_stats():
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+                return json.loads(r.read().decode())
+
+        s0 = get_stats()
+        assert s0["requests"] == 0 and s0["errors"] == 0
+        assert "latency_ms" not in s0  # no window yet
+
+        img = np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8)
+        # two concurrent requests -> should coalesce into one batch-2 round
+        results = [None, None]
+
+        def hit(i):
+            results[i] = _post(f"http://127.0.0.1:{port}/predict", img)
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # a bad request increments errors
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=b"not an image", method="POST")
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(req, timeout=30)
+
+        s = get_stats()
+        assert s["requests"] == 3 and s["errors"] == 1
+        assert s["latency_ms"]["window"] == 2
+        assert s["latency_ms"]["p50"] > 0
+        rounds = {int(k): v for k, v in s["batch_rounds"].items()}
+        assert sum(k * v for k, v in rounds.items()) == 2  # both frames ran
+        assert s["uptime_s"] >= 0
+    finally:
+        server.shutdown()
