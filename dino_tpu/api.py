@@ -727,9 +727,18 @@ class DINOSeg:
             resume: bool = False, cache_features="auto",
             parallelism: Optional[str] = None,
             accum_steps: int = 1, zero: bool = False,
-            early_stopping: bool = False) -> Dict[str, float]:
+            early_stopping: bool = False,
+            augment_backend: str = "auto") -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
+
+        ``augment_backend`` ('auto'/'native'/'cv2'/'device') picks WHERE
+        augmentation pixels are computed — the random parameters are drawn
+        identically on every backend.  'device' moves crop/warp/flip/
+        jitter/blur into a jitted program (ops/device_augment.py), leaving
+        the host only decode+resize: the mode for hosts with few cores,
+        where the ~16 ms/core-sample augment chain, not the ~2 ms device
+        step, caps unfrozen-finetune throughput (PERF.md "Host pipeline").
 
         ``early_stopping=True`` activates the reference's commented-out
         EarlyStopping callback (pl_torch_modules.py:385-388 — monitor
@@ -813,14 +822,16 @@ class DINOSeg:
                             samples_per_epoch, seed, log=False,
                             cache_features=cache_features,
                             parallelism=parallelism,
-                            accum_steps=accum_steps, zero=zero)
+                            accum_steps=accum_steps, zero=zero,
+                            augment_backend=augment_backend)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
                         cache_features=cache_features,
                         parallelism=parallelism,
                         accum_steps=accum_steps, zero=zero,
-                        early_stopping=early_stopping)
+                        early_stopping=early_stopping,
+                        augment_backend=augment_backend)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -848,9 +859,11 @@ class DINOSeg:
                    resume: bool = False, cache_features="auto",
                    parallelism: Optional[str] = None,
                    accum_steps: int = 1, zero: bool = False,
-                   early_stopping: bool = False) -> None:
+                   early_stopping: bool = False,
+                   augment_backend: str = "auto") -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
-                                    resolution=self.train_resolution)
+                                    resolution=self.train_resolution,
+                                    backend=augment_backend)
         val_ds = DuckieSegDataset(val_path, augmented=False,
                                   resolution=self.train_resolution)
         if len(train_ds) == 0:

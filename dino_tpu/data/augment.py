@@ -20,6 +20,11 @@ INTER_LINEAR fixed-point arithmetic); warpAffine is off-by-one on <0.1% of
 pixels and jitter/blur are tolerance-matched (MAD < 2.5 levels) — so resume
 bit-determinism holds per backend, and across backends whenever only the
 bit-exact ops fire.
+
+A third backend runs the pixel ops ON DEVICE (`augment_backend='device'`,
+ops/device_augment.py): same drawn parameters, float math in cv2's
+coordinate conventions, same tolerance class vs this oracle
+(tests/test_device_augment.py); the host keeps only decode+resize.
 """
 from __future__ import annotations
 

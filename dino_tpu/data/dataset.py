@@ -29,13 +29,21 @@ class DuckieSegDataset:
     """Index-addressable (image uint8 (res,res,3), mask int32 (res/8)^2) pairs."""
 
     def __init__(self, path: str, augmented: bool = False, resolution: int = 480,
-                 patch_size: int = 8):
+                 patch_size: int = 8, backend: str = "auto"):
+        if backend not in ("auto", "native", "cv2", "device"):
+            raise ValueError(f"unknown augmentation backend {backend!r}")
         self.path = path
         self.files = sorted(
             glob.glob(os.path.join(path, "JPEGImages", "*.jpg")))
         self.augmented = augmented
         self.resolution = resolution
         self.patch_size = patch_size
+        # augmentation pixel backend (batched_loader): 'auto' = native C++
+        # when built, else cv2; 'device' runs every pixel op after
+        # decode+resize inside one jitted program (ops/device_augment.py) —
+        # the choice changes WHERE pixels are computed, never which random
+        # parameters are drawn (data/augment.py contract)
+        self.backend = backend
 
     def __len__(self) -> int:
         return len(self.files)
@@ -128,15 +136,59 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
                 yield imgs, masks
             return
 
+    if dataset.augmented and dataset.backend == "native":
+        from dino_tpu.data import native_loader as _nl
+        if _nl.get_lib() is None:  # explicit ask -> fail, don't silently cv2
+            raise RuntimeError("backend='native' requested but the C++ "
+                               "loader is unavailable (no toolchain?)")
+
     seeds = (rng.integers(0, 2**63, size=len(indices))
              if rng is not None else [None] * len(indices))
+
+    # Device backend: host does decode + resize only (the eval path);
+    # crop/warp/flip/jitter/blur and the token-grid mask downsample run
+    # inside ONE jitted program per batch (ops/device_augment.py).  The rng
+    # consumption is identical to the host backends (draw_params once per
+    # sample), so the determinism contract is unchanged; batches are
+    # yielded as device arrays — no host roundtrip before the train step.
+    if dataset.augmented and dataset.backend == "device":
+        from dino_tpu.data import native_loader
+        from dino_tpu.data.augment import resize_pair as _rp
+        from dino_tpu.ops.device_augment import (augment_grid_mask,
+                                                 device_augment_batch)
+        res = dataset.resolution
+        grid = res // dataset.patch_size
+        for start in range(0, len(indices), batch_size):
+            chunk = [int(i) for i in indices[start:start + batch_size]]
+            chunk_seeds = seeds[start:start + batch_size]
+            params = [draw_params(np.random.default_rng(s) if s is not None
+                                  else np.random.default_rng(), res)
+                      for s in chunk_seeds]
+            packed = np.stack([pack_params(p) for p in params])
+            imgs = (native_loader.load_batch(
+                        [dataset.files[i] for i in chunk], res, res)
+                    if native_loader.get_lib() is not None else None)
+            if imgs is None:
+                imgs = np.stack([_rp(dataset._load_raw(i)[0], None, res)[0]
+                                 for i in chunk])
+            # grid labels on host: composed nearest sampling, exact vs the
+            # transform-then-downsample pipeline; only uint8 frames ride
+            # the host->device wire
+            masks = np.stack([
+                augment_grid_mask(
+                    resize_nearest(dataset._load_mask(i), res, res),
+                    p, res, grid)
+                for i, p in zip(chunk, params)])
+            yield device_augment_batch(imgs, packed), masks
+        return
 
     # Augmented (train) epochs: one C++ thread-pool call per batch — decode,
     # resize, crop, warp, flip, jitter, blur all run native; Python only
     # draws the per-sample parameters (seed-deterministic) and downsamples
     # the returned masks to the token grid.
     from dino_tpu.data import native_loader
-    if dataset.augmented and native_loader.get_lib() is not None:
+    if (dataset.augmented and dataset.backend in ("auto", "native")
+            and native_loader.get_lib() is not None):
         res = dataset.resolution
         grid = res // dataset.patch_size
         for start in range(0, len(indices), batch_size):

@@ -1,0 +1,304 @@
+"""Training augmentations ON DEVICE: the whole albumentations-equivalent
+pipeline (reference pl_torch_modules.py:44-57) as one jitted XLA program.
+
+Third backend next to the cv2 and native-C++ host pipelines (data/augment.py
+contract): randomness is still drawn on the host (`draw_params` /
+`pack_params` — the SAME packed float32[24] layout the C++ pipeline
+consumes), but every pixel op — RandomResizedCrop, ShiftScaleRotate,
+HFlip, ColorJitter, GaussianBlur, plus the mask's nearest-grid downsample —
+runs inside one vmapped device program.  The host's per-sample work drops to
+decode+resize (the eval path), which matters exactly where training is
+host-bound: the device step is ~2 ms/sample while the host augment chain is
+~16 ms/core-sample (PERF.md "Host pipeline"), so on few-core hosts the
+augmentation, not the chip, caps unfrozen-finetune throughput.
+
+Numerics contract (enforced by tests/test_device_augment.py): geometry ops
+follow cv2's coordinate conventions (half-pixel bilinear with clamped taps;
+reflect-101 affine borders; torchvision floor-nearest for masks) in float
+math with round-half-up between stages — images match the cv2 oracle to the
+same tolerance class as the native C++ backend (MAD < 2.5 levels, mask
+agreement > 99%), and the hue/quantization differences are per-backend, as
+data/augment.py documents.  Flip is bit-exact.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dino_tpu.ops.resize import nearest_resize_indices
+
+MAX_BLUR = 41  # albumentations blur_limit upper bound (static tap count)
+
+
+# ---------------------------------------------------------------------------
+# sampling helpers (per-sample; everything static-shaped)
+# ---------------------------------------------------------------------------
+
+def _reflect101(idx, n: int):
+    """Fold integer indices into [0, n-1] with cv2 BORDER_REFLECT_101
+    semantics (period 2(n-1), edge not repeated)."""
+    period = 2 * (n - 1)
+    idx = jnp.abs(idx) % period
+    return jnp.where(idx >= n, period - idx, idx)
+
+
+def _bilinear_gather(img, fy, fx, reflect: bool):
+    """Sample img (S,S,C) at float coords (fy, fx) each (S,S); taps clamp
+    (cv2.resize) or reflect-101 (cv2.warpAffine)."""
+    s = img.shape[0]
+    y0 = jnp.floor(fy)
+    x0 = jnp.floor(fx)
+    ty = (fy - y0)[..., None]
+    tx = (fx - x0)[..., None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def fold(i):
+        return (_reflect101(i, s) if reflect
+                else jnp.clip(i, 0, s - 1))
+
+    v00 = img[fold(y0), fold(x0)]
+    v01 = img[fold(y0), fold(x0 + 1)]
+    v10 = img[fold(y0 + 1), fold(x0)]
+    v11 = img[fold(y0 + 1), fold(x0 + 1)]
+    top = v00 * (1 - tx) + v01 * tx
+    bot = v10 * (1 - tx) + v11 * tx
+    return top * (1 - ty) + bot * ty
+
+
+def _round_u8(x):
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
+
+
+# ---------------------------------------------------------------------------
+# per-op implementations
+# ---------------------------------------------------------------------------
+
+def _crop_resize(img, mask, p):
+    """RandomResizedCrop: crop (x0,y0,cw,ch) then resize back to S x S —
+    cv2.resize semantics on the crop (half-pixel bilinear, clamped taps for
+    the image; floor-nearest for the mask)."""
+    s = img.shape[0]
+    on = p[0] > 0.5
+    x0, y0, cw, ch = p[1], p[2], p[3], p[4]
+    d = jnp.arange(s, dtype=jnp.float32)
+    # image: src = (dst + .5) * c/s - .5, clamped WITHIN the crop, + offset
+    fy = jnp.clip((d + 0.5) * ch / s - 0.5, 0.0, ch - 1.0) + y0
+    fx = jnp.clip((d + 0.5) * cw / s - 0.5, 0.0, cw - 1.0) + x0
+    fy = jnp.where(on, fy, d)
+    fx = jnp.where(on, fx, d)
+    out = _bilinear_gather(img, fy[:, None] * jnp.ones((1, s)),
+                           jnp.ones((s, 1)) * fx[None, :], reflect=False)
+    # mask: cv2 INTER_NEAREST src = floor(dst * c/s)
+    if mask is None:
+        return _round_u8(out), None
+    my = jnp.clip(jnp.floor(d * ch / s), 0, jnp.maximum(ch - 1, 0)) + y0
+    mx = jnp.clip(jnp.floor(d * cw / s), 0, jnp.maximum(cw - 1, 0)) + x0
+    my = jnp.where(on, my, d).astype(jnp.int32)
+    mx = jnp.where(on, mx, d).astype(jnp.int32)
+    mask_out = mask[jnp.clip(my, 0, s - 1)][:, jnp.clip(mx, 0, s - 1)]
+    return _round_u8(out), mask_out
+
+
+def _affine(img, mask, p):
+    """ShiftScaleRotate: cv2.warpAffine with the forward 2x3 matrix M
+    (dst = M @ src), INTER_LINEAR / INTER_NEAREST, BORDER_REFLECT_101."""
+    s = img.shape[0]
+    on = p[5] > 0.5
+    a, b, tx_ = p[6], p[7], p[8]
+    c, d_, ty_ = p[9], p[10], p[11]
+    det = a * d_ - b * c
+    inv = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    dst = jnp.arange(s, dtype=jnp.float32)
+    dx = jnp.ones((s, 1)) * dst[None, :]
+    dy = dst[:, None] * jnp.ones((1, s))
+    # src = A^-1 (dst - t)
+    ux = dx - tx_
+    uy = dy - ty_
+    fx = (d_ * ux - b * uy) / inv
+    fy = (-c * ux + a * uy) / inv
+    fx = jnp.where(on, fx, dx)
+    fy = jnp.where(on, fy, dy)
+    out = _bilinear_gather(img, fy, fx, reflect=True)
+    if mask is None:
+        return _round_u8(out), None
+    ny = _reflect101(jnp.floor(fy + 0.5).astype(jnp.int32), s)
+    nx = _reflect101(jnp.floor(fx + 0.5).astype(jnp.int32), s)
+    return _round_u8(out), mask[ny, nx]
+
+
+def _rgb_to_hsv(x):
+    """x in [0,1] (S,S,3) -> h in [0,1), s, v (cv2 hue convention / 360)."""
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    v = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    delta = v - mn
+    safe = jnp.where(delta == 0, 1.0, delta)
+    h = jnp.where(
+        v == r, (g - b) / safe,
+        jnp.where(v == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe))
+    h = jnp.where(delta == 0, 0.0, h) / 6.0
+    h = jnp.mod(h, 1.0)
+    sat = jnp.where(v == 0, 0.0, delta / jnp.where(v == 0, 1.0, v))
+    return h, sat, v
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _jitter(img, p):
+    """ColorJitter: the cv2 oracle's op order/semantics (data/augment.py
+    _apply_jitter) in float: brightness scale, contrast toward the mean
+    gray, saturation toward per-pixel gray, hue rotation (uint8-HSV's 180
+    levels -> shift of round(hshift*180)/180 of a turn); clip after each."""
+    on = p[13] > 0.5
+    order = p[14:18].astype(jnp.int32)
+    b, c, s_, hshift = p[18], p[19], p[20], p[21]
+    gray_w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+
+    def op_brightness(x):
+        return x * b
+
+    def op_contrast(x):
+        gray = jnp.mean(jnp.round(_round_u8(x) @ gray_w))
+        return x * c + gray * (1 - c)
+
+    def op_saturation(x):
+        gray = jnp.round(_round_u8(x) @ gray_w)
+        return x * s_ + gray[..., None] * (1 - s_)
+
+    def op_hue(x):
+        h, sat, v = _rgb_to_hsv(_round_u8(x) / 255.0)
+        shift = jnp.round(hshift * 180.0) / 180.0
+        h = jnp.mod(h + shift, 1.0)
+        return _hsv_to_rgb(h, sat, v) * 255.0
+
+    def body(x, idx):
+        x = jax.lax.switch(idx, [op_brightness, op_contrast,
+                                 op_saturation, op_hue], x)
+        return jnp.clip(x, 0.0, 255.0), None
+
+    jittered, _ = jax.lax.scan(body, img, order)
+    return jnp.where(on, _round_u8(jittered), img)
+
+
+def _blur(img, p):
+    """GaussianBlur(k, sigmaX=0): cv2 derives sigma = 0.3((k-1)/2 - 1) + 0.8
+    and reflect-101 borders; separable taps padded to the static MAX_BLUR
+    width (weights beyond the drawn k are zero)."""
+    s = img.shape[0]
+    on = p[22] > 0.5
+    k = jnp.clip(p[23], 3.0, MAX_BLUR)
+    half = (k - 1.0) / 2.0
+    sigma = 0.3 * (half - 1.0) + 0.8
+    pos = jnp.arange(MAX_BLUR, dtype=jnp.float32) - (MAX_BLUR - 1) / 2
+    w = jnp.exp(-(pos ** 2) / (2.0 * sigma ** 2))
+    w = jnp.where(jnp.abs(pos) <= half + 0.01, w, 0.0)
+    w = w / jnp.sum(w)
+    pad = (MAX_BLUR - 1) // 2
+    # numpy/jnp 'reflect' == cv2 BORDER_REFLECT_101 (edge not repeated)
+    xp = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
+    rows = jnp.arange(s)[:, None] + jnp.arange(MAX_BLUR)[None, :]
+    x = jnp.einsum("t,sthc->shc", w, xp[rows])
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    x = jnp.einsum("t,hstc->hsc", w, xp[:, rows])
+    return jnp.where(on, _round_u8(x), img)
+
+
+def _augment_one(img_u8, p):
+    x = img_u8.astype(jnp.float32)
+    x, _ = _crop_resize(x, None, p)
+    x, _ = _affine(x, None, p)
+    flip = p[12] > 0.5
+    x = jnp.where(flip, x[:, ::-1], x)
+    x = _jitter(x, p)
+    x = _blur(x, p)
+    return x.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _augment_fn(size: int):
+    @jax.jit
+    def run(imgs, params):
+        return jax.vmap(_augment_one)(imgs, params)
+    return run
+
+
+def device_augment_batch(imgs_u8, packed_params):
+    """(B,S,S,3) u8 + (B,24) packed params -> (B,S,S,3) u8 device array.
+
+    Images only: one compiled program per (S, B), output stays on device
+    (the train step consumes it without a host roundtrip).  Masks do NOT
+    ride the device path — nearest-of-nearest composes exactly, so the
+    token-grid labels come from :func:`augment_grid_mask` on the host at
+    negligible cost, and the host->device transfer is just the uint8
+    frames (full-res int masks would triple the bytes on the wire).
+    """
+    size = int(imgs_u8.shape[1])
+    fn = _augment_fn(size)
+    return fn(jnp.asarray(imgs_u8), jnp.asarray(packed_params, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# host-side grid-mask transform (exact composition of the nearest samplings)
+# ---------------------------------------------------------------------------
+
+def _reflect101_np(idx, n: int):
+    period = 2 * (n - 1)
+    idx = np.abs(idx) % period
+    return np.where(idx >= n, period - idx, idx)
+
+
+def augment_grid_mask(mask, p: dict, size: int, grid: int) -> np.ndarray:
+    """Token-grid labels for one augmented sample, by composing the nearest
+    samplings (grid downsample <- flip <- affine <- crop-resize) into ONE
+    gather on the pre-augmentation full-res mask.
+
+    Nearest-of-nearest is exact: downsampling the device-transformed
+    full-res mask to the grid reads transformed[gi, gj], and each transform
+    stage is itself an integer-coordinate lookup, so chaining the index
+    maps reproduces the full-res pipeline's grid labels bit-for-bit
+    (tested against the staged device path).  mask: (size, size) int (the
+    resized full-res mask); returns (grid*grid,) int32.
+    """
+    g = nearest_resize_indices(size, grid)            # grid -> final coords
+    ys = np.broadcast_to(g[:, None], (grid, grid)).astype(np.int64)
+    xs = np.broadcast_to(g[None, :], (grid, grid)).astype(np.int64)
+    if p["flip"]:                                     # final <- pre-flip
+        xs = size - 1 - xs
+    if p["affine"] is not None:                       # pre-flip <- pre-affine
+        m = np.asarray(p["affine"], np.float64)
+        a, b, tx = m[0]
+        c, d, ty = m[1]
+        det = a * d - b * c
+        ux = xs.astype(np.float64) - tx
+        uy = ys.astype(np.float64) - ty
+        fx = (d * ux - b * uy) / det
+        fy = (-c * ux + a * uy) / det
+        xs = _reflect101_np(np.floor(fx + 0.5).astype(np.int64), size)
+        ys = _reflect101_np(np.floor(fy + 0.5).astype(np.int64), size)
+    if p["crop"] is not None:                         # pre-affine <- source
+        x0, y0, cw, ch = p["crop"]
+        xs = np.clip(np.floor(xs * (cw / size)), 0, max(cw - 1, 0)
+                     ).astype(np.int64) + x0
+        ys = np.clip(np.floor(ys * (ch / size)), 0, max(ch - 1, 0)
+                     ).astype(np.int64) + y0
+    return np.asarray(mask)[np.clip(ys, 0, size - 1),
+                            np.clip(xs, 0, size - 1)
+                            ].reshape(-1).astype(np.int32)

@@ -1,0 +1,206 @@
+"""Device-side augmentation backend (ops/device_augment.py) vs the cv2
+oracle (data/augment.py) — per-op and full-pipeline tolerance contract,
+plus the loader/fit integration."""
+import numpy as np
+import pytest
+
+from dino_tpu.data.augment import apply_params, pack_params, draw_params
+from dino_tpu.ops.device_augment import (augment_grid_mask,
+                                         device_augment_batch)
+from dino_tpu.ops.resize import resize_nearest
+
+S = 64      # augmented canvas (resolution)
+GRID = 8    # token grid (S / patch 8)
+
+
+def _rand_img(seed, h=S, w=S):
+    rs = np.random.RandomState(seed)
+    # smooth-ish content so interpolation differences stay sub-level
+    base = rs.randint(0, 255, (h // 8 + 2, w // 8 + 2, 3)).astype(np.float32)
+    import cv2
+    img = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
+    return np.clip(img + rs.randn(h, w, 3) * 8, 0, 255).astype(np.uint8)
+
+
+def _rand_mask(seed, h=S, w=S):
+    return np.random.RandomState(seed + 99).randint(
+        0, 4, (h, w)).astype(np.int64)
+
+
+def _null_params():
+    return {"crop": None, "affine": None, "flip": False, "jitter": None,
+            "blur": None}
+
+
+def _run_both(p, img, mask):
+    """(cv2 full-res img/mask, device img + host grid mask) for one param
+    set."""
+    cv_img, cv_mask = apply_params(p, img, mask, S)
+    d_img = device_augment_batch(img[None], pack_params(p)[None])
+    d_grid = augment_grid_mask(resize_nearest(mask.astype(np.int32), S, S),
+                               p, S, GRID)
+    return cv_img, cv_mask, np.asarray(d_img[0]), d_grid
+
+
+def _grid(mask):
+    return resize_nearest(np.asarray(mask), GRID, GRID).reshape(-1)
+
+
+def test_identity_params_bit_exact():
+    p = _null_params()
+    img, mask = _rand_img(0), _rand_mask(0)
+    cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
+    np.testing.assert_array_equal(d_img, cv_img)
+    np.testing.assert_array_equal(d_grid, _grid(cv_mask))
+
+
+def test_flip_bit_exact():
+    p = _null_params()
+    p["flip"] = True
+    img, mask = _rand_img(1), _rand_mask(1)
+    cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
+    np.testing.assert_array_equal(d_img, cv_img)
+    np.testing.assert_array_equal(d_grid, _grid(cv_mask))
+
+
+def test_crop_resize_close():
+    rng = np.random.default_rng(7)
+    from dino_tpu.data.augment import _draw_crop
+    for _ in range(6):
+        p = _null_params()
+        p["crop"] = _draw_crop(rng, S)
+        img, mask = _rand_img(2), _rand_mask(2)
+        cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
+        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
+        assert mad < 1.0, (p["crop"], mad)
+        agree = (d_grid == _grid(cv_mask)).mean()
+        assert agree >= 0.95, (p["crop"], agree)
+
+
+def test_affine_close():
+    rng = np.random.default_rng(11)
+    from dino_tpu.data.augment import _draw_affine
+    for _ in range(6):
+        p = _null_params()
+        p["affine"] = _draw_affine(rng, S)
+        img, mask = _rand_img(3), _rand_mask(3)
+        cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
+        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
+        assert mad < 2.0, mad
+        agree = (d_grid == _grid(cv_mask)).mean()
+        assert agree >= 0.9, agree
+
+
+def test_jitter_close():
+    rng = np.random.default_rng(13)
+    from dino_tpu.data.augment import _draw_jitter
+    for _ in range(6):
+        p = _null_params()
+        p["jitter"] = _draw_jitter(rng)
+        img, mask = _rand_img(4), _rand_mask(4)
+        cv_img, _, d_img, _ = _run_both(p, img, mask)
+        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
+        assert mad < 2.5, (p["jitter"], mad)
+
+
+def test_blur_close():
+    for k in (3, 9, 21, 41):
+        p = _null_params()
+        p["blur"] = k
+        img, mask = _rand_img(5), _rand_mask(5)
+        cv_img, _, d_img, _ = _run_both(p, img, mask)
+        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
+        assert mad < 1.5, (k, mad)
+
+
+def test_full_pipeline_distribution():
+    """Across seeds covering every op combination, the device pixels track
+    the cv2 oracle within the native-backend tolerance class and the grid
+    masks agree.  Same MAD<2.5 / >97% gate as tests/test_native_augment."""
+    mads, agrees = [], []
+    for seed in range(16):
+        rng = np.random.default_rng(seed)
+        p = draw_params(rng, S)
+        img, mask = _rand_img(seed + 40), _rand_mask(seed + 40)
+        cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
+        mads.append(np.abs(d_img.astype(np.int32)
+                           - cv_img.astype(np.int32)).mean())
+        agrees.append((d_grid == _grid(cv_mask)).mean())
+    assert np.mean(mads) < 2.5, mads
+    assert np.mean(agrees) > 0.97, agrees
+
+
+def test_batched_loader_device_backend():
+    """Loader yields device arrays; the drawn parameters (and therefore the
+    label stream up to backend pixel tolerance) match the cv2 backend under
+    the same seed."""
+    import jax
+    from dino_tpu.data.dataset import DuckieSegDataset, batched_loader
+
+    class FakeDS(DuckieSegDataset):
+        def __init__(self, backend):
+            self.files = [f"im{i}" for i in range(6)]
+            self.path = "unused"
+            self.augmented = True
+            self.resolution = S
+            self.patch_size = 8
+            self.backend = backend
+
+        def _load_raw(self, idx):
+            return _rand_img(idx, 80, 100), _rand_mask(idx, 80, 100)
+
+        def _load_mask(self, idx):
+            return _rand_mask(idx, 80, 100).astype(np.int32)
+
+    idx = np.arange(6)
+    dev_batches = list(batched_loader(FakeDS("device"), idx, 3,
+                                      rng=np.random.default_rng(5)))
+    cv_batches = list(batched_loader(FakeDS("cv2"), idx, 3,
+                                     rng=np.random.default_rng(5)))
+    assert len(dev_batches) == len(cv_batches) == 2
+    for (dx, dy), (cx, cy) in zip(dev_batches, cv_batches):
+        assert isinstance(dx, jax.Array)  # frames stay on device
+        assert isinstance(dy, np.ndarray)  # grid labels computed on host
+        assert dx.shape == (3, S, S, 3) and dx.dtype == np.uint8
+        assert dy.shape == (3, GRID * GRID)
+        # same drawn params -> same label stream up to pixel tolerance
+        assert (np.asarray(dy) == cy).mean() > 0.9
+        mad = np.abs(np.asarray(dx).astype(np.int32)
+                     - cx.astype(np.int32)).mean()
+        assert mad < 4.0, mad
+
+
+def test_fit_device_backend_smoke(tmp_path):
+    """End-to-end: fit(augment_backend='device') trains and improves."""
+    import os
+    from PIL import Image
+    from dino_tpu import DINOSeg
+
+    root = str(tmp_path)
+    rs = np.random.RandomState(0)
+    colors = np.array([[200, 40, 40], [40, 200, 40], [40, 40, 200]])
+    for split, n in (("train", 8), ("val", 3), ("test", 3)):
+        jd = os.path.join(root, f"dt_real_voc_{split}", "JPEGImages")
+        md = os.path.join(root, f"dt_real_voc_{split}", "SegmentationClass")
+        os.makedirs(jd), os.makedirs(md)
+        for i in range(n):
+            mask = rs.randint(0, 3, (S, S)).astype(np.int64)
+            img = np.clip(colors[mask] + rs.randn(S, S, 3) * 5,
+                          0, 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(jd, f"im{i}.jpg"),
+                                      quality=95)
+            np.save(os.path.join(md, f"im{i}.npy"), mask)
+
+    model = DINOSeg(data_path=root, write_path=str(tmp_path / "out"),
+                    head="linear", n_blocks=1, n_classes=3, batch_size=4,
+                    lr=1e-3, optimizer="adam", max_epochs=2,
+                    random_init=True, augmented=True, train_resolution=S,
+                    seed=0, precision="fp32")
+    metrics = model.fit(samples_per_epoch=16, augment_backend="device")
+    assert 0.0 <= metrics["test_acc"] <= 1.0
+
+
+def test_unknown_backend_rejected():
+    from dino_tpu.data.dataset import DuckieSegDataset
+    with pytest.raises(ValueError, match="backend"):
+        DuckieSegDataset("x", backend="gpu")
