@@ -632,8 +632,10 @@ class DINOSeg:
         ``{prefix}_per_class`` row list when ``per_class=True``).
         """
         from dino_tpu.train.metrics import per_class_metrics_from_cm
-        ds = DuckieSegDataset(data_path, augmented=False,
-                              resolution=resolution or self.train_resolution)
+        res = resolution or self.train_resolution
+        if res % 8 != 0:  # same contract as set_resolution
+            raise ValueError("Resolution should be a multiple of 8.")
+        ds = DuckieSegDataset(data_path, augmented=False, resolution=res)
         if len(ds) == 0:
             raise FileNotFoundError(f"no images under {data_path}")
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
@@ -1040,6 +1042,14 @@ class DINOSeg:
             put = sp_rep
 
         for epoch in range(start_epoch, self.max_epochs):
+            # a resumed run that had already exhausted patience must not
+            # train (and possibly re-save a best ckpt for) one extra epoch
+            if early_stopping and since_improve >= max(self.patience, 1):
+                if jax.process_index() == 0:
+                    print(f"[early stopping] resumed with since_improve="
+                          f"{since_improve} >= patience {self.patience}; "
+                          f"not training further")
+                break
             t0 = time.time()
             # per-epoch derived rng => deterministic mid-run resume
             rng = np.random.default_rng([seed, epoch])
@@ -1171,7 +1181,9 @@ class DINOSeg:
                     ck_writer.wait()
                 from jax.experimental import multihost_utils
                 multihost_utils.sync_global_devices(f"dt_epoch_{epoch}")
-            if early_stopping and since_improve >= self.patience:
+            # max(patience, 1): since_improve is 0 right after an improving
+            # epoch, so patience=0 must not stop an improving run
+            if early_stopping and since_improve >= max(self.patience, 1):
                 if jax.process_index() == 0:
                     print(f"[early stopping] val_acc has not improved for "
                           f"{since_improve} epochs (patience="

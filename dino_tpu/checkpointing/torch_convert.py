@@ -213,8 +213,12 @@ def export_pl_checkpoint(path: str, vit_params: Params,
     if hp_in.get("backbone", "vit") != "vit":
         raise ValueError("torch export supports the ViT backbone only")
     opt_name = str(hp_in.get("optimizer", "adamw")).lower()
-    opt_cls = {"adam": torch.optim.Adam, "adamw": torch.optim.AdamW}.get(
-        opt_name, torch.optim.AdamW)
+    opt_map = {"adam": torch.optim.Adam, "adamw": torch.optim.AdamW,
+               "sgd": torch.optim.SGD}
+    if opt_name not in opt_map:  # don't silently re-label the optimizer
+        raise ValueError(f"cannot export optimizer {opt_name!r} to a torch "
+                         f"class (known: {sorted(opt_map)})")
+    opt_cls = opt_map[opt_name]
     # exactly the reference __init__ signature; unknown kwargs would crash
     # PL's load_from_checkpoint replay
     hp_out: Dict[str, Any] = {

@@ -23,7 +23,7 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
                    ck_file_name=None, comet_tag=None, random_state=42,
                    patience=10, backbone="vit", optimizer="adam",
                    precision="bf16", train_resolution=480, accum_steps=1,
-                   zero=False, early_stopping=False):
+                   zero=False, early_stopping=False, augment_backend="auto"):
     """Fit a coarse segmentation model (one prediction per 8x8 patch).
 
     Reference behavior replicated from run_experiment.py:19-124, including the
@@ -49,7 +49,8 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
         ck_file_name = f"{n_blocks}_{backbone}_mlp_{random_state}"
 
     dino_seg.fit(ck_file_name, accum_steps=accum_steps, zero=zero,
-                 early_stopping=early_stopping)
+                 early_stopping=early_stopping,
+                 augment_backend=augment_backend)
 
     if finetune:
         print("\n Finetuning the previous model...")
@@ -62,7 +63,8 @@ def run_experiment(data_path, write_path, batch_size, epochs, learning_rate,
         ft.data_path = data_path
         ft.write_path = write_path
         ft.fit(ck_file_name + "_finetuned", accum_steps=accum_steps,
-               zero=zero, early_stopping=early_stopping)
+               zero=zero, early_stopping=early_stopping,
+               augment_backend=augment_backend)
         return ft
     return dino_seg
 
@@ -105,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per step (exact gradient accumulation;"
                         " accum 8 is the recommended finetune config —"
                         " PERF.md)")
+    p.add_argument("--augment_backend", default="auto",
+                   choices=["auto", "native", "cv2", "device"],
+                   help="where augmentation pixels are computed: 'auto' = "
+                        "C++ when built else cv2; 'device' runs the pixel "
+                        "pipeline inside the jitted program (host keeps "
+                        "decode+resize only)")
     p.add_argument("--early_stopping", action="store_true",
                    help="stop after `patience` epochs without val_acc "
                         "improvement (activates the reference's "

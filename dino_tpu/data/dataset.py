@@ -99,6 +99,16 @@ def epoch_indices(rng: np.random.Generator, n_items: int,
     return rng.integers(0, n_items, size=samples_per_epoch)
 
 
+def _params_for(seed, size: int) -> dict:
+    """Per-sample augmentation parameters from a per-sample seed — the ONE
+    place the rng is constructed and consumed, shared by every backend
+    (device / native C++ / cv2 fallback): the cross-backend determinism
+    contract lives here."""
+    rng = (np.random.default_rng(seed) if seed is not None
+           else np.random.default_rng())
+    return draw_params(rng, size)
+
+
 def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
                    batch_size: int, rng: Optional[np.random.Generator] = None,
                    num_workers: int = 8
@@ -161,9 +171,7 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
         for start in range(0, len(indices), batch_size):
             chunk = [int(i) for i in indices[start:start + batch_size]]
             chunk_seeds = seeds[start:start + batch_size]
-            params = [draw_params(np.random.default_rng(s) if s is not None
-                                  else np.random.default_rng(), res)
-                      for s in chunk_seeds]
+            params = [_params_for(s, res) for s in chunk_seeds]
             packed = np.stack([pack_params(p) for p in params])
             imgs = (native_loader.load_batch(
                         [dataset.files[i] for i in chunk], res, res)
@@ -194,11 +202,8 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
         for start in range(0, len(indices), batch_size):
             chunk = [int(i) for i in indices[start:start + batch_size]]
             chunk_seeds = seeds[start:start + batch_size]
-            params = np.stack([
-                pack_params(draw_params(
-                    np.random.default_rng(s) if s is not None
-                    else np.random.default_rng(), res))
-                for s in chunk_seeds])
+            params = np.stack([pack_params(_params_for(s, res))
+                               for s in chunk_seeds])
             native = native_loader.augment_batch(
                 [dataset.files[i] for i in chunk],
                 [dataset._load_mask(i) for i in chunk], res, params)
@@ -208,9 +213,7 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
                 # attempts; identical rng consumption to the native path)
                 items = []
                 for i, s in zip(chunk, chunk_seeds):
-                    r = (np.random.default_rng(s) if s is not None
-                         else np.random.default_rng())
-                    p = draw_params(r, res)
+                    p = _params_for(s, res)
                     img, mask = apply_params(p, *dataset._load_raw(i), res)
                     items.append((img, resize_nearest(mask, grid,
                                                       grid).reshape(-1)))

@@ -6,7 +6,7 @@ contract): randomness is still drawn on the host (`draw_params` /
 `pack_params` — the SAME packed float32[24] layout the C++ pipeline
 consumes), but every pixel op — RandomResizedCrop, ShiftScaleRotate,
 HFlip, ColorJitter, GaussianBlur, plus the mask's nearest-grid downsample —
-runs inside one vmapped device program.  The host's per-sample work drops to
+run inside one vmapped device program.  The host's per-sample work drops to
 decode+resize (the eval path), which matters exactly where training is
 host-bound: the device step is ~2 ms/sample while the host augment chain is
 ~16 ms/core-sample (PERF.md "Host pipeline"), so on few-core hosts the
@@ -17,7 +17,7 @@ follow cv2's coordinate conventions (half-pixel bilinear with clamped taps;
 reflect-101 affine borders; torchvision floor-nearest for masks) in float
 math with round-half-up between stages — images match the cv2 oracle to the
 same tolerance class as the native C++ backend (MAD < 2.5 levels, mask
-agreement > 99%), and the hue/quantization differences are per-backend, as
+agreement > 97%), and the hue/quantization differences are per-backend, as
 data/augment.py documents.  Flip is bit-exact.
 """
 from __future__ import annotations

@@ -45,8 +45,9 @@ def hbm_stats(device=None) -> Optional[dict]:
     backend doesn't expose memory_stats (the virtual CPU mesh).  The
     reference's equivalent telemetry is torch.cuda.max_memory_allocated in
     the dormant MetricLogger (utils.py:395-399); here it is a first-class
-    utility — fit() logs it once after the first step so OOM headroom is
-    visible in every training log.
+    utility — fit() attaches it to every epoch's metrics, so OOM headroom
+    is visible in the training log (peak_bytes_in_use is the process
+    lifetime peak, not a per-epoch peak).
     """
     if device is None:
         devices = jax.local_devices()

@@ -111,3 +111,8 @@ def test_evaluate_empty_dir_raises(model, tmp_path):
     os.makedirs(tmp_path / "SegmentationClass")
     with pytest.raises(FileNotFoundError):
         model.evaluate(str(tmp_path))
+
+
+def test_evaluate_rejects_non_multiple_of_8(model, voc_dir):
+    with pytest.raises(ValueError, match="multiple of 8"):
+        model.evaluate(voc_dir, resolution=100)

@@ -201,3 +201,19 @@ def test_cnn_backbone_export_rejected(tmp_path):
     with pytest.raises(ValueError, match="ViT backbone"):
         export_pl_checkpoint(str(tmp_path / "x.ckpt"), {}, None, "mlp",
                              hparams={"backbone": "cnn1"})
+
+
+def test_sgd_optimizer_exports_and_unknown_raises(tmp_path):
+    import torch as _torch
+    from dino_tpu.checkpointing.torch_convert import export_pl_checkpoint
+    from dino_tpu import DINOSeg
+    m = DINOSeg(head="linear", n_blocks=1, n_classes=3, random_init=True,
+                optimizer="sgd")
+    path = str(tmp_path / "sgd.ckpt")
+    m.save_torch_checkpoint(path)
+    ckpt = _torch.load(path, map_location="cpu", weights_only=False)
+    assert ckpt["hyper_parameters"]["optimizer"] is _torch.optim.SGD
+    with pytest.raises(ValueError, match="cannot export optimizer"):
+        export_pl_checkpoint(str(tmp_path / "x.ckpt"), m.vit_params,
+                             m.head_params, "linear",
+                             hparams={"optimizer": "lars"})

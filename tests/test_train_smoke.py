@@ -400,3 +400,28 @@ def test_early_stopping_default_off(voc_root, tmp_path):
                                   orig_log(m, step))
     model.fit(samples_per_epoch=8)
     assert epochs == [0, 1, 2, 3]  # runs to max_epochs, like the reference
+
+
+def test_early_stopping_resume_trains_no_extra_epoch(voc_root, tmp_path):
+    """A resumed run that had already exhausted patience must not train
+    (or re-save a best checkpoint for) one more epoch."""
+    kw = dict(data_path=voc_root, write_path=str(tmp_path / "r"),
+              head="linear", n_blocks=1, n_classes=N_CLASSES, batch_size=4,
+              lr=0.0, optimizer="adam", freeze_backbone=True, max_epochs=10,
+              patience=2, random_init=True, augmented=False,
+              train_resolution=RES, seed=0, precision="fp32")
+    model = DINOSeg(**kw)
+    model.fit(samples_per_epoch=8, early_stopping=True, resume=True)
+
+    model2 = DINOSeg(**kw)
+    epochs = []
+    orig = model2._log
+
+    def capture(metrics, step):
+        if "val_acc" in metrics and step >= 0:
+            epochs.append(step)
+        orig(metrics, step)
+
+    model2._log = capture
+    model2.fit(samples_per_epoch=8, early_stopping=True, resume=True)
+    assert epochs == [], epochs  # zero training epochs on the resumed run

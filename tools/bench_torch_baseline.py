@@ -120,16 +120,22 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
-    out.update({
-        "config": "ViT-S/8 3-block + MLP head, 480px single-frame predict",
+    host_meta = {
         "torch_version": torch.__version__,
         "torch_threads": torch.get_num_threads(),
         "cpu_count": os.cpu_count(),
-    })
+    }
+    out.setdefault("config",
+                   "ViT-S/8 3-block + MLP head, 480px single-frame predict")
+    # host metadata is stamped only next to the number measured on THIS
+    # host — a --train-only rerun must not re-label the retained predict
+    # measurement's environment
     if not args.train_only:
         out.update(measure_predict())
+        out.update(host_meta)
     if not args.predict_only:
         out.update(measure_train())
+        out.update({f"train_{k}": v for k, v in host_meta.items()})
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
