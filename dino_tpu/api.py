@@ -741,6 +741,9 @@ class DINOSeg:
         the host only decode+resize: the mode for hosts with few cores,
         where the ~16 ms/core-sample augment chain, not the ~2 ms device
         step, caps unfrozen-finetune throughput (PERF.md "Host pipeline").
+        Multi-host and SP feeds work but re-stage the augmented frames
+        through the host (host_local_array_to_global_array copies them
+        back), so the host backends are the better fit there.
 
         ``early_stopping=True`` activates the reference's commented-out
         EarlyStopping callback (pl_torch_modules.py:385-388 — monitor
