@@ -207,3 +207,34 @@ def augment(rng: np.random.Generator, img: np.ndarray, mask: np.ndarray,
             size: int = 480) -> Tuple[np.ndarray, np.ndarray]:
     """Full training augmentation. img uint8 (H,W,3), mask int (H,W)."""
     return apply_params(draw_params(rng, size), img, mask, size)
+
+
+def prepare_device_batch(imgs: np.ndarray, params: list, size: int
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side geometry staging for the DEVICE augmentation backend.
+
+    Affine warps are per-pixel gathers — the one augmentation op TPUs run
+    poorly (~6 ms/sample measured vs <1 ms for everything else combined,
+    PERF.md "Device-side augmentation").  ShiftScaleRotate fires on only
+    25% of samples, so those samples get their geometry (crop + warp) done
+    HERE with cv2 — which is the oracle, i.e. exact reference semantics —
+    and their crop/affine flags are cleared before the packed params go to
+    the device program (which therefore contains no warp at all).
+    Returns (imgs with host geometry applied where needed, packed
+    (B, PARAMS_LEN) float32).
+    """
+    imgs = np.asarray(imgs)
+    out = []
+    packed = []
+    for img, p in zip(imgs, params):
+        if p["affine"] is not None:
+            if p["crop"] is not None:
+                x0, y0, cw, ch = p["crop"]
+                img, _ = resize_pair(img[y0:y0 + ch, x0:x0 + cw], None, size)
+            img = cv2.warpAffine(img, np.asarray(p["affine"], np.float64),
+                                 (size, size), flags=cv2.INTER_LINEAR,
+                                 borderMode=cv2.BORDER_REFLECT_101)
+            p = dict(p, crop=None, affine=None)
+        out.append(img)
+        packed.append(pack_params(p))
+    return np.stack(out), np.stack(packed)

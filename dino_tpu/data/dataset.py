@@ -163,6 +163,7 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
     # yielded as device arrays — no host roundtrip before the train step.
     if dataset.augmented and dataset.backend == "device":
         from dino_tpu.data import native_loader
+        from dino_tpu.data.augment import prepare_device_batch
         from dino_tpu.data.augment import resize_pair as _rp
         from dino_tpu.ops.device_augment import (augment_grid_mask,
                                                  device_augment_batch)
@@ -172,13 +173,16 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
             chunk = [int(i) for i in indices[start:start + batch_size]]
             chunk_seeds = seeds[start:start + batch_size]
             params = [_params_for(s, res) for s in chunk_seeds]
-            packed = np.stack([pack_params(p) for p in params])
             imgs = (native_loader.load_batch(
                         [dataset.files[i] for i in chunk], res, res)
                     if native_loader.get_lib() is not None else None)
             if imgs is None:
                 imgs = np.stack([_rp(dataset._load_raw(i)[0], None, res)[0]
                                  for i in chunk])
+            # affine-firing samples (25%) get crop+warp here with cv2 (the
+            # oracle); their flags clear so the device program needs no
+            # per-pixel gather (see prepare_device_batch)
+            imgs, packed = prepare_device_batch(imgs, params, res)
             # grid labels on host: composed nearest sampling, exact vs the
             # transform-then-downsample pipeline; only uint8 frames ride
             # the host->device wire

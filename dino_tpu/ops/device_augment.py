@@ -4,21 +4,29 @@ pipeline (reference pl_torch_modules.py:44-57) as one jitted XLA program.
 Third backend next to the cv2 and native-C++ host pipelines (data/augment.py
 contract): randomness is still drawn on the host (`draw_params` /
 `pack_params` — the SAME packed float32[24] layout the C++ pipeline
-consumes), but every pixel op — RandomResizedCrop, ShiftScaleRotate,
-HFlip, ColorJitter, GaussianBlur, plus the mask's nearest-grid downsample —
-run inside one vmapped device program.  The host's per-sample work drops to
-decode+resize (the eval path), which matters exactly where training is
-host-bound: the device step is ~2 ms/sample while the host augment chain is
-~16 ms/core-sample (PERF.md "Host pipeline"), so on few-core hosts the
-augmentation, not the chip, caps unfrozen-finetune throughput.
+consumes); RandomResizedCrop, HFlip, ColorJitter and GaussianBlur run inside
+one vmapped device program built ENTIRELY of MXU/VPU-friendly ops — the
+geometry as banded-matrix resampling matmuls, the blur as banded matmuls,
+the jitter as fused elementwise chains; no per-pixel gather anywhere
+(gathers are the one thing TPUs run poorly: the first cut's gather-based
+warp measured ~10x the rest of the program combined).  ShiftScaleRotate —
+inherently a 2-D gather — is therefore staged on the HOST with cv2 (exact
+oracle pixels) for the 25% of samples whose affine fires
+(data/augment.py:prepare_device_batch), and the token-grid mask labels are
+composed nearest gathers on the host (:func:`augment_grid_mask`).  The
+host's per-sample work drops to decode+resize (+ the occasional warp),
+which matters exactly where training is host-bound: the train step is
+~2 ms/sample while the host augment chain is ~16 ms/core-sample (PERF.md
+"Host pipeline"), so on few-core hosts the augmentation, not the chip,
+caps unfrozen-finetune throughput.
 
-Numerics contract (enforced by tests/test_device_augment.py): geometry ops
-follow cv2's coordinate conventions (half-pixel bilinear with clamped taps;
-reflect-101 affine borders; torchvision floor-nearest for masks) in float
-math with round-half-up between stages — images match the cv2 oracle to the
-same tolerance class as the native C++ backend (MAD < 2.5 levels, mask
-agreement > 97%), and the hue/quantization differences are per-backend, as
-data/augment.py documents.  Flip is bit-exact.
+Numerics contract (enforced by tests/test_device_augment.py): geometry
+follows cv2's coordinate conventions (half-pixel bilinear with clamped
+taps; torchvision floor-nearest for masks) in float math with
+round-half-up between stages — images match the cv2 oracle to the same
+tolerance class as the native C++ backend (MAD < 2.5 levels, mask
+agreement > 97%); affine samples are cv2-exact by construction; flip is
+bit-exact.
 """
 from __future__ import annotations
 
@@ -37,38 +45,6 @@ MAX_BLUR = 41  # albumentations blur_limit upper bound (static tap count)
 # sampling helpers (per-sample; everything static-shaped)
 # ---------------------------------------------------------------------------
 
-def _reflect101(idx, n: int):
-    """Fold integer indices into [0, n-1] with cv2 BORDER_REFLECT_101
-    semantics (period 2(n-1), edge not repeated)."""
-    period = 2 * (n - 1)
-    idx = jnp.abs(idx) % period
-    return jnp.where(idx >= n, period - idx, idx)
-
-
-def _bilinear_gather(img, fy, fx, reflect: bool):
-    """Sample img (S,S,C) at float coords (fy, fx) each (S,S); taps clamp
-    (cv2.resize) or reflect-101 (cv2.warpAffine)."""
-    s = img.shape[0]
-    y0 = jnp.floor(fy)
-    x0 = jnp.floor(fx)
-    ty = (fy - y0)[..., None]
-    tx = (fx - x0)[..., None]
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    def fold(i):
-        return (_reflect101(i, s) if reflect
-                else jnp.clip(i, 0, s - 1))
-
-    v00 = img[fold(y0), fold(x0)]
-    v01 = img[fold(y0), fold(x0 + 1)]
-    v10 = img[fold(y0 + 1), fold(x0)]
-    v11 = img[fold(y0 + 1), fold(x0 + 1)]
-    top = v00 * (1 - tx) + v01 * tx
-    bot = v10 * (1 - tx) + v11 * tx
-    return top * (1 - ty) + bot * ty
-
-
 def _round_u8(x):
     return jnp.clip(jnp.floor(x + 0.5), 0.0, 255.0)
 
@@ -77,10 +53,25 @@ def _round_u8(x):
 # per-op implementations
 # ---------------------------------------------------------------------------
 
-def _crop_resize(img, mask, p):
+def _resample_matrix(f, s: int):
+    """(S,) float source coords -> (S, S) two-tap bilinear resampling
+    matrix, built with comparisons (TPU scatters are slow; a dense mask
+    compare is vectorized VPU work and the result feeds the MXU)."""
+    i0 = jnp.floor(f)
+    t = (f - i0)[:, None]
+    cols = jnp.arange(s, dtype=jnp.float32)[None, :]
+    lo = jnp.clip(i0, 0, s - 1)[:, None]
+    hi = jnp.clip(i0 + 1, 0, s - 1)[:, None]
+    return ((cols == lo) * (1.0 - t) + (cols == hi) * t).astype(jnp.float32)
+
+
+def _crop_resize(img, p):
     """RandomResizedCrop: crop (x0,y0,cw,ch) then resize back to S x S —
     cv2.resize semantics on the crop (half-pixel bilinear, clamped taps for
-    the image; floor-nearest for the mask)."""
+    the image; floor-nearest for the mask).  The coordinates are separable
+    (rows depend on i only, columns on j only), so the whole op is two
+    banded matmuls — MXU work, vs a per-pixel 2-D gather which measured
+    ~20 ms/sample on TPU."""
     s = img.shape[0]
     on = p[0] > 0.5
     x0, y0, cw, ch = p[1], p[2], p[3], p[4]
@@ -90,44 +81,13 @@ def _crop_resize(img, mask, p):
     fx = jnp.clip((d + 0.5) * cw / s - 0.5, 0.0, cw - 1.0) + x0
     fy = jnp.where(on, fy, d)
     fx = jnp.where(on, fx, d)
-    out = _bilinear_gather(img, fy[:, None] * jnp.ones((1, s)),
-                           jnp.ones((s, 1)) * fx[None, :], reflect=False)
-    # mask: cv2 INTER_NEAREST src = floor(dst * c/s)
-    if mask is None:
-        return _round_u8(out), None
-    my = jnp.clip(jnp.floor(d * ch / s), 0, jnp.maximum(ch - 1, 0)) + y0
-    mx = jnp.clip(jnp.floor(d * cw / s), 0, jnp.maximum(cw - 1, 0)) + x0
-    my = jnp.where(on, my, d).astype(jnp.int32)
-    mx = jnp.where(on, mx, d).astype(jnp.int32)
-    mask_out = mask[jnp.clip(my, 0, s - 1)][:, jnp.clip(mx, 0, s - 1)]
-    return _round_u8(out), mask_out
-
-
-def _affine(img, mask, p):
-    """ShiftScaleRotate: cv2.warpAffine with the forward 2x3 matrix M
-    (dst = M @ src), INTER_LINEAR / INTER_NEAREST, BORDER_REFLECT_101."""
-    s = img.shape[0]
-    on = p[5] > 0.5
-    a, b, tx_ = p[6], p[7], p[8]
-    c, d_, ty_ = p[9], p[10], p[11]
-    det = a * d_ - b * c
-    inv = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    dst = jnp.arange(s, dtype=jnp.float32)
-    dx = jnp.ones((s, 1)) * dst[None, :]
-    dy = dst[:, None] * jnp.ones((1, s))
-    # src = A^-1 (dst - t)
-    ux = dx - tx_
-    uy = dy - ty_
-    fx = (d_ * ux - b * uy) / inv
-    fy = (-c * ux + a * uy) / inv
-    fx = jnp.where(on, fx, dx)
-    fy = jnp.where(on, fy, dy)
-    out = _bilinear_gather(img, fy, fx, reflect=True)
-    if mask is None:
-        return _round_u8(out), None
-    ny = _reflect101(jnp.floor(fy + 0.5).astype(jnp.int32), s)
-    nx = _reflect101(jnp.floor(fx + 0.5).astype(jnp.int32), s)
-    return _round_u8(out), mask[ny, nx]
+    wy = _resample_matrix(fy, s)
+    wx = _resample_matrix(fx, s)
+    out = jnp.einsum("ip,pjc->ijc", wy, img,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("jq,iqc->ijc", wx, out,
+                     preferred_element_type=jnp.float32)
+    return _round_u8(out)
 
 
 def _rgb_to_hsv(x):
@@ -189,19 +149,26 @@ def _jitter(img, p):
         h = jnp.mod(h + shift, 1.0)
         return _hsv_to_rgb(h, sat, v) * 255.0
 
-    def body(x, idx):
-        x = jax.lax.switch(idx, [op_brightness, op_contrast,
-                                 op_saturation, op_hue], x)
-        return jnp.clip(x, 0.0, 255.0), None
-
-    jittered, _ = jax.lax.scan(body, img, order)
+    # unrolled (vs lax.scan): the scan boundary blocks XLA from fusing the
+    # elementwise chains between steps
+    jittered = img
+    for step in range(4):
+        jittered = jax.lax.switch(order[step],
+                                  [op_brightness, op_contrast,
+                                   op_saturation, op_hue], jittered)
+        jittered = jnp.clip(jittered, 0.0, 255.0)
     return jnp.where(on, _round_u8(jittered), img)
 
 
 def _blur(img, p):
     """GaussianBlur(k, sigmaX=0): cv2 derives sigma = 0.3((k-1)/2 - 1) + 0.8
     and reflect-101 borders; separable taps padded to the static MAX_BLUR
-    width (weights beyond the drawn k are zero)."""
+    width (weights beyond the drawn k are zero).
+
+    Each pass is a banded (S, S+2pad) matmul built from the 41 taps — MXU
+    work — instead of gathering (S, 41, S, C) tap windows, which is
+    HBM-bound and measured ~20 ms/sample; the matmul form runs the whole
+    pipeline at ~1 ms/sample (PERF.md "Device-side augmentation")."""
     s = img.shape[0]
     on = p[22] > 0.5
     k = jnp.clip(p[23], 3.0, MAX_BLUR)
@@ -212,19 +179,30 @@ def _blur(img, p):
     w = jnp.where(jnp.abs(pos) <= half + 0.01, w, 0.0)
     w = w / jnp.sum(w)
     pad = (MAX_BLUR - 1) // 2
+    # band[i, p] = w[p - i] for p-i in [0, MAX_BLUR): built with a tiny-table
+    # take + compare mask (a scatter here measured ~5 ms/sample on TPU)
+    delta = (jnp.arange(s + 2 * pad)[None, :]
+             - jnp.arange(s)[:, None])                      # (S, S+2pad)
+    band = jnp.where((delta >= 0) & (delta < MAX_BLUR),
+                     jnp.take(w, jnp.clip(delta, 0, MAX_BLUR - 1)), 0.0)
     # numpy/jnp 'reflect' == cv2 BORDER_REFLECT_101 (edge not repeated)
     xp = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
-    rows = jnp.arange(s)[:, None] + jnp.arange(MAX_BLUR)[None, :]
-    x = jnp.einsum("t,sthc->shc", w, xp[rows])
+    x = jnp.einsum("ip,phc->ihc", band, xp,
+                   preferred_element_type=jnp.float32)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
-    x = jnp.einsum("t,hstc->hsc", w, xp[:, rows])
+    x = jnp.einsum("jp,hpc->hjc", band, xp,
+                   preferred_element_type=jnp.float32)
     return jnp.where(on, _round_u8(x), img)
 
 
 def _augment_one(img_u8, p):
+    # no _affine here: the loader pre-applies crop+warp on the HOST (cv2,
+    # i.e. exact oracle pixels) for the 25% of samples whose affine fires
+    # and clears their flags (data/augment.py:prepare_device_batch) — the
+    # warp's per-pixel gather is the one op TPUs run poorly, ~10x the rest
+    # of this program combined (PERF.md "Device-side augmentation")
     x = img_u8.astype(jnp.float32)
-    x, _ = _crop_resize(x, None, p)
-    x, _ = _affine(x, None, p)
+    x = _crop_resize(x, p)
     flip = p[12] > 0.5
     x = jnp.where(flip, x[:, ::-1], x)
     x = _jitter(x, p)

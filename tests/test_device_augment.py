@@ -34,9 +34,12 @@ def _null_params():
 
 def _run_both(p, img, mask):
     """(cv2 full-res img/mask, device img + host grid mask) for one param
-    set."""
+    set — through the same host-geometry staging the loader uses
+    (prepare_device_batch: affine-firing samples warp on host with cv2)."""
+    from dino_tpu.data.augment import prepare_device_batch
     cv_img, cv_mask = apply_params(p, img, mask, S)
-    d_img = device_augment_batch(img[None], pack_params(p)[None])
+    staged, packed = prepare_device_batch(img[None], [p], S)
+    d_img = device_augment_batch(staged, packed)
     d_grid = augment_grid_mask(resize_nearest(mask.astype(np.int32), S, S),
                                p, S, GRID)
     return cv_img, cv_mask, np.asarray(d_img[0]), d_grid
