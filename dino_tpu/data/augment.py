@@ -223,18 +223,20 @@ def prepare_device_batch(imgs: np.ndarray, params: list, size: int
     Returns (imgs with host geometry applied where needed, packed
     (B, PARAMS_LEN) float32).
     """
-    imgs = np.asarray(imgs)
-    out = []
-    packed = []
-    for img, p in zip(imgs, params):
+    # warped rows write back in place (the loader hands a fresh batch
+    # array); non-affine rows are untouched — no full-batch copy on the
+    # hot input path
+    imgs = np.ascontiguousarray(imgs)
+    packed = np.empty((len(params), PARAMS_LEN), np.float32)
+    for i, p in enumerate(params):
         if p["affine"] is not None:
+            img = imgs[i]
             if p["crop"] is not None:
                 x0, y0, cw, ch = p["crop"]
                 img, _ = resize_pair(img[y0:y0 + ch, x0:x0 + cw], None, size)
-            img = cv2.warpAffine(img, np.asarray(p["affine"], np.float64),
-                                 (size, size), flags=cv2.INTER_LINEAR,
-                                 borderMode=cv2.BORDER_REFLECT_101)
+            imgs[i] = cv2.warpAffine(img, np.asarray(p["affine"], np.float64),
+                                     (size, size), flags=cv2.INTER_LINEAR,
+                                     borderMode=cv2.BORDER_REFLECT_101)
             p = dict(p, crop=None, affine=None)
-        out.append(img)
-        packed.append(pack_params(p))
-    return np.stack(out), np.stack(packed)
+        packed[i] = pack_params(p)
+    return imgs, packed

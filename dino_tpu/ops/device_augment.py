@@ -67,11 +67,11 @@ def _resample_matrix(f, s: int):
 
 def _crop_resize(img, p):
     """RandomResizedCrop: crop (x0,y0,cw,ch) then resize back to S x S —
-    cv2.resize semantics on the crop (half-pixel bilinear, clamped taps for
-    the image; floor-nearest for the mask).  The coordinates are separable
-    (rows depend on i only, columns on j only), so the whole op is two
-    banded matmuls — MXU work, vs a per-pixel 2-D gather which measured
-    ~20 ms/sample on TPU."""
+    cv2.resize semantics on the crop (half-pixel bilinear, clamped taps).
+    The coordinates are separable (rows depend on i only, columns on j
+    only), so the whole op is two banded matmuls — MXU work, vs a
+    per-pixel 2-D gather which measured ~21 ms/batch16 on TPU
+    (PERF.md "Device-side augmentation")."""
     s = img.shape[0]
     on = p[0] > 0.5
     x0, y0, cw, ch = p[1], p[2], p[3], p[4]
@@ -84,9 +84,11 @@ def _crop_resize(img, p):
     wy = _resample_matrix(fy, s)
     wx = _resample_matrix(fx, s)
     out = jnp.einsum("ip,pjc->ijc", wy, img,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     out = jnp.einsum("jq,iqc->ijc", wx, out,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return _round_u8(out)
 
 
@@ -166,9 +168,9 @@ def _blur(img, p):
     width (weights beyond the drawn k are zero).
 
     Each pass is a banded (S, S+2pad) matmul built from the 41 taps — MXU
-    work — instead of gathering (S, 41, S, C) tap windows, which is
-    HBM-bound and measured ~20 ms/sample; the matmul form runs the whole
-    pipeline at ~1 ms/sample (PERF.md "Device-side augmentation")."""
+    work — instead of gathering (S, 41, S, C) tap windows (HBM-bound); the
+    matmul form runs this stage at ~0.13 ms/batch16
+    (PERF.md "Device-side augmentation")."""
     s = img.shape[0]
     on = p[22] > 0.5
     k = jnp.clip(p[23], 3.0, MAX_BLUR)
@@ -180,7 +182,7 @@ def _blur(img, p):
     w = w / jnp.sum(w)
     pad = (MAX_BLUR - 1) // 2
     # band[i, p] = w[p - i] for p-i in [0, MAX_BLUR): built with a tiny-table
-    # take + compare mask (a scatter here measured ~5 ms/sample on TPU)
+    # take + compare mask (a scatter here measured ~5.7 ms/batch16 on TPU)
     delta = (jnp.arange(s + 2 * pad)[None, :]
              - jnp.arange(s)[:, None])                      # (S, S+2pad)
     band = jnp.where((delta >= 0) & (delta < MAX_BLUR),
@@ -188,10 +190,12 @@ def _blur(img, p):
     # numpy/jnp 'reflect' == cv2 BORDER_REFLECT_101 (edge not repeated)
     xp = jnp.pad(img, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
     x = jnp.einsum("ip,phc->ihc", band, xp,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
     x = jnp.einsum("jp,hpc->hjc", band, xp,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return jnp.where(on, _round_u8(x), img)
 
 
@@ -227,10 +231,27 @@ def device_augment_batch(imgs_u8, packed_params):
     token-grid labels come from :func:`augment_grid_mask` on the host at
     negligible cost, and the host->device transfer is just the uint8
     frames (full-res int masks would triple the bytes on the wire).
+
+    PRECONDITION: the batch must come through
+    data.augment.prepare_device_batch, which applies the affine warps on
+    the host (cv2) and clears their flags — this program contains no warp
+    (per-pixel gathers are the one op TPUs run poorly).  A packed row with
+    its affine flag still set is rejected loudly: silently skipping the
+    warp while augment_grid_mask applies it to the labels would
+    geometrically misalign pixels and labels.
     """
+    packed_params = np.asarray(packed_params, np.float32)
+    if packed_params.ndim != 2 or packed_params.shape[1] != 24:
+        raise ValueError(f"packed params must be (B, 24); got "
+                         f"{packed_params.shape}")
+    if np.any(packed_params[:, 5] > 0.5):
+        raise ValueError(
+            "packed params carry a live affine flag; stage the batch "
+            "through data.augment.prepare_device_batch first (the device "
+            "program applies no warp)")
     size = int(imgs_u8.shape[1])
     fn = _augment_fn(size)
-    return fn(jnp.asarray(imgs_u8), jnp.asarray(packed_params, jnp.float32))
+    return fn(jnp.asarray(imgs_u8), jnp.asarray(packed_params))
 
 
 # ---------------------------------------------------------------------------
