@@ -1,5 +1,6 @@
-"""Training augmentations ON DEVICE: the whole albumentations-equivalent
-pipeline (reference pl_torch_modules.py:44-57) as one jitted XLA program.
+"""Training augmentations ON DEVICE: the albumentations-equivalent pipeline
+(reference pl_torch_modules.py:44-57) as one jitted XLA program, except the
+rotation warp, which is staged on the host (rationale below).
 
 Third backend next to the cv2 and native-C++ host pipelines (data/augment.py
 contract): randomness is still drawn on the host (`draw_params` /
