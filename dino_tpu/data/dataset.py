@@ -165,11 +165,13 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
         from dino_tpu.data import native_loader
         from dino_tpu.data.augment import prepare_device_batch
         from dino_tpu.data.augment import resize_pair as _rp
+        from dino_tpu.data.prefetch import prefetched
         from dino_tpu.ops.device_augment import (augment_grid_mask,
                                                  device_augment_batch)
         res = dataset.resolution
         grid = res // dataset.patch_size
-        for start in range(0, len(indices), batch_size):
+
+        def load_chunk(start: int):
             chunk = [int(i) for i in indices[start:start + batch_size]]
             chunk_seeds = seeds[start:start + batch_size]
             params = [_params_for(s, res) for s in chunk_seeds]
@@ -191,6 +193,13 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
                     resize_nearest(dataset._load_mask(i), res, res),
                     p, res, grid)
                 for i, p in zip(chunk, params)])
+            return imgs, packed, masks
+
+        # decode of chunk k+1 overlaps the device augment + train step of
+        # chunk k (the loader rng stream is a pure function of the chunk
+        # start, so prefetching cannot change the pixel stream)
+        for _, (imgs, packed, masks) in prefetched(
+                range(0, len(indices), batch_size), load_chunk):
             yield device_augment_batch(imgs, packed), masks
         return
 

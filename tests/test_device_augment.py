@@ -207,3 +207,45 @@ def test_unknown_backend_rejected():
     from dino_tpu.data.dataset import DuckieSegDataset
     with pytest.raises(ValueError, match="backend"):
         DuckieSegDataset("x", backend="gpu")
+
+
+def test_fit_device_backend_composes_with_accum(tmp_path):
+    """augment_backend='device' feeds device arrays into the accumulating
+    train step — the two features must compose."""
+    import os
+    from PIL import Image
+    from dino_tpu import DINOSeg
+
+    root = str(tmp_path)
+    rs = np.random.RandomState(1)
+    colors = np.array([[200, 40, 40], [40, 200, 40], [40, 40, 200]])
+    for split, n in (("train", 8), ("val", 2), ("test", 2)):
+        jd = os.path.join(root, f"dt_real_voc_{split}", "JPEGImages")
+        md = os.path.join(root, f"dt_real_voc_{split}", "SegmentationClass")
+        os.makedirs(jd), os.makedirs(md)
+        for i in range(n):
+            mask = rs.randint(0, 3, (S, S)).astype(np.int64)
+            img = np.clip(colors[mask] + rs.randn(S, S, 3) * 5,
+                          0, 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(jd, f"im{i}.jpg"),
+                                      quality=95)
+            np.save(os.path.join(md, f"im{i}.npy"), mask)
+
+    model = DINOSeg(data_path=root, write_path=str(tmp_path / "out"),
+                    head="mlp", n_blocks=1, n_classes=3, batch_size=4,
+                    lr=1e-3, optimizer="adam", freeze_backbone=False,
+                    max_epochs=1, random_init=True, augmented=True,
+                    train_resolution=S, seed=0, precision="fp32")
+    metrics = model.fit(samples_per_epoch=8, augment_backend="device",
+                        accum_steps=2, cache_features=False)
+    assert 0.0 <= metrics["test_acc"] <= 1.0
+
+
+def test_device_augment_rejects_live_affine_flag():
+    from dino_tpu.data.augment import _draw_affine
+    rng = np.random.default_rng(3)
+    p = _null_params()
+    p["affine"] = _draw_affine(rng, S)
+    img = _rand_img(9)
+    with pytest.raises(ValueError, match="affine flag"):
+        device_augment_batch(img[None], pack_params(p)[None])
