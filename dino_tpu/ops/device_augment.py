@@ -125,29 +125,47 @@ def _hsv_to_rgb(h, s, v):
     return jnp.stack([r, g, b], axis=-1)
 
 
+def _trunc_u8(x):
+    """float -> uint8 value range the way numpy's .astype(np.uint8) does
+    after a clip: truncation, NOT rounding (the cv2 oracle's conversions,
+    data/augment.py:_apply_jitter)."""
+    return jnp.clip(jnp.floor(x), 0.0, 255.0)
+
+
+def _cv2_gray_u8(x_u8):
+    """cv2 RGB2GRAY on uint8, bit-exact: fixed-point
+    (R*4899 + G*9617 + B*1868 + 8192) >> 14 (all values < 2^24, exact in
+    f32)."""
+    w = jnp.array([4899.0, 9617.0, 1868.0], jnp.float32)
+    return jnp.floor((x_u8 @ w + 8192.0) / 16384.0)
+
+
 def _jitter(img, p):
     """ColorJitter: the cv2 oracle's op order/semantics (data/augment.py
     _apply_jitter) in float: brightness scale, contrast toward the mean
     gray, saturation toward per-pixel gray, hue rotation (uint8-HSV's 180
-    levels -> shift of round(hshift*180)/180 of a turn); clip after each."""
+    levels -> shift of round(hshift*180)/180 of a turn); clip after each.
+    uint8 conversions TRUNCATE and the gray uses cv2's fixed-point
+    coefficients, mirroring the oracle exactly — brightness/contrast/
+    saturation are bit-faithful; only the hue rotation (float HSV vs cv2's
+    table-quantized uint8 HSV) is tolerance-matched."""
     on = p[13] > 0.5
     order = p[14:18].astype(jnp.int32)
     b, c, s_, hshift = p[18], p[19], p[20], p[21]
-    gray_w = jnp.array([0.299, 0.587, 0.114], jnp.float32)
 
     def op_brightness(x):
         return x * b
 
     def op_contrast(x):
-        gray = jnp.mean(jnp.round(_round_u8(x) @ gray_w))
+        gray = jnp.mean(_cv2_gray_u8(_trunc_u8(x)))
         return x * c + gray * (1 - c)
 
     def op_saturation(x):
-        gray = jnp.round(_round_u8(x) @ gray_w)
+        gray = _cv2_gray_u8(_trunc_u8(x))
         return x * s_ + gray[..., None] * (1 - s_)
 
     def op_hue(x):
-        h, sat, v = _rgb_to_hsv(_round_u8(x) / 255.0)
+        h, sat, v = _rgb_to_hsv(_trunc_u8(x) / 255.0)
         shift = jnp.round(hshift * 180.0) / 180.0
         h = jnp.mod(h + shift, 1.0)
         return _hsv_to_rgb(h, sat, v) * 255.0
@@ -160,7 +178,7 @@ def _jitter(img, p):
                                   [op_brightness, op_contrast,
                                    op_saturation, op_hue], jittered)
         jittered = jnp.clip(jittered, 0.0, 255.0)
-    return jnp.where(on, _round_u8(jittered), img)
+    return jnp.where(on, _trunc_u8(jittered), img)
 
 
 def _blur(img, p):
