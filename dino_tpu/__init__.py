@@ -14,19 +14,32 @@ def _enable_persistent_compile_cache() -> None:
     Disable with DINO_TPU_NO_COMPILE_CACHE=1 or by setting
     JAX_COMPILATION_CACHE_DIR yourself.
 
-    The directory is keyed per host-CPU capability (utils/hostcpu.py):
-    XLA:CPU cache entries are AOT executables for the compiling host's exact
-    ISA features, and loading one on a different CPU generation (shared home
-    dir, migrated container) mis-executes or SIGILLs.
+    The directory is keyed per host-CPU capability AND per codegen
+    environment (utils/hostcpu.compile_env_tag): XLA:CPU cache entries are
+    AOT executables for the compiling host's exact ISA features *plus*
+    compile-option pseudo-features set by the runtime environment, and
+    loading one on a different CPU generation (shared home dir, migrated
+    container) or under different XLA flags mis-executes, SIGILLs, or at
+    minimum logs a loader error per entry.
     """
     if _os.environ.get("DINO_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    # Skip the cache when this process targets the CPU backend (tests,
+    # multi-chip dryruns on a forced host mesh): XLA:CPU compiles are cheap,
+    # and this XLA version stamps compile-option pseudo-features
+    # (+prefer-no-scatter/-gather) into every CPU AOT entry that its own
+    # loader then reports as a machine-feature mismatch on EVERY cache hit —
+    # one loader error line per program, even on the machine that wrote it.
+    plats = (_os.environ.get("JAX_PLATFORMS")
+             or _os.environ.get("JAX_PLATFORM_NAME") or "")
+    if plats.split(",")[0].strip().lower() == "cpu":
         return
     try:
         import jax
         if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:
-            from dino_tpu.utils.hostcpu import cpu_tag
+            from dino_tpu.utils.hostcpu import compile_env_tag
             cache = _os.path.join(_os.path.expanduser("~"), ".cache",
-                                  "dino_tpu", "xla_cache", cpu_tag())
+                                  "dino_tpu", "xla_cache", compile_env_tag())
             _os.makedirs(cache, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

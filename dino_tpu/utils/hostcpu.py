@@ -15,6 +15,7 @@ stdlib-only: imported from dino_tpu/__init__ before jax is configured.
 from __future__ import annotations
 
 import hashlib
+import os
 import platform
 
 
@@ -39,4 +40,21 @@ def cpu_tag() -> str:
         # RISC-V 'isa'): fall back to per-host keying rather than letting
         # different CPU generations collide on one machine()-only slot
         sig += platform.node()
+    return hashlib.md5(sig.encode()).hexdigest()[:8]
+
+
+def compile_env_tag() -> str:
+    """Cache key for the persistent XLA compilation cache: cpu_tag plus the
+    env vars that change XLA:CPU codegen *on the same CPU*.
+
+    XLA embeds compile-option pseudo-features (e.g. +prefer-no-scatter,
+    +prefer-no-gather) in its AOT executables as machine features, and those
+    options differ between runtime environments (a forced-host-CPU mesh vs a
+    CPU fallback next to a TPU plugin).  Reusing an entry across environments
+    makes every load log a 'machine type ... doesn't match' error.  Keying
+    the cache dir on XLA_FLAGS / JAX_PLATFORMS keeps each environment's
+    entries separate; within one environment the cache still hits."""
+    sig = cpu_tag()
+    for var in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        sig += f"|{var}={os.environ.get(var, '')}"
     return hashlib.md5(sig.encode()).hexdigest()[:8]
