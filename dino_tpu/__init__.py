@@ -24,16 +24,26 @@ def _enable_persistent_compile_cache() -> None:
     """
     if _os.environ.get("DINO_TPU_NO_COMPILE_CACHE") == "1":
         return
-    # Skip the cache when this process targets the CPU backend (tests,
-    # multi-chip dryruns on a forced host mesh): XLA:CPU compiles are cheap,
-    # and this XLA version stamps compile-option pseudo-features
-    # (+prefer-no-scatter/-gather) into every CPU AOT entry that its own
-    # loader then reports as a machine-feature mismatch on EVERY cache hit —
-    # one loader error line per program, even on the machine that wrote it.
+    # Enable the cache only when this process plausibly targets a TPU:
+    # XLA:CPU compiles are cheap to redo, and this XLA version stamps
+    # compile-option pseudo-features (+prefer-no-scatter/-gather) into every
+    # CPU AOT entry that its own loader then reports as a machine-feature
+    # mismatch on EVERY cache hit — one loader error line per program, even
+    # on the machine that wrote it.  "Plausibly TPU" = the platform env
+    # explicitly names a non-cpu backend, or (env unset) a TPU runtime is
+    # importable — checking the env alone would leave the silent
+    # no-accelerator CPU fallback spamming.  Set JAX_COMPILATION_CACHE_DIR
+    # to force the cache on regardless (honored below).
     plats = (_os.environ.get("JAX_PLATFORMS")
              or _os.environ.get("JAX_PLATFORM_NAME") or "")
-    if plats.split(",")[0].strip().lower() == "cpu":
+    first = plats.split(",")[0].strip().lower()
+    if first == "cpu":
         return
+    if not first:
+        import importlib.util
+        if (importlib.util.find_spec("libtpu") is None
+                and importlib.util.find_spec("libtpu_nightly") is None):
+            return
     try:
         import jax
         if _os.environ.get("JAX_COMPILATION_CACHE_DIR") is None:

@@ -53,13 +53,16 @@ class DuckieSegDataset:
         return np.load(os.path.join(self.path, "SegmentationClass",
                                     name + ".npy")).astype(np.int32)
 
-    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _load_img(self, idx: int) -> np.ndarray:
         from dino_tpu.data import native_loader
         img = native_loader.decode(self.files[idx])  # C++ libjpeg path
         if img is None:
             with open(self.files[idx], "rb") as fh:
                 img = np.array(Image.open(fh).convert("RGB"))
-        return img, self._load_mask(idx)
+        return img
+
+    def _load_raw(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self._load_img(idx), self._load_mask(idx)
 
     def get(self, idx: int, rng: Optional[np.random.Generator] = None
             ) -> Tuple[np.ndarray, np.ndarray]:
@@ -178,9 +181,14 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
             imgs = (native_loader.load_batch(
                         [dataset.files[i] for i in chunk], res, res)
                     if native_loader.get_lib() is not None else None)
+            raw_masks = None
             if imgs is None:
-                imgs = np.stack([_rp(dataset._load_raw(i)[0], None, res)[0]
-                                 for i in chunk])
+                # one _load_raw per sample: its mask is reused below rather
+                # than re-read from disk via _load_mask (and _load_raw stays
+                # the single subclass override point)
+                raws = [dataset._load_raw(i) for i in chunk]
+                imgs = np.stack([_rp(im, None, res)[0] for im, _ in raws])
+                raw_masks = [m.astype(np.int32) for _, m in raws]
             # affine-firing samples (25%) get crop+warp here with cv2 (the
             # oracle); their flags clear so the device program needs no
             # per-pixel gather (see prepare_device_batch)
@@ -188,11 +196,11 @@ def batched_loader(dataset: DuckieSegDataset, indices: np.ndarray,
             # grid labels on host: composed nearest sampling, exact vs the
             # transform-then-downsample pipeline; only uint8 frames ride
             # the host->device wire
+            if raw_masks is None:
+                raw_masks = [dataset._load_mask(i) for i in chunk]
             masks = np.stack([
-                augment_grid_mask(
-                    resize_nearest(dataset._load_mask(i), res, res),
-                    p, res, grid)
-                for i, p in zip(chunk, params)])
+                augment_grid_mask(resize_nearest(m, res, res), p, res, grid)
+                for m, p in zip(raw_masks, params)])
             return imgs, packed, masks
 
         # decode of chunk k+1 overlaps the device augment + train step of

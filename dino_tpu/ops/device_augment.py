@@ -133,11 +133,18 @@ def _trunc_u8(x):
 
 
 def _cv2_gray_u8(x_u8):
-    """cv2 RGB2GRAY on uint8, bit-exact: fixed-point
-    (R*4899 + G*9617 + B*1868 + 8192) >> 14 (all values < 2^24, exact in
-    f32)."""
-    w = jnp.array([4899.0, 9617.0, 1868.0], jnp.float32)
-    return jnp.floor((x_u8 @ w + 8192.0) / 16384.0)
+    """cv2 RGB2GRAY on uint8 via OpenCV's classic fixed-point formula
+    (R*4899 + G*9617 + B*1868 + 8192) >> 14, computed exactly (every value
+    < 2^24, exact in f32).  NOTE the oracle ceiling: cv2 5.x's IPP-backed
+    cvtColor rounds half-cases by its own internal path, so ~0.3% of pixels
+    sit one level off this formula — grays feeding contrast/saturation are
+    one-level-tolerance vs the oracle, not bit-exact.
+    Elementwise mul-adds, NOT a dot: a dot obeys the ambient matmul
+    precision, and on TPU the DEFAULT (bf16) path rounds the coefficients
+    (4899/9617 need >8 mantissa bits), flipping the floored gray on a large
+    fraction of pixels; VPU elementwise ops are always exact f32."""
+    return jnp.floor((x_u8[..., 0] * 4899.0 + x_u8[..., 1] * 9617.0
+                      + x_u8[..., 2] * 1868.0 + 8192.0) / 16384.0)
 
 
 def _jitter(img, p):
@@ -146,9 +153,13 @@ def _jitter(img, p):
     gray, saturation toward per-pixel gray, hue rotation (uint8-HSV's 180
     levels -> shift of round(hshift*180)/180 of a turn); clip after each.
     uint8 conversions TRUNCATE and the gray uses cv2's fixed-point
-    coefficients, mirroring the oracle exactly — brightness/contrast/
-    saturation are bit-faithful; only the hue rotation (float HSV vs cv2's
-    table-quantized uint8 HSV) is tolerance-matched."""
+    coefficients, mirroring the oracle's integer semantics.  Fidelity per
+    op: brightness is bit-faithful (same f32 multiply both sides);
+    contrast/saturation track the oracle to the gray's one-level rounding
+    ties (see _cv2_gray_u8) plus f32 rounding of the oracle's float64
+    scalar chain (numpy evaluates `gray*(1-c)` in f64 before the f32 add;
+    the device has no f64); hue (float HSV vs cv2's table-quantized uint8
+    HSV) is tolerance-matched."""
     on = p[13] > 0.5
     order = p[14:18].astype(jnp.int32)
     b, c, s_, hshift = p[18], p[19], p[20], p[21]
@@ -157,7 +168,14 @@ def _jitter(img, p):
         return x * b
 
     def op_contrast(x):
-        gray = jnp.mean(_cv2_gray_u8(_trunc_u8(x)))
+        # integer-exact mean: the grays are integers <= 255, so their int32
+        # sum is exact (<= 480*480*255 < 2^31) where a plain f32 jnp.mean
+        # accumulates error past 2^24; split sum = q*n + r so both halves
+        # stay exactly representable in f32 (oracle: float64 .mean())
+        g = _cv2_gray_u8(_trunc_u8(x)).astype(jnp.int32)
+        n = g.size
+        q, r = jnp.divmod(jnp.sum(g), n)
+        gray = q.astype(jnp.float32) + r.astype(jnp.float32) / n
         return x * c + gray * (1 - c)
 
     def op_saturation(x):

@@ -49,6 +49,48 @@ def _grid(mask):
     return resize_nearest(np.asarray(mask), GRID, GRID).reshape(-1)
 
 
+def test_cv2_gray_exact_under_default_matmul_precision():
+    """_cv2_gray_u8 must stay on the exact fixed-point formula even when the
+    ambient matmul precision is DEFAULT (bf16 dots on TPU): conftest pins
+    'highest' globally, which would mask a regression to a dot-product
+    formulation whose coefficients (4899/9617) are not bf16-representable
+    (that regression flips ~20% of pixels; cv2 5.x's IPP rounding sits one
+    level off the formula on only ~0.3% — see _cv2_gray_u8)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from dino_tpu.ops.device_augment import _cv2_gray_u8
+
+    img = _rand_img(3)
+    x = img.astype(np.int64)
+    formula = ((x[..., 0] * 4899 + x[..., 1] * 9617 + x[..., 2] * 1868
+                + 8192) >> 14).astype(np.float32)
+    with jax.default_matmul_precision("default"):
+        got = np.asarray(jax.jit(_cv2_gray_u8)(jnp.asarray(img, jnp.float32)))
+    np.testing.assert_array_equal(got, formula)  # exact vs the formula
+    # and the formula is within one level of this cv2 build on >99% pixels
+    want = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    assert np.abs(got - want).max() <= 1.0
+    assert (got == want).mean() > 0.99
+
+
+def test_contrast_mean_integer_exact():
+    """op_contrast's two-stage gray mean must match the oracle's float64
+    .mean() to one f32 rounding even when the gray sum exceeds 2^24 (where
+    f32 accumulation is not guaranteed exact)."""
+    import jax.numpy as jnp
+    from dino_tpu.ops.device_augment import _cv2_gray_u8
+
+    big = np.full((480, 480, 3), 251, np.uint8)
+    big[:7, :11] = 13  # break uniformity so the mean is fractional
+    g64 = _cv2_gray_u8(jnp.asarray(big, jnp.float32))
+    g_int = np.asarray(g64).astype(np.int64)
+    want = np.float32(g_int.mean())  # float64 mean, rounded once to f32
+    q, r = divmod(int(g_int.sum()), g_int.size)
+    got = np.float32(q) + np.float32(r) / np.float32(g_int.size)
+    assert got == pytest.approx(float(want), abs=abs(np.spacing(want)))
+
+
 def test_identity_params_bit_exact():
     p = _null_params()
     img, mask = _rand_img(0), _rand_mask(0)
