@@ -902,6 +902,8 @@ class DINOSeg:
                   f"per unique image)")
         sp_mesh = None
         zero_mesh = None
+        sp_zero = (parallelism == "sp" and bool(zero)
+                   and jax.device_count() > 1)
         if parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
@@ -915,7 +917,7 @@ class DINOSeg:
             train_step = make_sp_train_step(
                 self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
                 compute_dtype=self.compute_dtype, donate=True,
-                zero=bool(zero) and jax.device_count() > 1)
+                zero=sp_zero)
         else:
             if (zero and jax.device_count() > 1
                     and self.batch_size % jax.device_count() == 0):
@@ -1150,10 +1152,14 @@ class DINOSeg:
             resume_state = {"vit": self.vit_params,
                             "head": self.head_params,
                             "opt_state": opt_state}
-            if resume and multi_host and zero_mesh is not None:
+            if resume and n_proc > 1 and (zero_mesh is not None or sp_zero):
                 # ZeRO moments span non-addressable devices, so host 0
                 # alone cannot np.asarray them — every process joins a
-                # collective gather and host 0 writes the global arrays
+                # collective gather and host 0 writes the global arrays.
+                # Covers both the DP-ZeRO mesh and SP+ZeRO (where the
+                # moments shard over the token axis but multi_host/
+                # zero_mesh stay unset because the batch is replicated);
+                # process_allgather reassembles whatever axis is sharded.
                 from jax.experimental import multihost_utils
                 resume_state = multihost_utils.process_allgather(
                     resume_state, tiled=True)

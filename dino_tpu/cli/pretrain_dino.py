@@ -323,6 +323,15 @@ def main(argv=None):
                         "divergence is persistent (lr too high / data "
                         "corruption); aborting instead of looping")
                 writer.wait()  # pending async saves must land before reading
+                if n_proc > 1:
+                    # all hosts reach here at the same step (float(loss) is
+                    # the global SPMD loss), but host 0's os.replace must
+                    # land before any OTHER rank opens the file — without
+                    # the barrier a rank can restore an older checkpoint
+                    # than host 0 and the ranks silently diverge
+                    from jax.experimental import multihost_utils
+                    multihost_utils.sync_global_devices(
+                        f"dt_nan_rollback_{it}")
                 if not os.path.exists(resume_path):
                     raise RuntimeError(
                         "nan_guard: non-finite loss before the first "
@@ -331,11 +340,28 @@ def main(argv=None):
                     print(f"nan_guard: non-finite loss at epoch {epoch} "
                           f"step {s} — rolled back to {resume_path} and "
                           f"skipped the batch ({rollbacks}/3)")
-                student, teacher, center, opt_state, _ = load_resume_state(
-                    student, teacher, center, opt_state)
+                student, teacher, center, opt_state, rb_vars = (
+                    load_resume_state(student, teacher, center, opt_state))
+                if n_proc > 1:  # stale NFS read after the barrier => fail
+                    from dino_tpu.parallel.dist import agree_across_hosts
+                    agree_across_hosts(
+                        "nan_guard rollback epoch/step",
+                        [int(rb_vars["epoch"]),
+                         -1 if rb_vars["step"] is None
+                         else int(rb_vars["step"])])
                 continue
             rollbacks = 0
-            stopped = (stop_requested["flag"]
+            # the signal lands on each host at a slightly different moment;
+            # agree collectively so every rank breaks at the SAME step —
+            # otherwise one host exits the loop while another dispatches
+            # step s+1's collectives and the job deadlocks through the
+            # preemption grace period.  --stop_after_steps is deterministic
+            # (same steps_done on every host) and needs no agreement.
+            stop_flag = stop_requested["flag"]
+            if n_proc > 1:
+                from dino_tpu.parallel.dist import any_across_hosts
+                stop_flag = any_across_hosts(stop_flag)
+            stopped = (stop_flag
                        or (args.stop_after_steps is not None
                            and steps_done >= args.stop_after_steps))
             if stopped or (args.save_every_steps

@@ -209,9 +209,20 @@ class _Batcher:
                     for (_, done, box), lab in zip(group, labels):
                         box["labels"] = lab
                         done.set()
-                except Exception as exc:
+                except BaseException as exc:
+                    # BaseException, not Exception: anything escaping this
+                    # dispatcher thread (a KeyboardInterrupt delivered mid-
+                    # predict, a runtime BaseException) would kill it
+                    # silently and every queued AND future request would
+                    # block forever on done.wait().  Fail the waiters with a
+                    # visible error and keep the loop alive — a poisoned
+                    # backend then answers 500s instead of hanging the
+                    # server.  (Process-level interrupts land on the main
+                    # thread, which shuts the server down normally.)
+                    err = (exc if isinstance(exc, Exception)
+                           else RuntimeError(f"batcher interrupted: {exc!r}"))
                     for _, done, box in group:
-                        box["error"] = exc
+                        box["error"] = err
                         done.set()
 
 

@@ -16,10 +16,11 @@ Backend pixel contract (cv2 path here vs the native C++ path,
 native/dtloader.cpp, pinned by tests/test_native_augment.py): all RANDOM
 PARAMETERS are seed-exact on both backends (drawn only here); resize / crop /
 flip produce BIT-IDENTICAL pixels (the C++ resize replicates cv2's
-INTER_LINEAR fixed-point arithmetic); warpAffine is off-by-one on <0.1% of
-pixels and jitter/blur are tolerance-matched (MAD < 2.5 levels) — so resume
-bit-determinism holds per backend, and across backends whenever only the
-bit-exact ops fire.
+INTER_LINEAR fixed-point arithmetic); blur is BIT-IDENTICAL for k <= 9 and
+off-by-<=1 beyond (cv2's own sigma=0 taps, see ops/device_augment.
+_gaussian_taps); warpAffine is off-by-one on <0.1% of pixels and jitter is
+tolerance-matched (MAD < 2.5 levels) — so resume bit-determinism holds per
+backend, and across backends whenever only the bit-exact ops fire.
 
 A third backend runs the pixel ops ON DEVICE (`augment_backend='device'`,
 ops/device_augment.py): same drawn parameters, float math in cv2's

@@ -27,7 +27,8 @@ taps; torchvision floor-nearest for masks) in float math with
 round-half-up between stages — images match the cv2 oracle to the same
 tolerance class as the native C++ backend (MAD < 2.5 levels, mask
 agreement > 97%); affine samples are cv2-exact by construction; flip is
-bit-exact.
+bit-exact; blur is bit-exact for k <= 9 and off-by-<=1 beyond (cv2's own
+taps, see ``_gaussian_taps``).
 """
 from __future__ import annotations
 
@@ -40,6 +41,52 @@ import numpy as np
 from dino_tpu.ops.resize import nearest_resize_indices
 
 MAX_BLUR = 41  # albumentations blur_limit upper bound (static tap count)
+
+# cv2's sigma=0 Gaussian taps are NOT the textbook formula for small
+# kernels: getGaussianKernel(k, 0) returns hardcoded binomial-style tables
+# for k <= 7 and an 8-bit fixed-point quantization (round(g*256)/256) at
+# k = 9 (OpenCV's bit-exact u8 path); only k >= 11 follows
+# sigma = 0.3((k-1)/2 - 1) + 0.8 in floats.  Deriving taps from the formula
+# alone was measured up to ~6 levels off the oracle at k=3 hard edges, so
+# the device program takes the taps from cv2 itself (host-side, trace
+# time); the formula ladder below is the no-cv2 fallback.
+_SMALL_GAUSSIAN_TAB = {
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
+def _gaussian_taps(k: int) -> np.ndarray:
+    """cv2.getGaussianKernel(k, 0) taps (float64, sum 1)."""
+    try:
+        import cv2
+        return cv2.getGaussianKernel(int(k), 0).ravel()
+    except Exception:
+        if k <= 7:
+            return np.asarray(_SMALL_GAUSSIAN_TAB[k], np.float64)
+        s = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
+        x = np.arange(k, dtype=np.float64) - (k - 1) / 2
+        g = np.exp(-x * x / (2 * s * s))
+        g /= g.sum()
+        if k == 9:  # cv2's fixed-point quantization at the bit-exact bound
+            q = np.floor(g * 256 + 0.5)
+            q[k // 2] += 256 - q.sum()
+            g = q / 256
+        return g
+
+
+@functools.lru_cache(maxsize=1)
+def _blur_taps_table() -> np.ndarray:
+    """(20, MAX_BLUR) float32: row (k-3)//2 holds the cv2 taps for odd
+    kernel size k, centered in the static MAX_BLUR window (zeros beyond)."""
+    ks = range(3, MAX_BLUR + 1, 2)
+    tab = np.zeros(((MAX_BLUR - 3) // 2 + 1, MAX_BLUR), np.float64)
+    for i, k in enumerate(ks):
+        t = _gaussian_taps(k)
+        lo = (MAX_BLUR - k) // 2
+        tab[i, lo:lo + k] = t / t.sum()
+    return tab.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -200,9 +247,11 @@ def _jitter(img, p):
 
 
 def _blur(img, p):
-    """GaussianBlur(k, sigmaX=0): cv2 derives sigma = 0.3((k-1)/2 - 1) + 0.8
-    and reflect-101 borders; separable taps padded to the static MAX_BLUR
-    width (weights beyond the drawn k are zero).
+    """GaussianBlur(k, sigmaX=0) with cv2's actual taps (small-kernel
+    tables / fixed-point / formula ladder — see ``_gaussian_taps``) and
+    reflect-101 borders; the (20, MAX_BLUR) taps table is baked into the
+    program as a constant and the drawn k selects its row, so every kernel
+    size matches the oracle's taps exactly (zeros beyond the drawn k).
 
     Each pass is a banded (S, S+2pad) matmul built from the 41 taps — MXU
     work — instead of gathering (S, 41, S, C) tap windows (HBM-bound); the
@@ -211,12 +260,8 @@ def _blur(img, p):
     s = img.shape[0]
     on = p[22] > 0.5
     k = jnp.clip(p[23], 3.0, MAX_BLUR)
-    half = (k - 1.0) / 2.0
-    sigma = 0.3 * (half - 1.0) + 0.8
-    pos = jnp.arange(MAX_BLUR, dtype=jnp.float32) - (MAX_BLUR - 1) / 2
-    w = jnp.exp(-(pos ** 2) / (2.0 * sigma ** 2))
-    w = jnp.where(jnp.abs(pos) <= half + 0.01, w, 0.0)
-    w = w / jnp.sum(w)
+    row = jnp.round((k - 3.0) / 2.0).astype(jnp.int32)
+    w = jnp.asarray(_blur_taps_table())[row]  # (MAX_BLUR,) exact cv2 taps
     pad = (MAX_BLUR - 1) // 2
     # band[i, p] = w[p - i] for p-i in [0, MAX_BLUR): built with a tiny-table
     # take + compare mask (a scatter here measured ~5.7 ms/batch16 on TPU)

@@ -119,6 +119,24 @@ def agree_across_hosts(name: str, value) -> np.ndarray:
     return gathered[0]
 
 
+def any_across_hosts(flag: bool) -> bool:
+    """True on EVERY rank iff the flag is set on any rank.
+
+    For decisions that must be taken in lockstep by one SPMD program —
+    e.g. a preemption SIGTERM that the scheduler delivers to each host at
+    a slightly different moment: without agreement, one host breaks out of
+    the step loop while another dispatches the next step's collectives and
+    the job deadlocks.  Every rank must call this at the same point (it is
+    itself a collective); single-process returns the flag unchanged.
+    """
+    if get_world_size() < 2:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.atleast_1d(np.asarray(flag, np.int32))))
+    return bool(gathered.any())
+
+
 def reduce_dict(input_dict: Dict[str, float], average: bool = True
                 ) -> Dict[str, float]:
     """Sum (or average) a dict of scalars across hosts

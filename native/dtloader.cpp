@@ -513,23 +513,47 @@ void color_jitter(float* x, int h, int w, const float order[4],
   }
 }
 
-// Separable Gaussian blur, reflect-101 borders.  sigma <= 0 derives it from
-// ksize like cv2's sigma=0 convention; sigma > 0 matches an explicit
-// cv2.GaussianBlur(..., sigmaX=sigma) (the DINO pil_augs radius).
+// Separable Gaussian blur, reflect-101 borders.  sigma <= 0 follows cv2's
+// sigma=0 taps exactly: hardcoded small-kernel tables for k <= 7 and an
+// 8-bit fixed-point quantization at k = 9 (cv2's bit-exact u8 path), the
+// 0.3((k-1)/2 - 1) + 0.8 formula only from k >= 11 — the formula alone was
+// measured up to ~6 levels off the oracle at k=3 hard edges.  sigma > 0
+// matches an explicit cv2.GaussianBlur(..., sigmaX=sigma) (the DINO
+// pil_augs radius).
 void gaussian_blur_u8(uint8_t* img, int h, int w, int k,
                       double sigma_in = 0.0) {
   if (k < 3) return;
   const int half = k / 2;
-  const double sigma = sigma_in > 0.0
-      ? sigma_in : 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8;
   std::vector<float> kern(k);
-  double sum = 0.0;
-  for (int i = 0; i < k; ++i) {
-    const double d = i - half;
-    kern[i] = static_cast<float>(std::exp(-d * d / (2 * sigma * sigma)));
-    sum += kern[i];
+  static const float small3[] = {0.25f, 0.5f, 0.25f};
+  static const float small5[] = {0.0625f, 0.25f, 0.375f, 0.25f, 0.0625f};
+  static const float small7[] = {0.03125f, 0.109375f, 0.21875f, 0.28125f,
+                                 0.21875f, 0.109375f, 0.03125f};
+  if (sigma_in <= 0.0 && k <= 7) {
+    const float* tab = k == 3 ? small3 : (k == 5 ? small5 : small7);
+    for (int i = 0; i < k; ++i) kern[i] = tab[i];
+  } else {
+    const double sigma = sigma_in > 0.0
+        ? sigma_in : 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8;
+    std::vector<double> g(k);
+    double sum = 0.0;
+    for (int i = 0; i < k; ++i) {
+      const double d = i - half;
+      g[i] = std::exp(-d * d / (2 * sigma * sigma));
+      sum += g[i];
+    }
+    for (int i = 0; i < k; ++i) g[i] /= sum;
+    if (sigma_in <= 0.0 && k == 9) {  // cv2 quantizes to x/256 at k = 9
+      double qsum = 0.0;
+      for (int i = 0; i < k; ++i) {
+        g[i] = std::floor(g[i] * 256.0 + 0.5);
+        qsum += g[i];
+      }
+      g[half] += 256.0 - qsum;
+      for (int i = 0; i < k; ++i) g[i] /= 256.0;
+    }
+    for (int i = 0; i < k; ++i) kern[i] = static_cast<float>(g[i]);
   }
-  for (int i = 0; i < k; ++i) kern[i] = static_cast<float>(kern[i] / sum);
 
   // Horizontal pass over a border-reflected padded row: tap-outer loops run
   // contiguous FMA over the row (SIMD-friendly), no per-pixel reflect calls.

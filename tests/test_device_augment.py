@@ -149,13 +149,21 @@ def test_jitter_close():
 
 
 def test_blur_close():
-    for k in (3, 9, 21, 41):
+    """Blur uses cv2's own taps (small-kernel tables / k=9 fixed point /
+    formula — ops/device_augment._gaussian_taps): BIT-EXACT vs the oracle
+    for k <= 9 (cv2's u8 path is fixed-point there), off-by-<=1 beyond
+    (float accumulation order)."""
+    for k in (3, 5, 7, 9, 13, 21, 41):
         p = _null_params()
         p["blur"] = k
         img, mask = _rand_img(5), _rand_mask(5)
         cv_img, _, d_img, _ = _run_both(p, img, mask)
-        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
-        assert mad < 1.5, (k, mad)
+        diff = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32))
+        if k <= 9:
+            assert diff.max() == 0, (k, diff.max(), diff.mean())
+        else:
+            assert diff.max() <= 1, (k, diff.max())
+            assert diff.mean() < 0.2, (k, diff.mean())
 
 
 def test_full_pipeline_distribution():

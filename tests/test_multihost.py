@@ -339,3 +339,102 @@ def test_agree_across_hosts_raises_on_every_rank(tmp_path):
     _run([dict(local_devices=2, num_processes=2, process_id=i,
                coordinator=f"127.0.0.1:{port}") for i in range(2)],
          runner=_AGREE_RUNNER, timeout=300)
+
+
+_SP_ZERO_RESUME_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    kw = dict(data_path=cfg["data"], write_path=cfg["write"],
+              head="mlp", n_blocks=1, n_classes=cfg["n_classes"],
+              batch_size=2, lr=1e-3, optimizer="adam",
+              freeze_backbone=False, random_init=True,
+              augmented=False, train_resolution=cfg["res"],
+              precision="fp32", seed=0)
+    # SP+ZeRO: the Adam moments shard over the TOKEN axis (one ring spans
+    # both processes' devices), so the epoch-end resume save must gather
+    # collectively even though batch sharding (and with it zero_mesh /
+    # multi_host) never engages — the regression this pins crashed host 0
+    # with 'spans non-addressable devices' and hung the other rank at the
+    # epoch barrier.
+    model = DINOSeg(max_epochs=1, **kw)
+    model.fit(samples_per_epoch=6, ck_file_name="spzr", parallelism="sp",
+              zero=True, resume=True)
+    model2 = DINOSeg(max_epochs=2, **kw)
+    metrics = model2.fit(samples_per_epoch=6, ck_file_name="spzr",
+                         parallelism="sp", zero=True, resume=True)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"],
+                 k1=np.asarray(model2.head_params["layer_1"]["kernel"]))
+""")
+
+
+def test_two_process_sp_zero_resume(voc_root, tmp_path):
+    """fit(parallelism='sp', zero=True, resume=True) on the 2-process
+    cluster: token-axis ZeRO moments span non-addressable devices, so the
+    epoch-end save must allgather (api.py sp_zero gate); the resumed run
+    matches the single-process 4-device one."""
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "spzr_ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_SP_ZERO_RESUME_RUNNER)
+
+    w_mh = str(tmp_path / "spzr_mh")
+    port = free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_SP_ZERO_RESUME_RUNNER)
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)
+
+
+_ANY_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                               num_processes=cfg["num_processes"],
+                               process_id=cfg["process_id"])
+    from dino_tpu.parallel.dist import any_across_hosts
+
+    # a flag set on ONE rank is seen by every rank (preemption agreement:
+    # SIGTERM lands on each host at a different moment, all must stop at
+    # the same step)
+    assert any_across_hosts(jax.process_index() == 1) is True
+    # and no rank fabricates a stop
+    assert any_across_hosts(False) is False
+""")
+
+
+def test_any_across_hosts(tmp_path):
+    """any_across_hosts: one rank's flag is every rank's decision."""
+    port = free_port()
+    _run([dict(local_devices=2, num_processes=2, process_id=i,
+               coordinator=f"127.0.0.1:{port}") for i in range(2)],
+         runner=_ANY_RUNNER, timeout=300)

@@ -86,9 +86,17 @@ def test_forced_ops_match_oracle(sample):
             "blur": None}
     affine = {**base, "affine": np.array([[0.95, 0.26, 12.0],
                                           [-0.26, 0.95, -30.0]])}
+    # blur k <= 9: cv2's u8 path is fixed-point with hardcoded/quantized
+    # taps that gaussian_blur_u8 mirrors — bit-exact
+    for k in (3, 5, 7, 9):
+        p = {**base, "blur": k}
+        nat = native_loader.augment_batch([path], [mask], 480,
+                                          pack_params(p)[None])
+        pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
+        np.testing.assert_array_equal(nat[0][0], pi, err_msg=f"blur {k}")
     cases = [
-        ({**base, "blur": 41}, 2.5),
-        ({**base, "blur": 3}, 1.0),
+        ({**base, "blur": 41}, 0.2),   # k >= 11: float taps, off-by-<=1
+        ({**base, "blur": 13}, 0.2),
         (affine, 0.01),      # off-by-one on <1% of pixels
         ({**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
          2.5),
