@@ -355,12 +355,21 @@ def main(argv=None):
             # agree collectively so every rank breaks at the SAME step —
             # otherwise one host exits the loop while another dispatches
             # step s+1's collectives and the job deadlocks through the
-            # preemption grace period.  --stop_after_steps is deterministic
-            # (same steps_done on every host) and needs no agreement.
+            # preemption grace period.  Agreement is itself a cross-host
+            # collective, so it runs every 16 steps (~3 s at the measured
+            # step time — well inside any grace period), not per step;
+            # between cadence points multi-host ranks ignore the local
+            # flag (acting on it would diverge).  The cadence is a pure
+            # function of s, identical on every rank even across nan_guard
+            # rollbacks.  --stop_after_steps is deterministic (same
+            # steps_done on every host) and needs no agreement.
             stop_flag = stop_requested["flag"]
             if n_proc > 1:
-                from dino_tpu.parallel.dist import any_across_hosts
-                stop_flag = any_across_hosts(stop_flag)
+                if s % 16 == 15 or s == niter - 1:
+                    from dino_tpu.parallel.dist import any_across_hosts
+                    stop_flag = any_across_hosts(stop_flag)
+                else:
+                    stop_flag = False
             stopped = (stop_flag
                        or (args.stop_after_steps is not None
                            and steps_done >= args.stop_after_steps))

@@ -189,39 +189,51 @@ class _Batcher:
     def _loop(self):
         while True:
             items = [self._q.get()]
-            deadline = time.monotonic() + self._timeout
-            while len(items) < self._max:
-                left = deadline - time.monotonic()
-                if left <= 0:
-                    break
-                try:
-                    items.append(self._q.get(timeout=left))
-                except queue.Empty:
-                    break
-            groups: dict = {}
-            for it in items:
-                groups.setdefault(tuple(it[0].shape), []).append(it)
-            for group in groups.values():
-                if self._stats is not None:
-                    self._stats.record_round(len(group))
-                try:
-                    labels = self._predict_many([g[0] for g in group])
-                    for (_, done, box), lab in zip(group, labels):
-                        box["labels"] = lab
-                        done.set()
-                except BaseException as exc:
-                    # BaseException, not Exception: anything escaping this
-                    # dispatcher thread (a KeyboardInterrupt delivered mid-
-                    # predict, a runtime BaseException) would kill it
-                    # silently and every queued AND future request would
-                    # block forever on done.wait().  Fail the waiters with a
-                    # visible error and keep the loop alive — a poisoned
-                    # backend then answers 500s instead of hanging the
-                    # server.  (Process-level interrupts land on the main
-                    # thread, which shuts the server down normally.)
-                    err = (exc if isinstance(exc, Exception)
-                           else RuntimeError(f"batcher interrupted: {exc!r}"))
-                    for _, done, box in group:
+            # the ENTIRE round body sits under one BaseException net: any
+            # raise escaping this dispatcher thread (a KeyboardInterrupt
+            # delivered mid-predict, a MemoryError grouping the round, a
+            # bug in stats recording) would kill it silently and every
+            # request already drained off the queue — plus all future ones
+            # — would block forever on done.wait().  Fail the drained
+            # waiters with a visible error and keep the loop alive: a
+            # poisoned backend then answers 500s instead of hanging the
+            # server.  (Process-level interrupts land on the main thread,
+            # which shuts the server down normally.)
+            try:
+                deadline = time.monotonic() + self._timeout
+                while len(items) < self._max:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    try:
+                        items.append(self._q.get(timeout=left))
+                    except queue.Empty:
+                        break
+                groups: dict = {}
+                for it in items:
+                    groups.setdefault(tuple(it[0].shape), []).append(it)
+                for group in groups.values():
+                    if self._stats is not None:
+                        self._stats.record_round(len(group))
+                    try:
+                        labels = self._predict_many([g[0] for g in group])
+                        for (_, done, box), lab in zip(group, labels):
+                            box["labels"] = lab
+                            done.set()
+                    except BaseException as exc:
+                        # per-group: errors propagate to exactly the
+                        # requests whose shared program raised
+                        err = (exc if isinstance(exc, Exception) else
+                               RuntimeError(f"batcher interrupted: {exc!r}"))
+                        for _, done, box in group:
+                            box["error"] = err
+                            done.set()
+            except BaseException as exc:
+                err = (exc if isinstance(exc, Exception)
+                       else RuntimeError(f"batcher interrupted: {exc!r}"))
+                for it in items:
+                    _, done, box = it
+                    if not done.is_set():
                         box["error"] = err
                         done.set()
 

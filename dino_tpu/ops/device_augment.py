@@ -46,10 +46,15 @@ MAX_BLUR = 41  # albumentations blur_limit upper bound (static tap count)
 # kernels: getGaussianKernel(k, 0) returns hardcoded binomial-style tables
 # for k <= 7 and an 8-bit fixed-point quantization (round(g*256)/256) at
 # k = 9 (OpenCV's bit-exact u8 path); only k >= 11 follows
-# sigma = 0.3((k-1)/2 - 1) + 0.8 in floats.  Deriving taps from the formula
-# alone was measured up to ~6 levels off the oracle at k=3 hard edges, so
-# the device program takes the taps from cv2 itself (host-side, trace
-# time); the formula ladder below is the no-cv2 fallback.
+# sigma = 0.3((k-1)/2 - 1) + 0.8 in floats.  Deriving taps from the plain
+# formula alone was measured up to ~6 levels off the oracle at k=3 hard
+# edges.  The ladder below reproduces cv2 5.0's taps exactly (tables,
+# quantization, formula — verified against getGaussianKernel to <1e-16 for
+# every odd k in 3..41) and is used UNCONDITIONALLY: asking the installed
+# cv2 at trace time would silently re-derive different taps on OpenCV
+# builds whose getGaussianKernel(9, 0) is not /256-quantized even though
+# their u8 GaussianBlur path quantizes internally — breaking the k <= 9
+# bit-exactness contract precisely when it matters.
 _SMALL_GAUSSIAN_TAB = {
     3: [0.25, 0.5, 0.25],
     5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
@@ -58,22 +63,19 @@ _SMALL_GAUSSIAN_TAB = {
 
 
 def _gaussian_taps(k: int) -> np.ndarray:
-    """cv2.getGaussianKernel(k, 0) taps (float64, sum 1)."""
-    try:
-        import cv2
-        return cv2.getGaussianKernel(int(k), 0).ravel()
-    except Exception:
-        if k <= 7:
-            return np.asarray(_SMALL_GAUSSIAN_TAB[k], np.float64)
-        s = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
-        x = np.arange(k, dtype=np.float64) - (k - 1) / 2
-        g = np.exp(-x * x / (2 * s * s))
-        g /= g.sum()
-        if k == 9:  # cv2's fixed-point quantization at the bit-exact bound
-            q = np.floor(g * 256 + 0.5)
-            q[k // 2] += 256 - q.sum()
-            g = q / 256
-        return g
+    """cv2's GaussianBlur(k, sigma=0) u8-path taps (float64, sum 1),
+    derived locally (see ladder rationale above); odd k only."""
+    if k <= 7:
+        return np.asarray(_SMALL_GAUSSIAN_TAB[k], np.float64)
+    s = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(k, dtype=np.float64) - (k - 1) / 2
+    g = np.exp(-x * x / (2 * s * s))
+    g /= g.sum()
+    if k == 9:  # cv2's fixed-point quantization at the bit-exact bound
+        q = np.floor(g * 256 + 0.5)
+        q[k // 2] += 256 - q.sum()
+        g = q / 256
+    return g
 
 
 @functools.lru_cache(maxsize=1)

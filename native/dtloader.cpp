@@ -529,7 +529,10 @@ void gaussian_blur_u8(uint8_t* img, int h, int w, int k,
   static const float small5[] = {0.0625f, 0.25f, 0.375f, 0.25f, 0.0625f};
   static const float small7[] = {0.03125f, 0.109375f, 0.21875f, 0.28125f,
                                  0.21875f, 0.109375f, 0.03125f};
-  if (sigma_in <= 0.0 && k <= 7) {
+  // tables apply to the odd sizes cv2 hardcodes ONLY; an even k (never
+  // drawn by the pipelines, but this is a general utility) falls through
+  // to the normalized formula path rather than a truncated table prefix
+  if (sigma_in <= 0.0 && (k == 3 || k == 5 || k == 7)) {
     const float* tab = k == 3 ? small3 : (k == 5 ? small5 : small7);
     for (int i = 0; i < k; ++i) kern[i] = tab[i];
   } else {

@@ -149,10 +149,11 @@ def test_jitter_close():
 
 
 def test_blur_close():
-    """Blur uses cv2's own taps (small-kernel tables / k=9 fixed point /
-    formula — ops/device_augment._gaussian_taps): BIT-EXACT vs the oracle
-    for k <= 9 (cv2's u8 path is fixed-point there), off-by-<=1 beyond
-    (float accumulation order)."""
+    """Blur taps reproduce cv2's ladder locally (small-kernel tables /
+    k=9 fixed point / formula — ops/device_augment._gaussian_taps, NOT
+    read from the installed cv2): BIT-EXACT vs the oracle for k <= 9
+    (cv2's u8 path is fixed-point there), off-by-<=1 beyond (float
+    accumulation order; confirmed on the real chip, 40-seed sweep)."""
     for k in (3, 5, 7, 9, 13, 21, 41):
         p = _null_params()
         p["blur"] = k

@@ -231,3 +231,46 @@ def test_serve_stats_endpoint(model, tmp_path):
         assert s["uptime_s"] >= 0
     finally:
         server.shutdown()
+
+
+def test_batcher_exception_nets():
+    """_Batcher survives BOTH failure domains without hanging waiters:
+    (a) predict_many raising fails exactly that group's requests (inner
+    net); (b) a raise OUTSIDE the per-group try — e.g. stats.record_round
+    — fails the drained requests and the dispatcher keeps serving (outer
+    net).  Either way the loop stays alive for subsequent requests."""
+    from dino_tpu.cli.serve import _Batcher
+
+    calls = {"n": 0}
+
+    def predict_many(imgs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("backend poisoned for this group")
+        return [im.sum() for im in imgs]
+
+    class BadStats:
+        def __init__(self):
+            self.raised = False
+
+        def record_round(self, n):
+            if not self.raised:
+                self.raised = True
+                raise RuntimeError("stats bug")
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+
+    # (a) inner net: group failure surfaces to the caller, loop survives
+    b = _Batcher(predict_many, max_batch=2, timeout_s=0.01)
+    with pytest.raises(ValueError, match="poisoned"):
+        b(img)
+    assert b(img) == img.sum()  # dispatcher still alive
+
+    # (b) outer net: a stats raise (outside the per-group try) fails the
+    # drained request visibly instead of killing the dispatcher thread
+    bad = BadStats()
+    b2 = _Batcher(predict_many, max_batch=2, timeout_s=0.01, stats=bad)
+    with pytest.raises(RuntimeError, match="stats bug"):
+        b2(img)
+    assert bad.raised
+    assert b2(img) == img.sum()  # loop alive after the round-level failure
