@@ -188,23 +188,11 @@ def _flash_kernel_dyn(nmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, *,
     lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
-def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
-                                 interpret: bool = False):
-    """Resident flash attention with a traced valid-K bound.
-
-    q: (B, nh, Nq, hd); k/v: (B, nh, Nk, hd); valid_k: traced int32 scalar —
-    keys at positions >= valid_k are masked out.  Returns
-    (out (B,nh,Nq,hd), lse (B*nh, Nq_padded, 1) f32).  K/V must fit the VMEM
-    residency budget (ring shards are small by construction).
-    """
-    b, nh, n, hd = q.shape
-    n_k = k.shape[2]
-    block_q = _q_block(n)
-    block_k = _k_block(n_k)
-    qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
-    kf = _pad_to(k.reshape(b * nh, n_k, hd), 1, block_k)
-    vf = _pad_to(v.reshape(b * nh, n_k, hd), 1, block_k)
-    npq = qf.shape[1]
+def _dyn_fwd_call(qf, kf, vf, scale, valid_k, block_q, block_k, out_dtype,
+                  interpret):
+    """One resident-K/V pass of the dyn kernel over padded (bnh, ·, hd)
+    arrays; returns padded (out (bnh, npq, hd), lse (bnh, npq, 1) f32)."""
+    bnh, npq, hd = qf.shape
 
     if pltpu is None:  # pragma: no cover — PrefetchScalarGridSpec needs the
         # pallas-TPU module even in interpret mode
@@ -214,7 +202,7 @@ def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
     # index maps receive the scalar-prefetch ref as a trailing argument
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b * nh, npq // block_q),
+        grid=(bnh, npq // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda bh, iq, nm: (bh, iq, 0)),
             pl.BlockSpec((1, kf.shape[1], hd), lambda bh, iq, nm: (bh, 0, 0)),
@@ -225,13 +213,79 @@ def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
             pl.BlockSpec((1, block_q, 1), lambda bh, iq, nm: (bh, iq, 0)),
         ],
     )
-    out, lse = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_flash_kernel_dyn, scale=scale, block_k=block_k),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b * nh, npq, hd), q.dtype),
-                   jax.ShapeDtypeStruct((b * nh, npq, 1), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((bnh, npq, hd), out_dtype),
+                   jax.ShapeDtypeStruct((bnh, npq, 1), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(valid_k, jnp.int32).reshape(1), qf, kf, vf)
+
+
+def flash_attention_with_lse_dyn(q, k, v, scale: float, valid_k,
+                                 interpret: bool = False):
+    """Flash attention with a traced valid-K bound, VMEM-safe at any shard.
+
+    q: (B, nh, Nq, hd); k/v: (B, nh, Nk, hd); valid_k: traced int32 scalar —
+    keys at positions >= valid_k are masked out.  Returns
+    (out (B,nh,Nq,hd), lse (B*nh, Nq_padded, 1) f32).
+
+    Ring shards are usually small, but NOT by construction: a 960px sequence
+    on a 1-2 device ring leaves n_local in the tens of thousands, where a
+    fully-resident K/V shard blows the scoped-VMEM limit (observed on-chip:
+    30M needed vs the 16M cap on the backward twin).  So the same ladder as
+    the static-bound path applies: resident when the shard fits the budget,
+    resident-split per K/V slice merged by log-sum-exp when it doesn't
+    (each slice's bound is the global bound clipped into the slice), and a
+    masked-XLA fallback beyond the split cap.
+    """
+    b, nh, n, hd = q.shape
+    n_k = k.shape[2]
+    block_q = _q_block(n)
+    qf = _pad_to(q.reshape(b * nh, n, hd), 1, block_q)
+    kr = k.reshape(b * nh, n_k, hd)
+    vr = v.reshape(b * nh, n_k, hd)
+    npq = qf.shape[1]
+    vk = jnp.asarray(valid_k, jnp.int32)
+
+    splits = _split_count(n_k, hd, q.dtype.itemsize, _KV_VMEM_BUDGET)
+    if splits == 1:
+        block_k = _k_block(n_k)
+        out, lse = _dyn_fwd_call(qf, _pad_to(kr, 1, block_k),
+                                 _pad_to(vr, 1, block_k), scale, vk,
+                                 block_q, block_k, q.dtype, interpret)
+    elif splits is not None:
+        base = _round_up(-(-n_k // splits), 16)
+        outs, lses = [], []
+        for s in range(splits):
+            start = s * base
+            length = min(base, n_k - start)
+            block_k = _k_block(length)
+            ks = _pad_to(kr[:, start:start + length, :], 1, block_k)
+            vs = _pad_to(vr[:, start:start + length, :], 1, block_k)
+            o_s, l_s = _dyn_fwd_call(qf, ks, vs, scale,
+                                     jnp.clip(vk - start, 0, length),
+                                     block_q, block_k, jnp.float32,
+                                     interpret)
+            outs.append(o_s)
+            lses.append(l_s)
+        out, lse = _merge_partials(outs, lses)
+        out = out.astype(q.dtype)
+    else:
+        # masked-XLA fallback (shards beyond 8 split slices): O(N_local^2)
+        # scores in HBM — correctness net, not a hot path
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) * scale
+        col = jnp.arange(n_k)[None, None, None, :]
+        s = jnp.where(col < vk, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        out = (jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                          preferred_element_type=jnp.float32) / l
+               ).astype(q.dtype)
+        lse = _pad_to((m + jnp.log(l)).reshape(b * nh, n, 1), 1, block_q)
+        return out, lse
     return out[:, :n, :].reshape(b, nh, n, hd), lse
 
 
@@ -645,16 +699,9 @@ def _flash_bwd_kernel_dyn(nmask_ref, q_ref, g_ref, lse_ref, d_ref, k_ref,
     dq_ref[0] = dq_acc
 
 
-def flash_attention_bwd_dyn(q, g, lse, dsum, k, v, scale: float, valid_k,
-                            interpret: bool = False):
-    """dq/dk/dv against one K/V shard with a traced valid-key bound.
-
-    q/g: (B, nh, Nq, hd); lse/dsum: (B, nh, Nq, 1) f32 — the GLOBAL row
-    log-sum-exp and rowsum(dO ∘ O) (merged over every shard); k/v:
-    (B, nh, Nk, hd).  Keys at positions >= valid_k are dead (p forced to 0).
-    Returns f32 (dq_partial, dk, dv) — the ring backward sums dq over hops
-    and rotates dk/dv home.
-    """
+def _dyn_bwd_call(q, g, lse, dsum, k, v, scale, valid_k, interpret):
+    """One resident-K/V pass of the dyn backward kernel (K/V must fit the
+    residency budget); shapes as in :func:`flash_attention_bwd_dyn`."""
     b, nh, n, hd = q.shape
     n_k = k.shape[2]
     block_q = _q_block(n)
@@ -706,10 +753,91 @@ def flash_attention_bwd_dyn(q, g, lse, dsum, k, v, scale: float, valid_k,
     return dq, dk, dv
 
 
+def flash_attention_bwd_dyn(q, g, lse, dsum, k, v, scale: float, valid_k,
+                            interpret: bool = False):
+    """dq/dk/dv against one K/V shard with a traced valid-key bound.
+
+    q/g: (B, nh, Nq, hd); lse/dsum: (B, nh, Nq, 1) f32 — the GLOBAL row
+    log-sum-exp and rowsum(dO ∘ O) (merged over every shard); k/v:
+    (B, nh, Nk, hd).  Keys at positions >= valid_k are dead (p forced to 0).
+    Returns f32 (dq_partial, dk, dv) — the ring backward sums dq over hops
+    and rotates dk/dv home.
+
+    Like the static-bound backward (:func:`_flash_bwd_rule`), the K/V shard
+    splits into resident slices when it exceeds the VMEM budget: given the
+    GLOBAL lse/D, P's columns partition exactly across slices, so each
+    slice's dq/dk/dv is independent — dq sums, dk/dv concatenate.  The
+    slice bound is the global bound clipped into the slice.  Beyond the
+    split cap a masked-XLA fallback keeps the math (this is what lets a
+    960px ring run on 1-2 devices, where n_local is in the tens of
+    thousands: unsplit, the kernel's scoped-VMEM allocation measured 30M
+    against the chip's 16M cap).
+
+    The split accounting here is SCORE-AWARE, unlike the K/V-byte model of
+    the static path: Mosaic schedules the unrolled chunk sweep with ~2
+    score-sized f32 temporaries live PER CHUNK, so the scoped ask scales as
+    ~8·block_q·npk bytes regardless of head dim (measured on-chip: 30.0M at
+    npk=14848 and 22.5M at npk=7424+buffers, block_q=256, hd=16 — where the
+    K/V-byte model predicted a comfortable fit).  Small head dims therefore
+    split far earlier than the byte model would say.
+    """
+    b, nh, n, hd = q.shape
+    n_k = k.shape[2]
+    itemsize = q.dtype.itemsize
+    per_row = (8 * _q_block(n)        # ~2 live f32 score chunks per key row
+               + 4 * hd * itemsize    # double-buffered K+V slice
+               + 4 * hd * 4)          # f32 dK/dV accumulators (+dbl buffer)
+    splits = next(
+        (s for s in range(1, 65)
+         if _round_up(-(-n_k // s), 16) * per_row <= _DYN_BWD_VMEM_BUDGET),
+        None)
+    if splits == 1:
+        return _dyn_bwd_call(q, g, lse, dsum, k, v, scale, valid_k, interpret)
+    vk = jnp.asarray(valid_k, jnp.int32)
+    if splits is not None:
+        base = _round_up(-(-n_k // splits), 16)
+        dq, dks, dvs = 0.0, [], []
+        for s in range(splits):
+            start = s * base
+            length = min(base, n_k - start)
+            dq_s, dk_s, dv_s = _dyn_bwd_call(
+                q, g, lse, dsum, k[:, :, start:start + length],
+                v[:, :, start:start + length], scale,
+                jnp.clip(vk - start, 0, length), interpret)
+            dq = dq + dq_s
+            dks.append(dk_s)
+            dvs.append(dv_s)
+        return dq, jnp.concatenate(dks, axis=2), jnp.concatenate(dvs, axis=2)
+    # masked-XLA fallback: O(N_local^2) scores in HBM — correctness net
+    qf = q.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    col = jnp.arange(n_k)[None, None, None, :]
+    p = jnp.where(col < vk, p, 0.0)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, gf,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - dsum) * scale
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf,
+                    preferred_element_type=jnp.float32)
+    return dq, dk, dv
+
+
 # K/V slice + f32 dK/dV accumulators; conservative because Mosaic also
 # double-buffers the accumulator outputs and keeps several unrolled score
 # chunks live (22.7MB actual at a 7.4MB model estimate, measured at 960px)
 _BWD_VMEM_BUDGET = 4 * 1024 * 1024
+
+# Dyn (ring per-hop) backward: budget for the SCORE-AWARE per-row model
+# (~8·block_q bytes/row of live score temporaries + K/V residency + dK/dV
+# accumulators — see flash_attention_bwd_dyn).  Half the 16M scoped cap,
+# leaving headroom for Mosaic's own pipeline liveness.
+_DYN_BWD_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _flash_bwd_pallas(q, k, v, lse, g, dsum, scale, interpret):

@@ -305,3 +305,65 @@ def test_dyn_mask_flash_kernel():
         ref, _ = attention_xla(q, k[:, :, :valid], v[:, :, :valid], scale)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
+
+
+def test_dyn_kernels_split_ladder(monkeypatch):
+    """The dyn fwd/bwd VMEM ladder (resident -> resident-split -> masked-XLA
+    fallback) is numerically invariant: shrinking the budgets so the same
+    shapes take the split and fallback branches reproduces the resident
+    branch's out/lse and dq/dk/dv.  This is the path a 960px ring on 1-2
+    devices takes, where n_local is far beyond K/V residency (observed
+    on-chip: 30M scoped-VMEM ask vs the 16M cap before the ladder)."""
+    import dino_tpu.ops.attention as A
+
+    b, nh, n, nk, hd = 1, 2, 64, 96, 64
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, nh, n, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, nh, nk, hd), jnp.float32)
+    v = jax.random.normal(kv, (b, nh, nk, hd), jnp.float32)
+    g = jax.random.normal(kg, (b, nh, n, hd), jnp.float32)
+    scale = hd ** -0.5
+    valid = jnp.int32(50)
+
+    def run_fwd():
+        return jax.jit(lambda q, k, v, vd: A.flash_attention_with_lse_dyn(
+            q, k, v, scale, vd, interpret=True))(q, k, v, valid)
+
+    def run_bwd(lse, dsum):
+        return jax.jit(
+            lambda q, g, lse, dsum, k, v, vd: A.flash_attention_bwd_dyn(
+                q, g, lse, dsum, k, v, scale, vd, interpret=True))(
+            q, g, lse, dsum, k, v, valid)
+
+    out_res, lse_res = run_fwd()
+    dq_r, dk_r, dv_r = run_bwd(lse_res[:, :n, :].reshape(b, nh, n, 1),
+                               jnp.sum(g * out_res, axis=-1, keepdims=True))
+
+    # fwd: _kv_dbl_bytes(96,64,4)=98304 resident; 60000 -> 2 slices;
+    # 10000 -> below even 8 slices -> masked-XLA fallback
+    for budget, branch in ((60000, "split"), (10000, "xla")):
+        assert (A._split_count(nk, hd, 4, budget) is None) == (branch == "xla")
+        monkeypatch.setattr(A, "_KV_VMEM_BUDGET", budget)
+        out_b, lse_b = run_fwd()
+        np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_res),
+                                   atol=2e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(lse_b[:, :n]),
+                                   np.asarray(lse_res[:, :n]),
+                                   atol=2e-5, rtol=1e-5)
+    monkeypatch.setattr(A, "_KV_VMEM_BUDGET", 5 * 1024 * 1024)
+
+    # bwd: score-aware per-row model — per_row = 8*block_q(64) + 4*hd*4
+    # + 4*hd*4 = 2560 B/row; full 96 rows = 245760, half = 122880, the
+    # 16-row floor (64 splits) = 40960 — budgets straddle those
+    for budget, branch in ((130000, "split"), (20000, "xla")):
+        monkeypatch.setattr(A, "_DYN_BWD_VMEM_BUDGET", budget)
+        dq_b, dk_b, dv_b = run_bwd(
+            lse_res[:, :n, :].reshape(b, nh, n, 1),
+            jnp.sum(g * out_res, axis=-1, keepdims=True))
+        np.testing.assert_allclose(np.asarray(dq_b), np.asarray(dq_r),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dk_b), np.asarray(dk_r),
+                                   atol=2e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dv_b), np.asarray(dv_r),
+                                   atol=2e-4, rtol=1e-4)
