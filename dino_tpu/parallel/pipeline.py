@@ -262,6 +262,181 @@ def init_pp_train_state(optimizer, stages, rest, head_p):
 
 
 # ---------------------------------------------------------------------------
+# 1F1B (PipeDream-flush) schedule: activation memory O(S), not O(M)
+# ---------------------------------------------------------------------------
+
+def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
+                            optimizer, mesh: Mesh, stage_axis: str = "stage",
+                            n_microbatches: int = 2, use_flash: bool = True,
+                            donate: bool = False):
+    """PP train step on a hand-written 1F1B schedule (same contract as
+    :func:`make_pp_train_step`).
+
+    Why it exists: differentiating the GPipe fill-drain (``make_pp_train_step``)
+    keeps one stashed activation per *tick* live across the whole forward
+    sweep — O(M + S) microbatch activations at peak, so raising M to amortize
+    the (S-1)/T bubble raises peak memory with it.  The production schedule
+    (PipeDream-flush / 1F1B, the default in Megatron-LM) starts each
+    microbatch's backward as soon as its forward leaves the last stage, so a
+    stage never holds more than O(S) stashes no matter how large M is.
+
+    TPU-native formulation: one SPMD program over ``stage_axis``, Python-
+    unrolled over T = M + 2S - 1 ticks.  Each tick every device runs one
+    forward slot and one backward slot (masked by its ``axis_index`` when its
+    lane is outside the wave), with two ``ppermute`` hops per tick —
+    activations ride +1 along the ring, cotangents ride -1.  Tick table
+    (stage s, microbatch m):
+
+        forward   f(m, s)  at tick  m + s
+        head vjp  (s = S-1) at tick  m + S - 1   (right after its forward)
+        backward  b(m, s)  at tick  m + (2S - 1 - s)
+
+    so a microbatch's backward trails its forward by 2(S - s) - 1 ticks.
+    The stage *input* is stashed in a 2S-slot ring buffer; the backward slot
+    re-runs its stage under ``jax.vjp`` from the stashed input (recompute ==
+    ``remat=True``'s FLOP trade) and reads its slot at the device-dependent
+    index (t - (2S-1) + 2s) mod 2S — always within the last 2S-1 writes, and
+    never the slot written this tick (the offset is odd).  Peak live state is
+    therefore structurally bounded: one ring buffer of 2S microbatch
+    activations + one in-flight vjp — independent of M (measured: see
+    docs/SCALING.md "pipeline schedules").  Embedding and head grads are
+    recomputed per-microbatch at the tick where their cotangent exists
+    (masked to stage 0 / S-1), so no O(M) token or cotangent buffer is ever
+    allocated.  Gradients match the replicated step to reduction order
+    (tests/test_pipeline.py::test_pp_1f1b_train_step_matches_replicated).
+
+    Reference: single-GPU, no PP (SURVEY §2.3); this extends the dormant DDP
+    scaffolding's role (utils.py:467-499) the TPU way.
+    """
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"PP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
+    n_stages = mesh.shape[stage_axis]
+    n_mb = n_microbatches
+    last = n_stages - 1
+    cap = 2 * n_stages                       # ring-buffer slots
+    perm_f = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    perm_b = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+
+    def step(stages, rest, head_p, opt_state, images, labels):
+        x = normalize_imagenet(images)
+        b = x.shape[0]
+        if b % n_mb != 0:
+            raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
+        mb = b // n_mb
+        n_pat = labels.shape[-1]
+        total = b * n_pat                    # global token count for the mean
+        x_mbs = x.reshape((n_mb, mb) + x.shape[1:])
+        y_mbs = labels.reshape(n_mb, mb, n_pat)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(stage_axis), P(), P(), P(), P()),
+                 out_specs=(P(), P(stage_axis), P(), P()), check_vma=False)
+        def value_and_grads(stages_in, rest_in, head_in, x_in, y_in):
+            s = jax.lax.axis_index(stage_axis)
+            st = jax.tree.map(lambda t: t[0], stages_in)       # (per, ...)
+            per = jax.tree.leaves(st)[0].shape[0]
+
+            def stage_fwd(st_p, h):
+                for i in range(per):
+                    blk = jax.tree.map(lambda t, i=i: t[i], st_p)
+                    h = block_apply(blk, h, cfg, use_flash=use_flash)[0]
+                return h
+
+            def head_loss(rest_r, head_r, tokens):
+                feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
+                normed = layer_norm(rest_r["norm"], feats, cfg.ln_eps)
+                logp = head_apply(head_type, head_r, normed)
+                return logp                   # (mb*n_pat, C)
+
+            def mb_loss(rest_r, head_r, tokens, y_lab):
+                logp = head_loss(rest_r, head_r, tokens)
+                yi = y_lab.reshape(-1).astype(jnp.int32)
+                picked = jnp.take_along_axis(logp, yi[:, None], axis=1)[:, 0]
+                return -jnp.sum(picked) / total   # partial of the global mean
+
+            tok_shape = (mb, (x_in.shape[2] // cfg.patch_size) *
+                         (x_in.shape[3] // cfg.patch_size) + 1, cfg.embed_dim)
+            ring = jnp.zeros((cap,) + tok_shape, jnp.float32)
+            recv_f = jnp.zeros(tok_shape, jnp.float32)
+            recv_b = jnp.zeros(tok_shape, jnp.float32)
+            dy_pend = jnp.zeros(tok_shape, jnp.float32)
+            loss_acc = jnp.zeros((), jnp.float32)
+            g_st = jax.tree.map(jnp.zeros_like, st)
+            g_rest = jax.tree.map(jnp.zeros_like, rest_in)
+            g_head = jax.tree.map(jnp.zeros_like, head_in)
+
+            def acc(tree_acc, tree_g, active):
+                w = active.astype(jnp.float32)
+                return jax.tree.map(lambda a, g: a + g * w, tree_acc, tree_g)
+
+            for t in range(n_mb + 2 * n_stages - 1):     # static schedule
+                y_f = None
+                if t <= n_mb + n_stages - 2:             # --- forward slot
+                    f0 = min(t, n_mb - 1)                # stage-0 inject idx
+                    tok_in = prepare_tokens(rest_in, x_in[f0], cfg)
+                    h_in = jnp.where(s == 0, tok_in, recv_f)
+                    ring = jax.lax.dynamic_update_index_in_dim(
+                        ring, h_in, t % cap, 0)
+                    y_f = stage_fwd(st, h_in)
+                    recv_f = jax.lax.ppermute(y_f, stage_axis, perm_f)
+
+                if t >= n_stages:                        # --- backward slot
+                    active_b = jnp.logical_and(
+                        t - (2 * n_stages - 1) + s >= 0,
+                        t - (2 * n_stages - 1) + s < n_mb)
+                    g_in = jnp.where(s == last, dy_pend, recv_b)
+                    slot = jnp.mod(t - (2 * n_stages - 1) + 2 * s, cap)
+                    h_st = jax.lax.dynamic_index_in_dim(ring, slot, 0,
+                                                        keepdims=False)
+                    _, vjp_fn = jax.vjp(stage_fwd, st, h_st)
+                    g_st_mb, dh = vjp_fn(g_in)
+                    g_st = acc(g_st, g_st_mb, active_b)
+                    m0 = t - (2 * n_stages - 1)          # stage-0 bwd mb
+                    if 0 <= m0 < n_mb:                   # embedding grads
+                        _, vjp_prep = jax.vjp(
+                            lambda r: prepare_tokens(r, x_in[m0], cfg),
+                            rest_in)
+                        (g_emb,) = vjp_prep(
+                            jnp.where(s == 0, dh, jnp.zeros_like(dh)))
+                        g_rest = acc(g_rest, g_emb, active_b)
+                    recv_b = jax.lax.ppermute(dh, stage_axis, perm_b)
+
+                m_h = t - (n_stages - 1)                 # --- head slot
+                if 0 <= m_h < n_mb:
+                    is_last = s == last
+                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
+                        mb_loss, argnums=(0, 1, 2))(
+                        rest_in, head_in, y_f, y_in[m_h])
+                    loss_acc += jnp.where(is_last, loss_m, 0.0)
+                    g_rest = acc(g_rest, g_nr, is_last)
+                    g_head = acc(g_head, g_hd, is_last)
+                    dy_pend = jnp.where(is_last, dy, dy_pend)
+
+            loss = jax.lax.psum(loss_acc, stage_axis)
+            g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_rest)
+            g_head = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_head)
+            g_st = jax.tree.map(lambda t: t[None], g_st)
+            return loss, g_st, g_rest, g_head
+
+        loss, g_st, g_rest, g_head = value_and_grads(stages, rest, head_p,
+                                                     x_mbs, y_mbs)
+        params = {"stages": stages, "rest": rest, "head": head_p}
+        grads = {"stages": g_st, "rest": g_rest, "head": g_head}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params["stages"], params["rest"], params["head"], opt_state,
+                loss)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
+
+
+# ---------------------------------------------------------------------------
 # 3-axis composition: DP x PP x TP on a (data, stage, model) mesh
 # (docs/SCALING.md composition table — the classic 3D-parallel layout)
 # ---------------------------------------------------------------------------

@@ -97,6 +97,59 @@ def test_pp_train_step_matches_replicated(n_stages, n_mb, remat):
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("n_stages,n_mb", [(4, 2), (4, 6), (8, 4)])
+def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb):
+    """The hand-written 1F1B schedule (O(S) activation memory) computes the
+    same Adam step as the replicated make_train_step — including M > 2S-1
+    microbatches, where the ring-buffer stash actually wraps."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (init_pp_train_state,
+                                            make_pp_1f1b_train_step)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    depth, n_classes = 8, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    b = 2 * n_mb
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    stages = jax.device_put(stack_block_stages(vit_p["blocks"], n_stages),
+                            NamedSharding(mesh, P("stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    pp_step = make_pp_1f1b_train_step(CFG, "mlp", n_classes, opt, mesh,
+                                      n_microbatches=n_mb)
+    opt_state = init_pp_train_state(opt, stages, rest, head_p)
+    new_stages, new_rest, new_head, _, pp_loss = pp_step(
+        stages, rest, head_p, opt_state, images, labels)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    for got, want in zip(_unstack_stages(new_stages, n_stages),
+                         ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for k in rest:
+        for g_l, w_l in zip(jax.tree.leaves(new_rest[k]),
+                            jax.tree.leaves(ref_vit[k])):
+            np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_pp_tp_forward_matches_replicated():
     """3-axis composition forward: batch over data, blocks pipelined over
     stage, block math Megatron-split over model — equals the replicated
