@@ -268,7 +268,7 @@ def init_pp_train_state(optimizer, stages, rest, head_p):
 def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                             optimizer, mesh: Mesh, stage_axis: str = "stage",
                             n_microbatches: int = 2, use_flash: bool = True,
-                            donate: bool = False):
+                            scan: bool = False, donate: bool = False):
     """PP train step on a hand-written 1F1B schedule (same contract as
     :func:`make_pp_train_step`).
 
@@ -304,6 +304,13 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     (masked to stage 0 / S-1), so no O(M) token or cotangent buffer is ever
     allocated.  Gradients match the replicated step to reduction order
     (tests/test_pipeline.py::test_pp_1f1b_train_step_matches_replicated).
+
+    ``scan=True`` rolls the tick into one ``lax.scan`` body (static window
+    gates become masks, static microbatch indices become dynamic slices):
+    identical math and memory bound, but HLO size and compile time become
+    O(1) in M instead of O(M) — the form to use at production microbatch
+    counts.  The unrolled default gives XLA per-tick scheduling freedom and
+    skips out-of-window slots at the edges, so it stays default for small M.
 
     Reference: single-GPU, no PP (SURVEY §2.3); this extends the dormant DDP
     scaffolding's role (utils.py:467-499) the TPU way.
@@ -372,6 +379,78 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             def acc(tree_acc, tree_g, active):
                 w = active.astype(jnp.float32)
                 return jax.tree.map(lambda a, g: a + g * w, tree_acc, tree_g)
+
+            if scan:
+                # One lax.scan tick: every slot always computes (garbage on
+                # masked lanes/edges), window gates become predicates,
+                # microbatch indices become dynamic slices.  Same math and
+                # same O(S) live state as the unrolled path; HLO is O(1) in M.
+                def tick(carry, t):
+                    (ring, recv_f, recv_b, dy_pend, loss_acc,
+                     g_st, g_rest, g_head) = carry
+                    # forward slot
+                    f0 = jnp.clip(t, 0, n_mb - 1)
+                    x_f = jax.lax.dynamic_index_in_dim(x_in, f0, 0,
+                                                       keepdims=False)
+                    tok_in = prepare_tokens(rest_in, x_f, cfg)
+                    h_in = jnp.where(s == 0, tok_in, recv_f)
+                    ring = jax.lax.dynamic_update_index_in_dim(
+                        ring, h_in, jnp.mod(t, cap), 0)
+                    y_f = stage_fwd(st, h_in)
+                    recv_f = jax.lax.ppermute(y_f, stage_axis, perm_f)
+                    # backward slot (self-gating: t-(2S-1)+s < 0 pre-warmup)
+                    active_b = jnp.logical_and(
+                        t - (2 * n_stages - 1) + s >= 0,
+                        t - (2 * n_stages - 1) + s < n_mb)
+                    g_in = jnp.where(s == last, dy_pend, recv_b)
+                    slot = jnp.mod(t - (2 * n_stages - 1) + 2 * s, cap)
+                    h_st = jax.lax.dynamic_index_in_dim(ring, slot, 0,
+                                                        keepdims=False)
+                    _, vjp_fn = jax.vjp(stage_fwd, st, h_st)
+                    g_st_mb, dh = vjp_fn(g_in)
+                    g_st = acc(g_st, g_st_mb, active_b)
+                    m0 = jnp.clip(t - (2 * n_stages - 1), 0, n_mb - 1)
+                    x_b = jax.lax.dynamic_index_in_dim(x_in, m0, 0,
+                                                       keepdims=False)
+                    _, vjp_prep = jax.vjp(
+                        lambda r: prepare_tokens(r, x_b, cfg), rest_in)
+                    (g_emb,) = vjp_prep(
+                        jnp.where(s == 0, dh, jnp.zeros_like(dh)))
+                    g_rest = acc(g_rest, g_emb, active_b)
+                    recv_b = jax.lax.ppermute(dh, stage_axis, perm_b)
+                    # head slot
+                    m_h = jnp.clip(t - (n_stages - 1), 0, n_mb - 1)
+                    y_lab = jax.lax.dynamic_index_in_dim(y_in, m_h, 0,
+                                                         keepdims=False)
+                    active_h = jnp.logical_and(
+                        jnp.logical_and(t >= n_stages - 1,
+                                        t <= n_mb + n_stages - 2),
+                        s == last)
+                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
+                        mb_loss, argnums=(0, 1, 2))(
+                        rest_in, head_in, y_f, y_lab)
+                    loss_acc += jnp.where(active_h, loss_m, 0.0)
+                    g_rest = acc(g_rest, g_nr, active_h)
+                    g_head = acc(g_head, g_hd, active_h)
+                    dy_pend = jnp.where(active_h, dy, dy_pend)
+                    return (ring, recv_f, recv_b, dy_pend, loss_acc,
+                            g_st, g_rest, g_head), None
+
+                carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
+                         g_st, g_rest, g_head)
+                carry, _ = jax.lax.scan(
+                    tick, carry,
+                    jnp.arange(n_mb + 2 * n_stages - 1, dtype=jnp.int32))
+                (ring, recv_f, recv_b, dy_pend, loss_acc,
+                 g_st, g_rest, g_head) = carry
+
+                loss = jax.lax.psum(loss_acc, stage_axis)
+                g_rest = jax.tree.map(
+                    lambda t: jax.lax.psum(t, stage_axis), g_rest)
+                g_head = jax.tree.map(
+                    lambda t: jax.lax.psum(t, stage_axis), g_head)
+                g_st = jax.tree.map(lambda t: t[None], g_st)
+                return loss, g_st, g_rest, g_head
 
             for t in range(n_mb + 2 * n_stages - 1):     # static schedule
                 y_f = None

@@ -97,8 +97,10 @@ def test_pp_train_step_matches_replicated(n_stages, n_mb, remat):
                                    atol=2e-4, rtol=1e-3)
 
 
-@pytest.mark.parametrize("n_stages,n_mb", [(4, 2), (4, 6), (8, 4)])
-def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb):
+@pytest.mark.parametrize("n_stages,n_mb,scan",
+                         [(4, 2, False), (4, 6, False), (8, 4, False),
+                          (4, 6, True)])
+def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb, scan):
     """The hand-written 1F1B schedule (O(S) activation memory) computes the
     same Adam step as the replicated make_train_step — including M > 2S-1
     microbatches, where the ring-buffer stash actually wraps."""
@@ -129,7 +131,7 @@ def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb):
                             NamedSharding(mesh, P("stage")))
     rest = {k: v for k, v in vit_p.items() if k != "blocks"}
     pp_step = make_pp_1f1b_train_step(CFG, "mlp", n_classes, opt, mesh,
-                                      n_microbatches=n_mb)
+                                      n_microbatches=n_mb, scan=scan)
     opt_state = init_pp_train_state(opt, stages, rest, head_p)
     new_stages, new_rest, new_head, _, pp_loss = pp_step(
         stages, rest, head_p, opt_state, images, labels)

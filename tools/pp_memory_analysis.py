@@ -33,6 +33,45 @@ def peak_temp_bytes(step, args):
     return int(mem.temp_size_in_bytes), int(mem.argument_size_in_bytes)
 
 
+def compile_scaling():
+    """HLO-size and lower+compile wall time of unrolled vs scan 1F1B as M
+    grows (the O(M)-vs-O(1) trace-size claim)."""
+    import time
+    cfg = ViTConfig(patch_size=8, embed_dim=128, num_heads=2)
+    depth, n_classes, n_stages, res = 8, 5, 4, 96
+    n_pat = (res // cfg.patch_size) ** 2
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       cfg.embed_dim)
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    stages = jax.device_put(stack_block_stages(vit_p["blocks"], n_stages),
+                            NamedSharding(mesh, P("stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = init_pp_train_state(opt, stages, rest, head_p)
+    for n_mb in (8, 32):
+        b = 2 * n_mb
+        rs = np.random.RandomState(0)
+        images = rs.randint(0, 255, (b, res, res, 3)).astype(np.uint8)
+        labels = rs.randint(0, n_classes, (b, n_pat)).astype(np.int32)
+        args = (stages, rest, head_p, opt_state, images, labels)
+        for name, scan in (("unrolled", False), ("scan", True)):
+            step = make_pp_1f1b_train_step(cfg, "mlp", n_classes, opt, mesh,
+                                           n_microbatches=n_mb,
+                                           use_flash=False, scan=scan)
+            t0 = time.perf_counter()
+            lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                              else step).lower(*args)
+            t1 = time.perf_counter()
+            hlo_kb = len(lowered.as_text()) // 1024
+            lowered.compile()
+            t2 = time.perf_counter()
+            print(json.dumps({"variant": name, "M": n_mb,
+                              "hlo_KiB": hlo_kb,
+                              "lower_s": round(t1 - t0, 1),
+                              "compile_s": round(t2 - t1, 1)}))
+
+
 def main():
     cfg = ViTConfig(patch_size=8, embed_dim=128, num_heads=2)
     depth, n_classes, n_stages, res = 8, 5, 4, 96
@@ -71,4 +110,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--compile_scaling" in sys.argv:
+        compile_scaling()
+    else:
+        main()
