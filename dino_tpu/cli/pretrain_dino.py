@@ -69,6 +69,14 @@ def main(argv=None):
                     help="(testing/chunking) request a graceful stop after "
                          "this many optimizer steps of THIS invocation — "
                          "same checkpoint-and-exit path a SIGTERM takes")
+    ap.add_argument("--stop_poll_secs", type=float, default=2.0,
+                    help="multi-host: target WALL-TIME between the "
+                         "stop-signal agreement collectives; the step "
+                         "cadence is derived from the slowest host's "
+                         "measured step time, so SIGTERM response stays "
+                         "bounded in seconds (inside a preemption grace "
+                         "period) whatever the model/resolution costs "
+                         "per step")
     ap.add_argument("--nan_guard", action="store_true",
                     help="failure detection: if a step's loss is non-finite, "
                          "roll the train state back to the last checkpoint "
@@ -274,6 +282,14 @@ def main(argv=None):
     steps_done = 0
     stopped = False
     rollbacks = 0  # consecutive NaN-guard rollbacks
+    # multi-host stop-agreement cadence (in steps), derived after a short
+    # warmup from the slowest host's measured step time so the SIGTERM
+    # response is bounded in SECONDS (--stop_poll_secs), not steps; None
+    # during warmup = agree every step
+    stop_cadence = None
+    _cadence_warmup = 8
+    poll_t0 = None       # anchored at the first post-compile stop check
+    poll_base = 0
     # fault injection (tests / chaos drills): poison the crops of the step
     # at this 0-based index so the guard's detect->rollback->skip path can
     # be exercised deterministically (SURVEY §5 "fault injection")
@@ -356,17 +372,39 @@ def main(argv=None):
             # otherwise one host exits the loop while another dispatches
             # step s+1's collectives and the job deadlocks through the
             # preemption grace period.  Agreement is itself a cross-host
-            # collective, so it runs every 16 steps (~3 s at the measured
-            # step time — well inside any grace period), not per step;
-            # between cadence points multi-host ranks ignore the local
-            # flag (acting on it would diverge).  The cadence is a pure
-            # function of s, identical on every rank even across nan_guard
-            # rollbacks.  --stop_after_steps is deterministic (same
-            # steps_done on every host) and needs no agreement.
+            # collective, so it runs on a cadence, not per step; between
+            # cadence points multi-host ranks ignore the local flag
+            # (acting on it would diverge).  The cadence targets
+            # --stop_poll_secs of WALL time: the first _cadence_warmup
+            # steps agree every step while each rank times them, then one
+            # allgather takes the slowest host's step time and every rank
+            # computes the same cadence from the same gathered max — a
+            # pure function of s thereafter, identical across ranks and
+            # nan_guard rollbacks.  --stop_after_steps is deterministic
+            # (same steps_done on every host) and needs no agreement.
             stop_flag = stop_requested["flag"]
             if n_proc > 1:
-                if s % 16 == 15 or s == niter - 1:
-                    from dino_tpu.parallel.dist import any_across_hosts
+                from dino_tpu.parallel.dist import any_across_hosts
+                if stop_cadence is None and poll_t0 is None:
+                    # anchor AFTER the first step so the one-off compile
+                    # doesn't inflate the measured step time; steps_done
+                    # is identical across ranks, so every rank anchors at
+                    # the same loop point
+                    poll_t0, poll_base = time.time(), steps_done
+                elif (stop_cadence is None
+                      and steps_done - poll_base >= _cadence_warmup):
+                    from jax.experimental import multihost_utils
+                    elapsed = np.asarray(multihost_utils.process_allgather(
+                        np.atleast_1d(np.float32(time.time() - poll_t0))))
+                    step_t = float(elapsed.max()) / (steps_done - poll_base)
+                    stop_cadence = max(1, min(64, int(args.stop_poll_secs
+                                                      / max(step_t, 1e-3))))
+                    if p_i == 0:
+                        print(f"stop-agreement cadence: every "
+                              f"{stop_cadence} steps "
+                              f"({step_t:.2f}s/step on the slowest host)")
+                cad = stop_cadence or 1      # warmup: agree every step
+                if s % cad == cad - 1 or s == niter - 1:
                     stop_flag = any_across_hosts(stop_flag)
                 else:
                     stop_flag = False

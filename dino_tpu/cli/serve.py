@@ -217,6 +217,14 @@ class _Batcher:
                         self._stats.record_round(len(group))
                     try:
                         labels = self._predict_many([g[0] for g in group])
+                        if len(labels) != len(group):
+                            # zip() would silently skip the unmatched
+                            # requests and leave their waiters blocked
+                            # forever — turn a short return into a
+                            # visible per-group failure instead
+                            raise RuntimeError(
+                                f"predict_many returned {len(labels)} "
+                                f"results for a group of {len(group)}")
                         for (_, done, box), lab in zip(group, labels):
                             box["labels"] = lab
                             done.set()

@@ -305,6 +305,14 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     allocated.  Gradients match the replicated step to reduction order
     (tests/test_pipeline.py::test_pp_1f1b_train_step_matches_replicated).
 
+    The head lives on the last stage (the standard 1F1B placement): its
+    per-microbatch vjp must produce the output cotangent the moment the
+    forward leaves the pipe, so it cannot be chunk-sharded across stages
+    the way the GPipe step's barrier-style head is — every device runs the
+    masked head math and (S-1)/S of it is discarded.  That is the same
+    trade Megatron makes; the head is ~1% of a deep backbone's FLOPs,
+    which is the regime PP exists for.
+
     ``scan=True`` rolls the tick into one ``lax.scan`` body (static window
     gates become masks, static microbatch indices become dynamic slices):
     identical math and memory bound, but HLO size and compile time become
@@ -380,90 +388,38 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                 w = active.astype(jnp.float32)
                 return jax.tree.map(lambda a, g: a + g * w, tree_acc, tree_g)
 
-            if scan:
-                # One lax.scan tick: every slot always computes (garbage on
-                # masked lanes/edges), window gates become predicates,
-                # microbatch indices become dynamic slices.  Same math and
-                # same O(S) live state as the unrolled path; HLO is O(1) in M.
-                def tick(carry, t):
-                    (ring, recv_f, recv_b, dy_pend, loss_acc,
-                     g_st, g_rest, g_head) = carry
-                    # forward slot
-                    f0 = jnp.clip(t, 0, n_mb - 1)
-                    x_f = jax.lax.dynamic_index_in_dim(x_in, f0, 0,
-                                                       keepdims=False)
-                    tok_in = prepare_tokens(rest_in, x_f, cfg)
-                    h_in = jnp.where(s == 0, tok_in, recv_f)
-                    ring = jax.lax.dynamic_update_index_in_dim(
-                        ring, h_in, jnp.mod(t, cap), 0)
-                    y_f = stage_fwd(st, h_in)
-                    recv_f = jax.lax.ppermute(y_f, stage_axis, perm_f)
-                    # backward slot (self-gating: t-(2S-1)+s < 0 pre-warmup)
-                    active_b = jnp.logical_and(
-                        t - (2 * n_stages - 1) + s >= 0,
-                        t - (2 * n_stages - 1) + s < n_mb)
-                    g_in = jnp.where(s == last, dy_pend, recv_b)
-                    slot = jnp.mod(t - (2 * n_stages - 1) + 2 * s, cap)
-                    h_st = jax.lax.dynamic_index_in_dim(ring, slot, 0,
-                                                        keepdims=False)
-                    _, vjp_fn = jax.vjp(stage_fwd, st, h_st)
-                    g_st_mb, dh = vjp_fn(g_in)
-                    g_st = acc(g_st, g_st_mb, active_b)
-                    m0 = jnp.clip(t - (2 * n_stages - 1), 0, n_mb - 1)
-                    x_b = jax.lax.dynamic_index_in_dim(x_in, m0, 0,
-                                                       keepdims=False)
-                    _, vjp_prep = jax.vjp(
-                        lambda r: prepare_tokens(r, x_b, cfg), rest_in)
-                    (g_emb,) = vjp_prep(
-                        jnp.where(s == 0, dh, jnp.zeros_like(dh)))
-                    g_rest = acc(g_rest, g_emb, active_b)
-                    recv_b = jax.lax.ppermute(dh, stage_axis, perm_b)
-                    # head slot
-                    m_h = jnp.clip(t - (n_stages - 1), 0, n_mb - 1)
-                    y_lab = jax.lax.dynamic_index_in_dim(y_in, m_h, 0,
-                                                         keepdims=False)
-                    active_h = jnp.logical_and(
-                        jnp.logical_and(t >= n_stages - 1,
-                                        t <= n_mb + n_stages - 2),
-                        s == last)
-                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
-                        mb_loss, argnums=(0, 1, 2))(
-                        rest_in, head_in, y_f, y_lab)
-                    loss_acc += jnp.where(active_h, loss_m, 0.0)
-                    g_rest = acc(g_rest, g_nr, active_h)
-                    g_head = acc(g_head, g_hd, active_h)
-                    dy_pend = jnp.where(active_h, dy, dy_pend)
-                    return (ring, recv_f, recv_b, dy_pend, loss_acc,
-                            g_st, g_rest, g_head), None
+            def mb_slice(arr, idx, static):
+                """arr[idx] with a Python-int (static trace) or traced
+                (clipped dynamic-slice) microbatch index."""
+                if static:
+                    return arr[idx]
+                return jax.lax.dynamic_index_in_dim(
+                    arr, jnp.clip(idx, 0, n_mb - 1), 0, keepdims=False)
 
-                carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
-                         g_st, g_rest, g_head)
-                carry, _ = jax.lax.scan(
-                    tick, carry,
-                    jnp.arange(n_mb + 2 * n_stages - 1, dtype=jnp.int32))
+            # ONE tick body for both schedule forms.  static=True: t is a
+            # Python int — window gates are `if`s that skip out-of-window
+            # slots entirely and microbatch indices trace as constants.
+            # static=False (the lax.scan body): t is traced — the same
+            # gates become masks/clips, every slot always computes
+            # (garbage on masked lanes/edges is discarded by the same
+            # `acc` masks both forms share).  Keeping one copy means a
+            # schedule fix can't silently diverge the two forms.
+            def tick(carry, t, static):
                 (ring, recv_f, recv_b, dy_pend, loss_acc,
                  g_st, g_rest, g_head) = carry
-
-                loss = jax.lax.psum(loss_acc, stage_axis)
-                g_rest = jax.tree.map(
-                    lambda t: jax.lax.psum(t, stage_axis), g_rest)
-                g_head = jax.tree.map(
-                    lambda t: jax.lax.psum(t, stage_axis), g_head)
-                g_st = jax.tree.map(lambda t: t[None], g_st)
-                return loss, g_st, g_rest, g_head
-
-            for t in range(n_mb + 2 * n_stages - 1):     # static schedule
                 y_f = None
-                if t <= n_mb + n_stages - 2:             # --- forward slot
-                    f0 = min(t, n_mb - 1)                # stage-0 inject idx
-                    tok_in = prepare_tokens(rest_in, x_in[f0], cfg)
+                if (not static) or t <= n_mb + n_stages - 2:  # fwd slot
+                    f0 = min(t, n_mb - 1) if static else t   # stage-0 inject
+                    tok_in = prepare_tokens(rest_in,
+                                            mb_slice(x_in, f0, static), cfg)
                     h_in = jnp.where(s == 0, tok_in, recv_f)
                     ring = jax.lax.dynamic_update_index_in_dim(
-                        ring, h_in, t % cap, 0)
+                        ring, h_in, t % cap if static else jnp.mod(t, cap),
+                        0)
                     y_f = stage_fwd(st, h_in)
                     recv_f = jax.lax.ppermute(y_f, stage_axis, perm_f)
 
-                if t >= n_stages:                        # --- backward slot
+                if (not static) or t >= n_stages:             # bwd slot
                     active_b = jnp.logical_and(
                         t - (2 * n_stages - 1) + s >= 0,
                         t - (2 * n_stages - 1) + s < n_mb)
@@ -475,25 +431,44 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     g_st_mb, dh = vjp_fn(g_in)
                     g_st = acc(g_st, g_st_mb, active_b)
                     m0 = t - (2 * n_stages - 1)          # stage-0 bwd mb
-                    if 0 <= m0 < n_mb:                   # embedding grads
+                    if (not static) or 0 <= m0 < n_mb:   # embedding grads
+                        x_b = mb_slice(x_in, m0, static)
                         _, vjp_prep = jax.vjp(
-                            lambda r: prepare_tokens(r, x_in[m0], cfg),
-                            rest_in)
+                            lambda r: prepare_tokens(r, x_b, cfg), rest_in)
                         (g_emb,) = vjp_prep(
                             jnp.where(s == 0, dh, jnp.zeros_like(dh)))
                         g_rest = acc(g_rest, g_emb, active_b)
                     recv_b = jax.lax.ppermute(dh, stage_axis, perm_b)
 
-                m_h = t - (n_stages - 1)                 # --- head slot
-                if 0 <= m_h < n_mb:
-                    is_last = s == last
+                m_h = t - (n_stages - 1)                      # head slot
+                if (not static) or 0 <= m_h < n_mb:
+                    active_h = s == last
+                    if not static:  # window gate as a predicate
+                        active_h = jnp.logical_and(
+                            active_h,
+                            jnp.logical_and(m_h >= 0, m_h < n_mb))
                     loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
                         mb_loss, argnums=(0, 1, 2))(
-                        rest_in, head_in, y_f, y_in[m_h])
-                    loss_acc += jnp.where(is_last, loss_m, 0.0)
-                    g_rest = acc(g_rest, g_nr, is_last)
-                    g_head = acc(g_head, g_hd, is_last)
-                    dy_pend = jnp.where(is_last, dy, dy_pend)
+                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static))
+                    loss_acc += jnp.where(active_h, loss_m, 0.0)
+                    g_rest = acc(g_rest, g_nr, active_h)
+                    g_head = acc(g_head, g_hd, active_h)
+                    dy_pend = jnp.where(active_h, dy, dy_pend)
+                return (ring, recv_f, recv_b, dy_pend, loss_acc,
+                        g_st, g_rest, g_head)
+
+            carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
+                     g_st, g_rest, g_head)
+            n_ticks = n_mb + 2 * n_stages - 1
+            if scan:
+                carry, _ = jax.lax.scan(
+                    lambda c, t: (tick(c, t, static=False), None),
+                    carry, jnp.arange(n_ticks, dtype=jnp.int32))
+            else:
+                for t in range(n_ticks):
+                    carry = tick(carry, t, static=True)
+            (ring, recv_f, recv_b, dy_pend, loss_acc,
+             g_st, g_rest, g_head) = carry
 
             loss = jax.lax.psum(loss_acc, stage_axis)
             g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),

@@ -342,6 +342,7 @@ def test_dyn_kernels_split_ladder(monkeypatch):
 
     # fwd: _kv_dbl_bytes(96,64,4)=98304 resident; 60000 -> 2 slices;
     # 10000 -> below even 8 slices -> masked-XLA fallback
+    orig_fwd_budget = A._KV_VMEM_BUDGET  # restore the REAL production
     for budget, branch in ((60000, "split"), (10000, "xla")):
         assert (A._split_count(nk, hd, 4, budget) is None) == (branch == "xla")
         monkeypatch.setattr(A, "_KV_VMEM_BUDGET", budget)
@@ -351,7 +352,8 @@ def test_dyn_kernels_split_ladder(monkeypatch):
         np.testing.assert_allclose(np.asarray(lse_b[:, :n]),
                                    np.asarray(lse_res[:, :n]),
                                    atol=2e-5, rtol=1e-5)
-    monkeypatch.setattr(A, "_KV_VMEM_BUDGET", 5 * 1024 * 1024)
+    # value, not a re-hardcoded copy that could go stale if it's retuned
+    monkeypatch.setattr(A, "_KV_VMEM_BUDGET", orig_fwd_budget)
 
     # bwd: score-aware per-row model — per_row = 8*block_q(64) + 4*hd*4
     # + 4*hd*4 = 2560 B/row; full 96 rows = 245760, half = 122880, the

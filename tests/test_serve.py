@@ -274,3 +274,16 @@ def test_batcher_exception_nets():
         b2(img)
     assert bad.raised
     assert b2(img) == img.sum()  # loop alive after the round-level failure
+
+    # (c) short return: a backend that silently returns fewer results than
+    # the group must fail the group visibly — zip() skipping the unmatched
+    # request would leave its waiter blocked forever on done.wait()
+    def predict_short(imgs):
+        return [im.sum() for im in imgs][:-1] if len(imgs) else []
+
+    b3 = _Batcher(predict_short, max_batch=2, timeout_s=0.01)
+    with pytest.raises(RuntimeError, match="returned 0 results"):
+        b3(img)
+    assert b3.__call__ is not None  # dispatcher thread still alive
+    with pytest.raises(RuntimeError, match="returned 0 results"):
+        b3(img)  # and still answering (with the visible error)
