@@ -95,6 +95,49 @@ def named(mesh: Mesh, spec) -> NamedSharding:
     return NamedSharding(mesh, spec)
 
 
+def fsdp_spec(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """PartitionSpec tree for FSDP (ZeRO-3) storage: each array leaf's
+    FIRST dimension divisible by the ``axis`` size shards over that axis;
+    scalars and indivisible leaves replicate.
+
+    Applied as entry/exit constraints on params, gradients, and optimizer
+    state in one jitted train step (see train/loop.py:make_train_step
+    ``fsdp_mesh``), GSPMD materializes the full FSDP dataflow on its own:
+    parameters and Adam moments LIVE 1/N-per-device, the forward/backward
+    ALL-GATHER each weight where it is used (transient, freed after the
+    op), and the data-parallel gradient REDUCE-SCATTERS straight into the
+    sharded update.  The same shape-driven rule covers the optimizer state
+    (moments mirror their params' shapes; odd leaves like the step count
+    fall back to replicated), so no optax state introspection is needed.
+    Reference: single-GPU, none of this (utils.py:467-499 is dormant DDP);
+    this is the ZeRO-3/FSDP member of the parallelism matrix
+    (docs/SCALING.md).
+    """
+    n = mesh.shape[axis]
+
+    def spec_of(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return P()
+        for d, s in enumerate(x.shape):
+            if s >= n and s % n == 0:
+                parts: list = [None] * x.ndim
+                parts[d] = axis
+                return P(*parts)
+        return P()
+
+    return jax.tree.map(spec_of, tree)
+
+
+def fsdp_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """with_sharding_constraint every leaf of ``tree`` to its
+    :func:`fsdp_spec` placement (inside-jit use)."""
+    spec = fsdp_spec(tree, mesh, axis)
+    return jax.tree.map(
+        lambda x, s: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, s)),
+        tree, spec, is_leaf=lambda x: isinstance(x, P))
+
+
 class _SpecBox:
     """Opaque wrapper so a PartitionSpec (a tuple subclass, hence a pytree
     *container*) survives as a single leaf through optax.tree_map_params."""

@@ -109,6 +109,7 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     accum_steps: int = 1,
                     zero_mesh=None, zero_axis: str = "data",
                     zero_param_spec=None,
+                    fsdp_mesh=None, fsdp_axis: str = "data",
                     moe_dispatch: str = "dense",
                     moe_capacity: float = 1.25) -> Callable:
     """Returns jitted step(vit_p, head_p, opt_state, images, labels) ->
@@ -135,7 +136,23 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     {"head": ..., "vit": ...}) — under DPxTP it keeps the TP axis of each
     moment where the param has it (see parallel/mesh.py:zero_constrain);
     omit under pure DP.
+
+    ``fsdp_mesh``: FSDP / ZeRO-3 — the trainable params, their gradients,
+    AND the optimizer state are all pinned to the shape-driven sharded
+    layout of parallel/mesh.py:fsdp_spec over ``fsdp_axis``.  GSPMD then
+    stores params+moments 1/N-per-device, all-gathers each weight
+    transiently where the forward/backward uses it, and reduce-scatters
+    the data-parallel gradient into the sharded update.  Unlike
+    ``zero_mesh`` (whose contract re-replicates the params on exit), the
+    updated params STAY sharded — feed them back in and, when a consumer
+    needs a replicated copy (checkpointing, a replicated eval program),
+    gather once via jax.device_put.  Numerics are unchanged
+    (equality-tested, tests/test_fsdp.py).  Mutually exclusive with
+    ``zero_mesh`` (FSDP subsumes ZeRO-1).
     """
+    if fsdp_mesh is not None and zero_mesh is not None:
+        raise ValueError("fsdp_mesh and zero_mesh are mutually exclusive: "
+                         "FSDP already shards the optimizer state")
     if accum_steps > 1 and head_type == "moe":
         raise ValueError("accum_steps>1 is exact only for per-patch losses; "
                          "the MoE router balance term is a nonlinear "
@@ -235,6 +252,12 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         else:
             trainable = {"head": head_p, "vit": vit_p}
             static_vit = None
+        if fsdp_mesh is not None:
+            # FSDP storage layout: params enter sharded; every use below
+            # all-gathers transiently (XLA frees the gathered copy after
+            # the consuming op)
+            from dino_tpu.parallel.mesh import fsdp_constrain
+            trainable = fsdp_constrain(trainable, fsdp_mesh, fsdp_axis)
         if accum_steps > 1:
             loss, cm, grads = accum_impl(trainable, static_vit, images,
                                          labels, mask)
@@ -247,11 +270,26 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             from dino_tpu.parallel.mesh import zero_constrain
             opt_state = zero_constrain(opt_state, zero_mesh, zero_axis,
                                        zero_param_spec, optimizer)
+        if fsdp_mesh is not None:
+            # grads pinned sharded => the DP gradient sum lowers to a
+            # reduce-scatter; moments mirror their params' shapes, so the
+            # same shape-driven spec shards them (the step count and other
+            # odd leaves fall back to replicated)
+            from dino_tpu.parallel.mesh import fsdp_constrain
+            grads = fsdp_constrain(grads, fsdp_mesh, fsdp_axis)
+            opt_state = fsdp_constrain(opt_state, fsdp_mesh, fsdp_axis)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         if zero_mesh is not None:
             opt_state = zero_constrain(opt_state, zero_mesh, zero_axis,
                                        zero_param_spec, optimizer)
+        if fsdp_mesh is not None:
+            opt_state = fsdp_constrain(opt_state, fsdp_mesh, fsdp_axis)
         trainable = optax.apply_updates(trainable, updates)
+        if fsdp_mesh is not None:
+            # FSDP contract: the updated params STAY sharded (the next
+            # step's entry constraint is already satisfied; consumers that
+            # need a replica gather once outside the step)
+            trainable = fsdp_constrain(trainable, fsdp_mesh, fsdp_axis)
         if zero_mesh is not None:
             # ZeRO-1 contract: the params STAY at their own sharding (the
             # update delta all-gathers back); without this pin GSPMD may
