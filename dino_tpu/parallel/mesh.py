@@ -160,9 +160,10 @@ def zero_constrain(tree: Any, mesh: Mesh, axis: str = "data",
     classic sharded-optimizer dataflow on its own: Adam moments live
     1/N-per-device, the data-parallel gradient REDUCE-SCATTERS into the
     moment/update math (instead of all-reducing a full replica onto every
-    chip), and the parameter delta ALL-GATHERS back — the reference's
-    ZeRO/FSDP-style memory story with zero hand-written collectives
-    (reference has none; its DDP scaffolding is utils.py:467-499).
+    chip), and the parameter delta ALL-GATHERS back — the ZeRO-1 memory
+    story with zero hand-written collectives (for FULL state sharding —
+    params too — see :func:`fsdp_spec` / ZeRO-3; the reference has
+    neither: its DDP scaffolding is dormant, utils.py:467-499).
 
     ``param_spec`` + ``optimizer`` (both or neither): the PartitionSpec
     tree of the params the moments mirror, mapped onto the state via
