@@ -42,6 +42,13 @@ def main(argv=None):
                          "accumulated mean gradient) — activation memory "
                          "scales with batch_size/accum_steps, so DINO's "
                          "large-batch recipes fit one chip")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="FSDP/ZeRO-3: shard the pretrain state (student + "
+                         "teacher + Adam moments, the framework's fattest "
+                         "train state) 1/N per device over the data axis; "
+                         "weights all-gather transiently at use, gradients "
+                         "reduce-scatter (parallel/mesh.py:fsdp_spec). "
+                         "No-op on one device")
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--n_local_crops", type=int, default=8)
     ap.add_argument("--global_size", type=int, default=224)
@@ -143,8 +150,13 @@ def main(argv=None):
             f"with data sharding each microbatch "
             f"({args.batch_size}//{args.accum_steps}) must divide by the "
             f"device count ({jax.device_count()})")
+    fsdp_mesh = None
+    if args.fsdp and jax.device_count() > 1:
+        from dino_tpu.parallel.mesh import make_mesh
+        fsdp_mesh = make_mesh(model_axis=1)
     step = make_dino_train_step(vit_cfg, dino_cfg, opt, donate=True,
-                                accum_steps=args.accum_steps)
+                                accum_steps=args.accum_steps,
+                                fsdp_mesh=fsdp_mesh)
     center = jnp.zeros((1, dino_cfg.out_dim), jnp.float32)
 
     niter = max(1, len(files) // args.batch_size)
@@ -272,11 +284,19 @@ def main(argv=None):
                     for s in (signal.SIGTERM, signal.SIGINT)}
 
     def save_state(epoch, s):
+        state = {"student": student, "teacher": teacher,
+                 "center": center, "opt_state": opt_state}
+        if fsdp_mesh is not None and n_proc > 1:
+            # FSDP shards span other hosts' devices: host 0 cannot
+            # np.asarray them alone — gather collectively BEFORE the
+            # host-0 gate (save_state is only called at points every
+            # rank reaches together: agreed stops, deterministic
+            # save_every_steps, epoch end)
+            from jax.experimental import multihost_utils
+            state = multihost_utils.process_allgather(state, tiled=True)
         if p_i == 0:
             writer.save_train_state(
-                resume_path,
-                {"student": student, "teacher": teacher,
-                 "center": center, "opt_state": opt_state},
+                resume_path, state,
                 run_variables={"epoch": epoch, "step": s})
 
     steps_done = 0
@@ -452,9 +472,15 @@ def main(argv=None):
     # save the TEACHER backbone (the better model, per the paper) in the
     # converted-npz layout the rest of the framework loads directly
     out = os.path.join(args.write_path, "dino_pretrained_backbone.npz")
+    teacher_vit = teacher["vit"]
+    if fsdp_mesh is not None and n_proc > 1:
+        # collective gather before the host-0 gate (FSDP shards span hosts)
+        from jax.experimental import multihost_utils
+        teacher_vit = multihost_utils.process_allgather(teacher_vit,
+                                                        tiled=True)
     if p_i == 0:
         np.savez(out, **flatten_params(
-            jax.tree.map(np.asarray, teacher["vit"])))
+            jax.tree.map(np.asarray, teacher_vit)))
         print(f"saved backbone -> {out}")
     if n_proc > 1:
         from jax.experimental import multihost_utils

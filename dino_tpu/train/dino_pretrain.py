@@ -147,7 +147,8 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
                          optimizer: optax.GradientTransformation,
                          compute_dtype=None, clip: float = 3.0,
                          donate: bool = False,
-                         accum_steps: int = 1) -> Callable:
+                         accum_steps: int = 1,
+                         fsdp_mesh=None, fsdp_axis: str = "data") -> Callable:
     """Jitted step(student, teacher, center, opt_state, global_crops,
     local_crops, teacher_temp, ema_momentum, freeze_last) ->
     (student, teacher, center, opt_state, loss).
@@ -166,6 +167,16 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
     the full-batch teacher mean) exactly match the big-batch step, so
     DINO's large-batch recipes (the paper trains at 1024) fit one chip.
     The crop batch axis must divide by K.
+
+    ``fsdp_mesh``: FSDP / ZeRO-3 over ``fsdp_axis`` for the pretrain
+    state — the FATTEST train state in the framework (student + teacher
+    + Adam moments = 5 ViT-S-sized trees, ~700 MB donated).  Student,
+    teacher, gradients, and optimizer state all pin to the shape-driven
+    parallel/mesh.py:fsdp_spec layout, so the whole state lives
+    1/N-per-device; the per-leaf clip norm reduces over the shards
+    exactly (GSPMD all-reduces the partial sums), and the EMA/center
+    updates stay sharded elementwise.  Numerics match the replicated
+    step (tests/test_dino_pretrain.py).
     """
     n_crops = 2 + dino_cfg.n_local_crops
     # the head's "_meta" (python bool/int flags) is STATIC configuration:
@@ -211,6 +222,10 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
             g_crops = normalize_imagenet(g_crops)
         if l_crops.dtype == jnp.uint8:
             l_crops = normalize_imagenet(l_crops)
+        if fsdp_mesh is not None:
+            from dino_tpu.parallel.mesh import fsdp_constrain
+            s_p = fsdp_constrain(s_p, fsdp_mesh, fsdp_axis)
+            t_p = fsdp_constrain(t_p, fsdp_mesh, fsdp_axis)
         if accum_steps == 1:
             (loss, t_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 s_p, t_p, center, g_crops, l_crops, teacher_temp)
@@ -255,11 +270,20 @@ def make_dino_train_step(vit_cfg: ViTConfig, dino_cfg: DinoConfig,
         # cancel_gradients_last_layer: freeze the prototype directions early
         grads["head"]["last_layer"] = jax.tree.map(
             lambda g: g * (1.0 - freeze_last), grads["head"]["last_layer"])
+        if fsdp_mesh is not None:
+            from dino_tpu.parallel.mesh import fsdp_constrain
+            grads = fsdp_constrain(grads, fsdp_mesh, fsdp_axis)
+            opt_state = fsdp_constrain(opt_state, fsdp_mesh, fsdp_axis)
         updates, opt_state = optimizer.update(grads, opt_state, s_p)
         s_p = optax.apply_updates(s_p, updates)
         t_p = ema_update(t_p, s_p, ema_momentum)
         # EMA of the full-batch teacher mean (update_center semantics)
         center = center_ema(center, batch_center, dino_cfg.center_momentum)
+        if fsdp_mesh is not None:
+            # the whole pretrain state stays sharded step-to-step
+            s_p = fsdp_constrain(s_p, fsdp_mesh, fsdp_axis)
+            t_p = fsdp_constrain(t_p, fsdp_mesh, fsdp_axis)
+            opt_state = fsdp_constrain(opt_state, fsdp_mesh, fsdp_axis)
         return s_p, t_p, center, opt_state, loss
 
     def step(student, teacher, center, opt_state, g_crops, l_crops,

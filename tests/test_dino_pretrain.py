@@ -181,6 +181,51 @@ def test_accum_steps_matches_big_batch_step():
                                    atol=1e-6, rtol=1e-5)  # center
 
 
+def test_fsdp_pretrain_step_matches_replicated():
+    """FSDP over the pretrain state (student + teacher + moments — the
+    framework's fattest train state): same post-step numerics as the
+    replicated step, and the state comes back 1/N-per-device."""
+    from jax.sharding import Mesh
+
+    student, teacher = init_dino_params(jax.random.PRNGKey(2), VIT, DINO,
+                                        depth=2)
+    opt = optax.adamw(3e-4)
+    rs = np.random.RandomState(3)
+    g = jnp.asarray(rs.rand(2, 4, 32, 32, 3).astype(np.float32))
+    l = jnp.asarray(rs.rand(DINO.n_local_crops, 4, 16, 16, 3)
+                    .astype(np.float32))
+    args = (jnp.float32(0.04), jnp.float32(0.99), jnp.float32(0.0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    outs = {}
+    for name, kw in (("rep", {}), ("fsdp", {"fsdp_mesh": mesh})):
+        step = make_dino_train_step(VIT, DINO, opt, **kw)
+        center = jnp.zeros((1, DINO.out_dim), jnp.float32)
+        opt_state = init_dino_opt_state(opt, student)
+        outs[name] = step(student, teacher, center, opt_state, g, l, *args)
+
+    np.testing.assert_allclose(float(outs["fsdp"][4]), float(outs["rep"][4]),
+                               rtol=1e-5)  # loss
+    for which in (0, 1):  # student, teacher
+        for a, b in zip(jax.tree.leaves(outs["fsdp"][which]),
+                        jax.tree.leaves(outs["rep"][which])):
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(outs["fsdp"][2]),
+                               np.asarray(outs["rep"][2]),
+                               atol=1e-6, rtol=1e-5)  # center
+    # the student qkv kernel (64, 192) shards dim 0 over the 8 devices
+    qkv = outs["fsdp"][0]["vit"]["blocks"][0]["attn"]["qkv"]["kernel"]
+    assert "data" in tuple(qkv.sharding.spec)
+    assert qkv.addressable_shards[0].data.shape[0] == qkv.shape[0] // 8
+    # feeding the sharded state back keeps training (entry-pin path)
+    step = make_dino_train_step(VIT, DINO, opt, fsdp_mesh=mesh)
+    s2, t2, c2, o2, l2 = step(outs["fsdp"][0], outs["fsdp"][1],
+                              outs["fsdp"][2], outs["fsdp"][3], g, l, *args)
+    assert np.isfinite(float(l2))
+
+
 def test_freeze_last_layer_gate():
     student, teacher = init_dino_params(jax.random.PRNGKey(1), VIT, DINO,
                                         depth=1)
@@ -230,6 +275,35 @@ def test_pretrain_cli_to_dinoseg_handoff(tmp_path):
     model.set_resolution(64)
     img = rs.randint(0, 255, (64, 64, 3), np.uint8)
     out = model.predict(img)
+    assert out.shape == (480, 480)
+
+
+def test_pretrain_cli_fsdp_smoke(tmp_path):
+    """dt-pretrain-dino --fsdp: the sharded-state path trains end-to-end
+    and the final teacher backbone export still loads into DINOSeg."""
+    from PIL import Image
+
+    from dino_tpu.api import DINOSeg
+    from dino_tpu.cli.pretrain_dino import main as pretrain_main
+
+    data = tmp_path / "imgs"
+    data.mkdir()
+    rs = np.random.RandomState(0)
+    for i in range(8):
+        Image.fromarray(rs.randint(0, 255, (72, 96, 3), np.uint8)).save(
+            data / f"{i}.jpg")
+    write = tmp_path / "out"
+    pretrain_main(["--data_path", str(data), "--write_path", str(write),
+                   "--arch", "vit_small", "--depth", "1", "--out_dim", "32",
+                   "--epochs", "1", "--warmup_epochs", "0",
+                   "--batch_size", "8", "--n_local_crops", "2",
+                   "--global_size", "32", "--local_size", "16", "--fsdp"])
+    ckpt = write / "dino_pretrained_backbone.npz"
+    assert ckpt.exists()
+    model = DINOSeg(head="linear", n_blocks=1, n_classes=3, seed=0,
+                    pretrained_path=str(ckpt))
+    model.set_resolution(64)
+    out = model.predict(rs.randint(0, 255, (64, 64, 3), np.uint8))
     assert out.shape == (480, 480)
 
 
