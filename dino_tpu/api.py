@@ -728,7 +728,7 @@ class DINOSeg:
             samples_per_epoch: int = 1000, seed: int = 0,
             resume: bool = False, cache_features="auto",
             parallelism: Optional[str] = None,
-            accum_steps: int = 1, zero: bool = False,
+            accum_steps: int = 1, zero: bool = False, fsdp: bool = False,
             early_stopping: bool = False,
             augment_backend: str = "auto") -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
@@ -787,9 +787,34 @@ class DINOSeg:
         ``parallelism='sp'`` the moments shard over the token axis
         instead (same 1/N memory; make_sp_train_step).  Numerics
         unchanged; a no-op on one device.
+
+        ``fsdp=True``: FSDP / ZeRO-3 — params, gradients, AND moments all
+        stored 1/N per device (parallel/mesh.py:fsdp_spec; weights
+        all-gather transiently at use, gradients reduce-scatter into the
+        sharded update).  Numerics unchanged (tests/test_fsdp.py).
+        Single-host multi-device; multi-host loops should build on
+        make_train_step(fsdp_mesh=...) directly (checkpoint/eval would
+        otherwise gather cross-host shards every epoch).  Skipped with a
+        warning when the frozen-feature cache engages (head-only state is
+        memory-trivial).  Mutually exclusive with ``zero`` (it subsumes
+        it) and with ``parallelism='sp'`` (whose own ``zero`` shards over
+        the token axis).
         """
         if parallelism not in (None, "sp"):
             raise ValueError(f"unsupported train parallelism {parallelism!r}")
+        if fsdp:
+            if zero:
+                raise ValueError("fsdp=True already shards the optimizer "
+                                 "state; drop zero=True")
+            if parallelism == "sp":
+                raise ValueError("fsdp composes with the default DP path; "
+                                 "under parallelism='sp' use zero=True "
+                                 "(token-axis state sharding) instead")
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "fit(fsdp=True) is single-host; multi-host FSDP loops "
+                    "should build on make_train_step(fsdp_mesh=...) "
+                    "directly (docs/SCALING.md)")
         if accum_steps > 1:
             if parallelism == "sp":
                 raise ValueError("accum_steps composes with the default DP "
@@ -827,14 +852,14 @@ class DINOSeg:
                             samples_per_epoch, seed, log=False,
                             cache_features=cache_features,
                             parallelism=parallelism,
-                            accum_steps=accum_steps, zero=zero,
+                            accum_steps=accum_steps, zero=zero, fsdp=fsdp,
                             augment_backend=augment_backend)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
                         cache_features=cache_features,
                         parallelism=parallelism,
-                        accum_steps=accum_steps, zero=zero,
+                        accum_steps=accum_steps, zero=zero, fsdp=fsdp,
                         early_stopping=early_stopping,
                         augment_backend=augment_backend)
 
@@ -864,6 +889,7 @@ class DINOSeg:
                    resume: bool = False, cache_features="auto",
                    parallelism: Optional[str] = None,
                    accum_steps: int = 1, zero: bool = False,
+                   fsdp: bool = False,
                    early_stopping: bool = False,
                    augment_backend: str = "auto") -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
@@ -923,6 +949,19 @@ class DINOSeg:
                     and self.batch_size % jax.device_count() == 0):
                 from dino_tpu.parallel.mesh import data_sharding
                 zero_mesh = data_sharding().mesh
+            fsdp_mesh = None
+            if fsdp and jax.device_count() > 1:
+                if cache_train:
+                    # head-only training on cached features: the trainable
+                    # state is the tiny head — sharding it buys nothing
+                    import warnings
+                    warnings.warn("fsdp=True skipped: the frozen-feature "
+                                  "cache engaged (head-only state is "
+                                  "memory-trivial); pass "
+                                  "cache_features=False to force FSDP")
+                else:
+                    from dino_tpu.parallel.mesh import data_sharding
+                    fsdp_mesh = data_sharding().mesh
             train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                          optimizer, self.freeze_backbone,
                                          compute_dtype=self.compute_dtype,
@@ -936,6 +975,7 @@ class DINOSeg:
                                          accum_steps=(1 if cache_train
                                                       else accum_steps),
                                          zero_mesh=zero_mesh,
+                                         fsdp_mesh=fsdp_mesh,
                                          **self._head_kwargs)
         eval_step = make_eval_step(self.cfg, self.head, self.n_classes,
                                    compute_dtype=self.compute_dtype,

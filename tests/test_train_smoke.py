@@ -362,6 +362,32 @@ def test_fit_zero_composes_with_accum(voc_root, tmp_path):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_fit_fsdp_matches_plain(voc_root, tmp_path):
+    """fit(fsdp=True): the whole train state (params+grads+moments) stored
+    1/N per device — same training outcome as the plain DP fit, and the
+    guards reject the invalid compositions."""
+    import pytest
+
+    kw = dict(data_path=voc_root, class_names=[f"c{i}" for i in range(3)],
+              head="linear", n_blocks=1, batch_size=8, lr=1e-3,
+              max_epochs=1, patience=5, n_classes=N_CLASSES,
+              random_init=True, augmented=False, train_resolution=RES,
+              seed=0, precision="fp32", freeze_backbone=False)
+    a = DINOSeg(write_path=str(tmp_path / "a"), **kw)
+    ra = a.fit(samples_per_epoch=8, seed=0)
+    b = DINOSeg(write_path=str(tmp_path / "b"), **kw)
+    rb = b.fit(samples_per_epoch=8, seed=0, fsdp=True)
+    assert abs(ra["test_acc"] - rb["test_acc"]) < 1e-4
+    # post-fit the params are the reloaded best checkpoint (replicated),
+    # so predict works unchanged
+    out = b.predict(np.zeros((RES, RES, 3), np.uint8))
+    assert out.shape == (480, 480)
+    with pytest.raises(ValueError, match="drop zero=True"):
+        b.fit(fsdp=True, zero=True)
+    with pytest.raises(ValueError, match="token-axis"):
+        b.fit(fsdp=True, parallelism="sp")
+
+
 def test_early_stopping_on_patience(voc_root, tmp_path):
     """Opt-in activation of the reference's commented-out EarlyStopping
     (pl_torch_modules.py:385-388): lr=0 pins val_acc flat, so after the
