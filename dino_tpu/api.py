@@ -795,8 +795,10 @@ class DINOSeg:
         Single-host multi-device; multi-host loops should build on
         make_train_step(fsdp_mesh=...) directly (checkpoint/eval would
         otherwise gather cross-host shards every epoch).  Skipped with a
-        warning when the frozen-feature cache engages (head-only state is
-        memory-trivial).  Mutually exclusive with ``zero`` (it subsumes
+        warning under ``freeze_backbone`` (only the tiny head is
+        trainable; the frozen ViT stays replicated either way); warns
+        when the batch does not divide the device count (state shards,
+        compute doesn't).  Mutually exclusive with ``zero`` (it subsumes
         it) and with ``parallelism='sp'`` (whose own ``zero`` shards over
         the token axis).
         """
@@ -951,17 +953,27 @@ class DINOSeg:
                 zero_mesh = data_sharding().mesh
             fsdp_mesh = None
             if fsdp and jax.device_count() > 1:
-                if cache_train:
-                    # head-only training on cached features: the trainable
-                    # state is the tiny head — sharding it buys nothing
+                if self.freeze_backbone:
+                    # frozen backbone: the trainable state is the tiny
+                    # head (the big frozen ViT params stay replicated
+                    # either way) — sharding it buys nothing, cached or
+                    # not; unfreeze to shard real state
                     import warnings
-                    warnings.warn("fsdp=True skipped: the frozen-feature "
-                                  "cache engaged (head-only state is "
-                                  "memory-trivial); pass "
-                                  "cache_features=False to force FSDP")
+                    warnings.warn("fsdp=True skipped: freeze_backbone "
+                                  "leaves only the head trainable "
+                                  "(memory-trivial); FSDP shards the "
+                                  "UNFROZEN train state")
                 else:
                     from dino_tpu.parallel.mesh import data_sharding
                     fsdp_mesh = data_sharding().mesh
+                    if self.batch_size % jax.device_count():
+                        import warnings
+                        warnings.warn(
+                            f"fsdp=True with batch_size {self.batch_size} "
+                            f"not divisible by {jax.device_count()} "
+                            "devices: DP batch sharding cannot engage, so "
+                            "every device computes the full batch "
+                            "redundantly (state memory still shards 1/N)")
             train_step = make_train_step(self.cfg, self.head, self.n_classes,
                                          optimizer, self.freeze_backbone,
                                          compute_dtype=self.compute_dtype,

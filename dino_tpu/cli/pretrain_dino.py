@@ -152,8 +152,19 @@ def main(argv=None):
             f"device count ({jax.device_count()})")
     fsdp_mesh = None
     if args.fsdp and jax.device_count() > 1:
-        from dino_tpu.parallel.mesh import make_mesh
+        from dino_tpu.parallel.mesh import fsdp_place, make_mesh
         fsdp_mesh = make_mesh(model_axis=1)
+        if args.batch_size % jax.device_count():
+            print(f"WARNING: --fsdp with batch_size {args.batch_size} not "
+                  f"divisible by {jax.device_count()} devices: crops cannot "
+                  "shard, every device computes the full batch redundantly "
+                  "(state memory still shards 1/N)")
+        # place the freshly-initialized state SHARDED before the first
+        # step — otherwise the 5 ViT-sized trees sit whole on device 0
+        # and a model that needs FSDP OOMs before training starts
+        student = fsdp_place(student, fsdp_mesh)
+        teacher = fsdp_place(teacher, fsdp_mesh)
+        opt_state = fsdp_place(opt_state, fsdp_mesh)
     step = make_dino_train_step(vit_cfg, dino_cfg, opt, donate=True,
                                 accum_steps=args.accum_steps,
                                 fsdp_mesh=fsdp_mesh)
@@ -251,6 +262,14 @@ def main(argv=None):
         r_opt = jax.tree.unflatten(
             jax.tree.structure(cur_opt_state),
             [jnp.asarray(x) for x in jax.tree.leaves(restored["opt_state"])])
+        if fsdp_mesh is not None:
+            # restored state is host-local; re-place it sharded so resume
+            # and nan-guard rollback never materialize the whole state on
+            # one device
+            from dino_tpu.parallel.mesh import fsdp_place
+            r_student = fsdp_place(r_student, fsdp_mesh)
+            r_teacher = fsdp_place(r_teacher, fsdp_mesh)
+            r_opt = fsdp_place(r_opt, fsdp_mesh)
         return r_student, r_teacher, r_center, r_opt, run_vars
 
     if args.resume and have_resume:
@@ -291,9 +310,12 @@ def main(argv=None):
             # np.asarray them alone — gather collectively BEFORE the
             # host-0 gate (save_state is only called at points every
             # rank reaches together: agreed stops, deterministic
-            # save_every_steps, epoch end)
-            from jax.experimental import multihost_utils
-            state = multihost_utils.process_allgather(state, tiled=True)
+            # save_every_steps, epoch end).  Per-leaf shard-aware: a
+            # host-local tree (e.g. right after a restore, before any
+            # step ran) passes through instead of being mis-concatenated,
+            # and the head's python _meta scalars stay scalars
+            from dino_tpu.parallel.mesh import gather_if_sharded
+            state = gather_if_sharded(state)
         if p_i == 0:
             writer.save_train_state(
                 resume_path, state,
@@ -474,10 +496,14 @@ def main(argv=None):
     out = os.path.join(args.write_path, "dino_pretrained_backbone.npz")
     teacher_vit = teacher["vit"]
     if fsdp_mesh is not None and n_proc > 1:
-        # collective gather before the host-0 gate (FSDP shards span hosts)
-        from jax.experimental import multihost_utils
-        teacher_vit = multihost_utils.process_allgather(teacher_vit,
-                                                        tiled=True)
+        # collective gather before the host-0 gate (FSDP shards span
+        # hosts).  Shard-aware per leaf: on a resumed-and-already-finished
+        # run the teacher is a host-local restore that never went through
+        # a step, and blind process_allgather(tiled=True) would CONCAT the
+        # identical host values (cls_token (1,1,D) -> (n_proc,1,D)) and
+        # export a garbled backbone
+        from dino_tpu.parallel.mesh import gather_if_sharded
+        teacher_vit = gather_if_sharded(teacher_vit)
     if p_i == 0:
         np.savez(out, **flatten_params(
             jax.tree.map(np.asarray, teacher_vit)))

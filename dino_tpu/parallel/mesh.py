@@ -138,6 +138,52 @@ def fsdp_constrain(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
         tree, spec, is_leaf=lambda x: isinstance(x, P))
 
 
+def fsdp_place(tree: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """device_put every ARRAY leaf of ``tree`` straight to its
+    :func:`fsdp_spec` placement (outside-jit use); non-array leaves (python
+    config scalars like the DINO head's ``_meta``) pass through.
+
+    This is the missing half of FSDP for models that do not fit one
+    device: the train step's entry constraint reshards state that already
+    materialized, but freshly-initialized or checkpoint-restored state
+    would otherwise sit UNSHARDED on the default device first and OOM
+    before the first step.  Placing at init/restore keeps the whole
+    lifecycle 1/N-per-device.  On multi-host the host value must be
+    identical on every process (it is: seeded init / a checkpoint read
+    from the shared FS)."""
+    spec = fsdp_spec(tree, mesh, axis)
+    return jax.tree.map(
+        lambda x, s: (jax.device_put(x, NamedSharding(mesh, s))
+                      if hasattr(x, "ndim") else x),
+        tree, spec, is_leaf=lambda x: isinstance(x, P))
+
+
+def gather_if_sharded(tree: Any) -> Any:
+    """Materialize a host-local copy of every leaf: leaves whose shards
+    span other processes gather collectively (every rank must call this —
+    it is a collective in that case); fully-addressable leaves (single
+    host, or host-local state restored from disk) pass through UNCHANGED.
+
+    The per-leaf ``is_fully_addressable`` guard matters: feeding an
+    already-host-local tree to ``process_allgather(tiled=True)`` would
+    take jax's fully-addressable branch, which CONCATENATES the same
+    value across processes instead of reassembling shards — silently
+    garbling e.g. a resumed-and-already-finished run's export.  Python
+    scalars (``_meta`` config) pass through untouched rather than being
+    expanded to (n_proc,) arrays."""
+    leaves = [l for l in jax.tree.leaves(tree) if isinstance(l, jax.Array)]
+    if not any(not l.is_fully_addressable for l in leaves):
+        return tree
+    from jax.experimental import multihost_utils
+
+    def gather(l):
+        if isinstance(l, jax.Array) and not l.is_fully_addressable:
+            return multihost_utils.process_allgather(l, tiled=True)
+        return l
+
+    return jax.tree.map(gather, tree)
+
+
 class _SpecBox:
     """Opaque wrapper so a PartitionSpec (a tuple subclass, hence a pytree
     *container*) survives as a single leaf through optax.tree_map_params."""

@@ -105,6 +105,25 @@ def test_fsdp_zero_mutually_exclusive():
                         fsdp_mesh=mesh, zero_mesh=mesh)
 
 
+def test_fsdp_place_and_gather_guard():
+    """fsdp_place puts array leaves straight into the sharded layout
+    (python config leaves pass through); gather_if_sharded is the
+    IDENTITY on host-local trees — the guard that keeps a restored,
+    never-stepped state from being mis-concatenated across processes by
+    a blind tiled allgather."""
+    from dino_tpu.parallel.mesh import fsdp_place, gather_if_sharded
+    mesh = _mesh()
+    tree = {"w": jnp.ones((16, 4)), "meta": {"flag": True, "n": 3}}
+    placed = fsdp_place(tree, mesh)
+    assert placed["meta"] == {"flag": True, "n": 3}
+    assert "data" in tuple(placed["w"].sharding.spec)
+    assert placed["w"].addressable_shards[0].data.shape[0] == 2
+    # single-process: everything is fully addressable -> identity,
+    # sharded or not
+    out = gather_if_sharded(placed)
+    assert out["w"] is placed["w"] and out["meta"]["n"] == 3
+
+
 def test_fsdp_spec_shape_rule():
     from dino_tpu.parallel.mesh import fsdp_spec
     mesh = _mesh()
