@@ -491,6 +491,203 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
 
 # ---------------------------------------------------------------------------
+# Interleaved (virtual-chunk) pipeline: Megatron's looped placement
+# ---------------------------------------------------------------------------
+
+def stack_block_chunks(blocks: list, n_stages: int, n_chunks: int):
+    """[depth x block-pytree] -> pytree with leading (V, S, per) axes.
+
+    Chunk c = v*S + s holds blocks [c*per, (c+1)*per) and lives on device s
+    (= c mod S): Megatron-LM's interleaved placement, where each device owns
+    V non-contiguous slivers of the depth instead of one contiguous slab.
+    Shard axis 1 with ``P(None, stage_axis)``.
+    """
+    depth = len(blocks)
+    if depth % (n_stages * n_chunks) != 0:
+        raise ValueError(f"depth {depth} not divisible by stages x chunks "
+                         f"({n_stages} x {n_chunks})")
+    per = depth // (n_stages * n_chunks)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return jax.tree.map(
+        lambda x: x.reshape((n_chunks, n_stages, per) + x.shape[1:]),
+        stacked)
+
+
+def _interleaved_sweep(st, rest, x, cfg, s, stage_axis: str, n_stages: int,
+                       n_chunks: int, n_mb: int, use_flash: bool,
+                       remat: bool):
+    """The interleaved fill-drain forward, inside shard_map.
+
+    ``st``: this device's (V, per, ...) chunk slabs.  Activations ride the
+    +1 ring every tick and wrap around it V times; at tick t device s runs
+    its loop-v = (t - s) // S chunk (at most one is in-window because
+    M <= S).  Microbatch m enters chunk 0 (device 0) at tick m and leaves
+    chunk SV-1 (device S-1) at tick m + SV - 1, so the fill/drain bubble is
+    S - 1 *chunk*-ticks — V-fold finer than GPipe's S - 1 stage-ticks,
+    which is the entire point of the interleaved placement (the win 1F1B
+    interleaving buys on hardware, here observable as tick accounting).
+    Out-of-window device-ticks compute on garbage and are masked, exactly
+    like the GPipe sweeps above.  Returns the banked outputs, nonzero on
+    the last stage only (caller psums).
+    """
+    per = jax.tree.leaves(st)[0].shape[1]
+    tokens = prepare_tokens(rest, x, cfg)
+    b = tokens.shape[0]
+    mbs = tokens.reshape((n_mb, b // n_mb) + tokens.shape[1:])
+
+    def chunk_fwd(ch, h):
+        for i in range(per):
+            blk = jax.tree.map(lambda t, i=i: t[i], ch)
+            h = block_apply(blk, h, cfg, use_flash=use_flash)[0]
+        return h
+    if remat:
+        chunk_fwd = jax.checkpoint(chunk_fwd)
+
+    out = jnp.zeros_like(mbs)
+    recv = jnp.zeros_like(mbs[0])
+    last = n_stages - 1
+    total_chunks = n_stages * n_chunks
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    for t in range(n_mb + total_chunks - 1):
+        # loop index of the (single) in-window chunk on this device; the
+        # floor div is correct for t < s too (clipped, masked garbage)
+        v = jnp.clip((t - s) // n_stages, 0, n_chunks - 1)
+        ch = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, v, 0, keepdims=False),
+            st)
+        # stage 0 injects microbatch t while t < M; on later ticks its
+        # input is the wrapped activation arriving from stage S-1
+        h_in = jnp.where(s == 0, mbs[t], recv) if t < n_mb else recv
+        y = chunk_fwd(ch, h_in)
+        mb_idx = t - (total_chunks - 1)
+        if 0 <= mb_idx < n_mb:
+            out = jnp.where(s == last, out.at[mb_idx].set(y), out)
+        recv = jax.lax.ppermute(y, stage_axis, perm)
+    return out.reshape(tokens.shape)
+
+
+def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
+                                   n_classes: int, optimizer, mesh: Mesh,
+                                   stage_axis: str = "stage",
+                                   n_chunks: int = 2,
+                                   n_microbatches: int = 2,
+                                   use_flash: bool = True,
+                                   remat: bool = False,
+                                   donate: bool = False):
+    """PP train step on the interleaved (virtual-chunk) placement.
+
+    step(chunks, rest, head_p, opt_state, images_u8, labels) ->
+    (chunks, rest, head_p, opt_state, loss), where ``chunks`` is the
+    (V, S, per) pytree from :func:`stack_block_chunks`, sharded
+    ``P(None, stage_axis)`` — each device holds and updates only its V
+    chunk slivers' weights and moments (same 1/S weight memory as the
+    contiguous layout, different placement).
+
+    Schedule: the interleaved fill-drain (:func:`_interleaved_sweep`);
+    differentiating it transposes every ring hop, so AD generates the
+    reverse interleaved drain-fill (the same mechanism as
+    :func:`make_pp_train_step`).  Constraint: ``n_microbatches <= S`` —
+    with M <= S each device has at most one in-window chunk per tick, so
+    the tick table stays one-slot-per-device (Megatron's interleaved
+    schedule also ties M to S, requiring M % S == 0); larger batches
+    compose via gradient accumulation over M <= S waves.  The final
+    norm + head are chunk-sharded across stages exactly as in
+    :func:`make_pp_train_step`.  NOT a hand-scheduled interleaved 1F1B:
+    activation memory is the AD fill-drain's O(M + SV) ticks (remat=True
+    trades FLOPs to ~1 tick each) — the O(S)-stash 1F1B hand schedule
+    exists for the contiguous placement (:func:`make_pp_1f1b_train_step`).
+
+    Reference: single-GPU, no PP (SURVEY §2.3); placement follows
+    Megatron-LM's interleaved 1F1B (Narayanan et al. 2021), re-derived as
+    a masked SPMD tick table over a TPU ring.
+    """
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"PP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
+    n_stages = mesh.shape[stage_axis]
+    n_mb = n_microbatches
+    if n_mb > n_stages:
+        raise ValueError(
+            f"interleaved schedule needs n_microbatches ({n_mb}) <= stages "
+            f"({n_stages}); accumulate gradients over waves for more")
+    last = n_stages - 1
+
+    def step(chunks, rest, head_p, opt_state, images, labels):
+        x = normalize_imagenet(images)
+        b = x.shape[0]
+        if b % n_mb != 0:
+            raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, stage_axis), P(), P(), P(), P()),
+                 out_specs=(P(), P(None, stage_axis), P(), P()),
+                 check_vma=False)
+        def value_and_grads(chunks_in, rest_in, head_in, x_rep, y_rep):
+            s = jax.lax.axis_index(stage_axis)
+
+            def local_loss(ps):
+                chunks_l, rest, head_p = ps
+                st = jax.tree.map(lambda t: t[:, 0], chunks_l)  # (V, per,...)
+                full = jax.lax.psum(
+                    _interleaved_sweep(st, rest, x_rep, cfg, s, stage_axis,
+                                       n_stages, n_chunks, n_mb, use_flash,
+                                       remat),
+                    stage_axis)
+                # chunk-sharded norm + head (same partition argument as
+                # make_pp_train_step: the psum transposes to a psum of the
+                # chunk cotangents, assembling the full output cotangent
+                # on the last stage)
+                feats = full[:, 1:, :].reshape(-1, full.shape[-1])
+                y_all = y_rep.reshape(-1).astype(jnp.int32)
+                total = feats.shape[0]
+                pad = (-total) % n_stages
+                if pad:
+                    feats = jnp.pad(feats, ((0, pad), (0, 0)))
+                    y_all = jnp.pad(y_all, (0, pad))
+                chunk = (total + pad) // n_stages
+                my_f = jax.lax.dynamic_slice_in_dim(feats, s * chunk,
+                                                    chunk, 0)
+                my_y = jax.lax.dynamic_slice_in_dim(y_all, s * chunk,
+                                                    chunk, 0)
+                w = (jnp.arange(chunk) + s * chunk < total).astype(
+                    jnp.float32)
+                normed = layer_norm(rest["norm"], my_f, cfg.ln_eps)
+                logp = head_apply(head_type, head_p, normed)
+                picked = jnp.take_along_axis(logp, my_y[:, None],
+                                             axis=1)[:, 0]
+                return -jnp.sum(picked * w) / total
+
+            loss, (g_ch, g_rest, g_head) = jax.value_and_grad(local_loss)(
+                (chunks_in, rest_in, head_in))
+            loss = jax.lax.psum(loss, stage_axis)
+            g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_rest)
+            g_head = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_head)
+            return loss, g_ch, g_rest, g_head
+
+        loss, g_ch, g_rest, g_head = value_and_grads(chunks, rest, head_p,
+                                                     x, labels)
+        params = {"chunks": chunks, "rest": rest, "head": head_p}
+        grads = {"chunks": g_ch, "rest": g_rest, "head": g_head}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params["chunks"], params["rest"], params["head"], opt_state,
+                loss)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
+
+
+def init_pp_interleaved_train_state(optimizer, chunks, rest, head_p):
+    """Optimizer state over the interleaved param layout; chunk moments
+    shard with the chunk params."""
+    return optimizer.init({"chunks": chunks, "rest": rest, "head": head_p})
+
+
+# ---------------------------------------------------------------------------
 # 3-axis composition: DP x PP x TP on a (data, stage, model) mesh
 # (docs/SCALING.md composition table — the classic 3D-parallel layout)
 # ---------------------------------------------------------------------------

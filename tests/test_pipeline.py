@@ -152,6 +152,86 @@ def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb, scan):
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("n_stages,n_chunks,n_mb",
+                         [(4, 2, 4), (4, 2, 2), (2, 4, 2), (8, 2, 8)])
+def test_pp_interleaved_train_step_matches_replicated(n_stages, n_chunks,
+                                                      n_mb):
+    """Megatron's interleaved (virtual-chunk) placement: each device holds V
+    non-contiguous depth slivers, activations wrap the ring V times, and the
+    AD-reversed interleaved fill-drain computes the same Adam step as the
+    replicated make_train_step — including M = S, where every ring slot is
+    occupied during the steady state."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (init_pp_interleaved_train_state,
+                                            make_pp_interleaved_train_step,
+                                            stack_block_chunks)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    depth, n_classes = 16, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    b = n_mb
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    chunks = jax.device_put(
+        stack_block_chunks(vit_p["blocks"], n_stages, n_chunks),
+        NamedSharding(mesh, P(None, "stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    pp_step = make_pp_interleaved_train_step(CFG, "mlp", n_classes, opt,
+                                             mesh, n_chunks=n_chunks,
+                                             n_microbatches=n_mb)
+    opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
+    new_chunks, new_rest, new_head, _, pp_loss = pp_step(
+        chunks, rest, head_p, opt_state, images, labels)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    # unstack (V, S, per) -> depth order: block (v*S + s)*per + i
+    per = depth // (n_stages * n_chunks)
+    got_blocks = [
+        jax.tree.map(lambda t: np.asarray(t)[v, s, i], new_chunks)
+        for v in range(n_chunks) for s in range(n_stages)
+        for i in range(per)]
+    for got, want in zip(got_blocks, ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for k in rest:
+        for g_l, w_l in zip(jax.tree.leaves(new_rest[k]),
+                            jax.tree.leaves(ref_vit[k])):
+            np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+
+
+def test_pp_interleaved_constraints():
+    """M > S and indivisible depth are rejected with actionable messages."""
+    from dino_tpu.parallel.pipeline import (make_pp_interleaved_train_step,
+                                            stack_block_chunks)
+    from dino_tpu.train.loop import make_optimizer
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("stage",))
+    with pytest.raises(ValueError, match="accumulate gradients"):
+        make_pp_interleaved_train_step(CFG, "mlp", 5, make_optimizer(
+            "adam", 1e-3), mesh, n_chunks=2, n_microbatches=8)
+    p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        stack_block_chunks(p["blocks"], 4, 2)
+
+
 def test_pp_tp_forward_matches_replicated():
     """3-axis composition forward: batch over data, blocks pipelined over
     stage, block math Megatron-split over model — equals the replicated
