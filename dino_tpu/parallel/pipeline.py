@@ -571,6 +571,7 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
                                    stage_axis: str = "stage",
                                    n_chunks: int = 2,
                                    n_microbatches: int = 2,
+                                   waves: int = 1,
                                    use_flash: bool = True,
                                    remat: bool = False,
                                    donate: bool = False):
@@ -589,8 +590,11 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
     :func:`make_pp_train_step`).  Constraint: ``n_microbatches <= S`` —
     with M <= S each device has at most one in-window chunk per tick, so
     the tick table stays one-slot-per-device (Megatron's interleaved
-    schedule also ties M to S, requiring M % S == 0); larger batches
-    compose via gradient accumulation over M <= S waves.  The final
+    schedule also ties M to S, requiring M % S == 0); larger batches set
+    ``waves=K`` — the batch splits into K wave-slabs of M microbatches,
+    each swept through the pipeline in turn with gradients accumulated
+    across waves and ONE optimizer update on the exact full-batch mean
+    (the schedule's native gradient-accumulation form).  The final
     norm + head are chunk-sharded across stages exactly as in
     :func:`make_pp_train_step`.  NOT a hand-scheduled interleaved 1F1B:
     activation memory is the AD fill-drain's O(M + SV) ticks (remat=True
@@ -613,13 +617,16 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
         raise ValueError(
             f"interleaved schedule needs n_microbatches ({n_mb}) <= stages "
             f"({n_stages}); accumulate gradients over waves for more")
+    if waves < 1:
+        raise ValueError(f"waves must be >= 1, got {waves}")
     last = n_stages - 1
 
     def step(chunks, rest, head_p, opt_state, images, labels):
         x = normalize_imagenet(images)
         b = x.shape[0]
-        if b % n_mb != 0:
-            raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
+        if b % (waves * n_mb) != 0:
+            raise ValueError(f"batch {b} not divisible by waves x "
+                             f"microbatches ({waves} x {n_mb})")
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(None, stage_axis), P(), P(), P(), P()),
@@ -669,8 +676,15 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
                                   g_head)
             return loss, g_ch, g_rest, g_head
 
-        loss, g_ch, g_rest, g_head = value_and_grads(chunks, rest, head_p,
-                                                     x, labels)
+        # one pipeline sweep per wave-slab; equal slab sizes make the
+        # full-batch mean the plain average of the per-wave means
+        slab = b // waves
+        per_w = [value_and_grads(chunks, rest, head_p,
+                                 x[wv * slab:(wv + 1) * slab],
+                                 labels[wv * slab:(wv + 1) * slab])
+                 for wv in range(waves)]
+        loss, g_ch, g_rest, g_head = jax.tree.map(
+            lambda *ts: sum(ts) / waves, *per_w)
         params = {"chunks": chunks, "rest": rest, "head": head_p}
         grads = {"chunks": g_ch, "rest": g_rest, "head": g_head}
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -217,6 +217,63 @@ def test_pp_interleaved_train_step_matches_replicated(n_stages, n_chunks,
                                    atol=2e-4, rtol=1e-3)
 
 
+def test_pp_interleaved_waves_accumulate_exactly():
+    """waves=K sweeps K wave-slabs of M <= S microbatches through the
+    pipeline and takes ONE optimizer update on the exact full-batch mean
+    gradient — the interleaved schedule's gradient-accumulation form for
+    batches larger than its M <= S wave."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (init_pp_interleaved_train_state,
+                                            make_pp_interleaved_train_step,
+                                            stack_block_chunks)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    n_stages, n_chunks, n_mb, waves = 4, 2, 2, 2
+    depth, n_classes = 8, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    b = waves * n_mb
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    chunks = jax.device_put(
+        stack_block_chunks(vit_p["blocks"], n_stages, n_chunks),
+        NamedSharding(mesh, P(None, "stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    pp_step = make_pp_interleaved_train_step(CFG, "mlp", n_classes, opt,
+                                             mesh, n_chunks=n_chunks,
+                                             n_microbatches=n_mb,
+                                             waves=waves)
+    opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
+    new_chunks, new_rest, new_head, _, pp_loss = pp_step(
+        chunks, rest, head_p, opt_state, images, labels)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    per = depth // (n_stages * n_chunks)
+    got_blocks = [
+        jax.tree.map(lambda t: np.asarray(t)[v, s, i], new_chunks)
+        for v in range(n_chunks) for s in range(n_stages)
+        for i in range(per)]
+    for got, want in zip(got_blocks, ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_pp_interleaved_constraints():
     """M > S and indivisible depth are rejected with actionable messages."""
     from dino_tpu.parallel.pipeline import (make_pp_interleaved_train_step,

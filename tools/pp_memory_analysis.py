@@ -19,9 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dino_tpu.models.heads import init_head
 from dino_tpu.models.vit import ViTConfig, init_vit_params
-from dino_tpu.parallel.pipeline import (init_pp_train_state,
+from dino_tpu.parallel.pipeline import (init_pp_interleaved_train_state,
+                                        init_pp_train_state,
                                         make_pp_1f1b_train_step,
+                                        make_pp_interleaved_train_step,
                                         make_pp_train_step,
+                                        stack_block_chunks,
                                         stack_block_stages)
 from dino_tpu.train.loop import make_optimizer
 
@@ -86,6 +89,11 @@ def main():
     opt = make_optimizer("adam", 1e-3)
     opt_state = init_pp_train_state(opt, stages, rest, head_p)
 
+    # interleaved layout (V=2 chunks per device) shares the same weights
+    chunks = jax.device_put(stack_block_chunks(vit_p["blocks"], n_stages, 2),
+                            NamedSharding(mesh, P(None, "stage")))
+    il_opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
+
     rows = []
     for n_mb in (4, 8, 16):
         mb = 2
@@ -107,6 +115,21 @@ def main():
                          "temp_MiB": round(temp / 2**20, 1),
                          "args_MiB": round(arg / 2**20, 1)})
             print(json.dumps(rows[-1]))
+        # same global batch through the interleaved placement: wave size
+        # pinned at M=S, extra microbatches become accumulation waves —
+        # peak temp should be ~flat in total M (waves are sequential and
+        # XLA reuses their buffers), the schedule's memory story
+        il_m = min(n_mb, n_stages)
+        il_step = make_pp_interleaved_train_step(
+            cfg, "mlp", n_classes, opt, mesh, n_chunks=2,
+            n_microbatches=il_m, waves=n_mb // il_m, use_flash=False,
+            remat=True)
+        il_args = (chunks, rest, head_p, il_opt_state, images, labels)
+        temp, arg = peak_temp_bytes(il_step, il_args)
+        rows.append({"schedule": "interleaved_v2_remat", "S": n_stages,
+                     "M": n_mb, "temp_MiB": round(temp / 2**20, 1),
+                     "args_MiB": round(arg / 2**20, 1)})
+        print(json.dumps(rows[-1]))
 
 
 if __name__ == "__main__":
