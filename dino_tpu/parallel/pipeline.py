@@ -268,7 +268,8 @@ def init_pp_train_state(optimizer, stages, rest, head_p):
 def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                             optimizer, mesh: Mesh, stage_axis: str = "stage",
                             n_microbatches: int = 2, use_flash: bool = True,
-                            scan: bool = False, donate: bool = False):
+                            scan: bool = False, compute_dtype=None,
+                            donate: bool = False):
     """PP train step on a hand-written 1F1B schedule (same contract as
     :func:`make_pp_train_step`).
 
@@ -320,6 +321,14 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     counts.  The unrolled default gives XLA per-tick scheduling freedom and
     skips out-of-window slots at the edges, so it stays default for small M.
 
+    ``compute_dtype=jnp.bfloat16`` runs the stage compute in bf16 (params
+    stay f32 masters; the loss reduction stays f32) — and because the ring
+    stash, both ppermute relays, and the pending head cotangent all carry
+    the activation dtype, the schedule's entire O(S) memory story (and its
+    ICI byte count) halves with it.  The stash is the value actually fed to
+    the stage, so the recompute-from-stash backward is bit-consistent with
+    the forward — no extra rounding beyond bf16 compute itself.
+
     Reference: single-GPU, no PP (SURVEY §2.3); this extends the dormant DDP
     scaffolding's role (utils.py:467-499) the TPU way.
     """
@@ -336,8 +345,12 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     perm_f = [(i, (i + 1) % n_stages) for i in range(n_stages)]
     perm_b = [(i, (i - 1) % n_stages) for i in range(n_stages)]
 
+    act_dtype = compute_dtype if compute_dtype is not None else jnp.float32
+
     def step(stages, rest, head_p, opt_state, images, labels):
         x = normalize_imagenet(images)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
         b = x.shape[0]
         if b % n_mb != 0:
             raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
@@ -371,14 +384,18 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                 logp = head_loss(rest_r, head_r, tokens)
                 yi = y_lab.reshape(-1).astype(jnp.int32)
                 picked = jnp.take_along_axis(logp, yi[:, None], axis=1)[:, 0]
-                return -jnp.sum(picked) / total   # partial of the global mean
+                # partial of the global mean; f32 reduction under bf16 compute
+                return -jnp.sum(picked.astype(jnp.float32)) / total
 
             tok_shape = (mb, (x_in.shape[2] // cfg.patch_size) *
                          (x_in.shape[3] // cfg.patch_size) + 1, cfg.embed_dim)
-            ring = jnp.zeros((cap,) + tok_shape, jnp.float32)
-            recv_f = jnp.zeros(tok_shape, jnp.float32)
-            recv_b = jnp.zeros(tok_shape, jnp.float32)
-            dy_pend = jnp.zeros(tok_shape, jnp.float32)
+            # stash + relays + pending cotangent carry the ACTIVATION dtype:
+            # under bf16 compute the 2S-slot ring (the schedule's whole
+            # memory bound) and both per-tick ppermutes halve with it
+            ring = jnp.zeros((cap,) + tok_shape, act_dtype)
+            recv_f = jnp.zeros(tok_shape, act_dtype)
+            recv_b = jnp.zeros(tok_shape, act_dtype)
+            dy_pend = jnp.zeros(tok_shape, act_dtype)
             loss_acc = jnp.zeros((), jnp.float32)
             g_st = jax.tree.map(jnp.zeros_like, st)
             g_rest = jax.tree.map(jnp.zeros_like, rest_in)
@@ -593,13 +610,14 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
     schedule also ties M to S, requiring M % S == 0); larger batches set
     ``waves=K`` — the batch splits into K wave-slabs of M microbatches,
     each swept through the pipeline in turn with gradients accumulated
-    across waves and ONE optimizer update on the exact full-batch mean
-    (the schedule's native gradient-accumulation form).  The final
-    norm + head are chunk-sharded across stages exactly as in
-    :func:`make_pp_train_step`.  NOT a hand-scheduled interleaved 1F1B:
-    activation memory is the AD fill-drain's O(M + SV) ticks (remat=True
-    trades FLOPs to ~1 tick each) — the O(S)-stash 1F1B hand schedule
-    exists for the contiguous placement (:func:`make_pp_1f1b_train_step`).
+    across waves (under one ``lax.scan``, so compile time is O(1) in K)
+    and ONE optimizer update on the exact full-batch mean (the schedule's
+    native gradient-accumulation form).  The final norm + head are
+    chunk-sharded across stages exactly as in :func:`make_pp_train_step`.
+    NOT a hand-scheduled interleaved 1F1B: activation memory is the AD
+    fill-drain's O(M + SV) ticks (remat=True trades FLOPs to ~1 tick
+    each) — for the O(2SV)-stash hand schedule that also lifts the M <= S
+    constraint, use :func:`make_pp_interleaved_1f1b_train_step`.
 
     Reference: single-GPU, no PP (SURVEY §2.3); placement follows
     Megatron-LM's interleaved 1F1B (Narayanan et al. 2021), re-derived as
@@ -677,14 +695,30 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
             return loss, g_ch, g_rest, g_head
 
         # one pipeline sweep per wave-slab; equal slab sizes make the
-        # full-batch mean the plain average of the per-wave means
+        # full-batch mean the plain average of the per-wave means.  The
+        # sweeps run under ONE lax.scan so HLO size and compile time stay
+        # O(1) in waves (a Python loop would unroll the whole interleaved
+        # sweep K times into the jitted program).
         slab = b // waves
-        per_w = [value_and_grads(chunks, rest, head_p,
-                                 x[wv * slab:(wv + 1) * slab],
-                                 labels[wv * slab:(wv + 1) * slab])
-                 for wv in range(waves)]
-        loss, g_ch, g_rest, g_head = jax.tree.map(
-            lambda *ts: sum(ts) / waves, *per_w)
+        if waves == 1:
+            loss, g_ch, g_rest, g_head = value_and_grads(chunks, rest,
+                                                         head_p, x, labels)
+        else:
+            x_w = x.reshape((waves, slab) + x.shape[1:])
+            y_w = labels.reshape((waves, slab) + labels.shape[1:])
+
+            def wave_body(acc_c, xs):
+                xw, yw = xs
+                out = value_and_grads(chunks, rest, head_p, xw, yw)
+                return jax.tree.map(jnp.add, acc_c, out), None
+
+            init = (jnp.zeros((), jnp.float32),
+                    jax.tree.map(jnp.zeros_like, chunks),
+                    jax.tree.map(jnp.zeros_like, rest),
+                    jax.tree.map(jnp.zeros_like, head_p))
+            acc_w, _ = jax.lax.scan(wave_body, init, (x_w, y_w))
+            loss, g_ch, g_rest, g_head = jax.tree.map(
+                lambda t: t / waves, acc_w)
         params = {"chunks": chunks, "rest": rest, "head": head_p}
         grads = {"chunks": g_ch, "rest": g_rest, "head": g_head}
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -699,6 +733,299 @@ def init_pp_interleaved_train_state(optimizer, chunks, rest, head_p):
     """Optimizer state over the interleaved param layout; chunk moments
     shard with the chunk params."""
     return optimizer.init({"chunks": chunks, "rest": rest, "head": head_p})
+
+
+# ---------------------------------------------------------------------------
+# Interleaved 1F1B: the hand-scheduled backward for the virtual-chunk
+# placement — Megatron-LM's production schedule, as one SPMD tick table
+# ---------------------------------------------------------------------------
+
+def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
+                                        n_classes: int, optimizer,
+                                        mesh: Mesh,
+                                        stage_axis: str = "stage",
+                                        n_chunks: int = 2,
+                                        n_microbatches: int = 2,
+                                        use_flash: bool = True,
+                                        scan: bool = False,
+                                        compute_dtype=None,
+                                        donate: bool = False):
+    """PP train step: interleaved (virtual-chunk) placement x hand-written
+    1F1B backward.  Same contract as :func:`make_pp_interleaved_train_step`
+    (``chunks`` is the (V, S, per) pytree from :func:`stack_block_chunks`,
+    sharded ``P(None, stage_axis)``) — but WITHOUT the ``n_microbatches <= S``
+    constraint and WITHOUT ``waves``: any M runs in one schedule, each
+    microbatch's backward launching as it leaves chunk SV-1, so activation
+    memory is a fixed 2SV-slot ring buffer independent of M.
+
+    The tick table.  Write S stages, V chunks/device, C = S*V total chunks,
+    chunk c = v*S + s on device s; microbatch m = g*S + r (groups of S, the
+    same grouping Megatron's looped schedule uses).  Then
+
+        forward   f(m, c)  at tick  g*C + v*S + r + s
+        head vjp  (chunk C-1 exit) at tick  (g+1)*C + r - 1
+        backward  b(m, c)  at tick  C + g*C + (V-1-v)*S + r + (S-1-s)
+
+    This is exactly the contiguous 1F1B table at V = 1 (f at m+s, b at
+    m+2S-1-s) — the schedule below strictly generalizes
+    :func:`make_pp_1f1b_train_step`.  Three structural facts make it one
+    clean SPMD program:
+
+    * **Packed slots.**  Per device the forward ticks for group g are the
+      consecutive window [g*C + s, (g+1)*C + s) — one forward slot per tick,
+      no collisions, for ANY number of groups; the backward table mirrors
+      it.  M % S == 0 gives the fully packed schedule (partial last groups
+      run with masked lanes, like every edge tick here).
+    * **Zero-buffer relays.**  f(m, c) runs one tick before f(m, c+1) for
+      every c — including the device-wrap S-1 -> 0 between chunk columns —
+      so the +1 ``ppermute`` every tick delivers each activation exactly
+      when its consumer fires, and symmetrically for cotangents on the -1
+      ring.  No skew/reorder buffers exist anywhere in the schedule.
+    * **Ring-buffer stash.**  The stage input stashed at tick t goes to
+      slot t mod 2C; backward b(m, c) trails f(m, c) by 2(C - c) - 1 < 2C
+      ticks, so a 2C-slot ring per device is structurally safe (the odd
+      lag also means a tick never reads the slot it just wrote).  The
+      backward re-runs its chunk under ``jax.vjp`` from the stash — the
+      same recompute trade as the contiguous schedule and ``remat=True``.
+
+    Versus the AD fill-drain (:func:`make_pp_interleaved_train_step`): that
+    schedule stashes O(M + SV) ticks (or recomputes under remat) and caps
+    M at S, pushing big batches through ``waves=K`` sweeps whose fill/drain
+    bubbles serialize; this one holds 2SV microbatch stashes flat in M and
+    amortizes ONE fill/drain over the whole batch.  Versus contiguous 1F1B:
+    the bubble is V-fold finer ((S-1) chunk-ticks, each 1/V the work) at
+    the cost of a V-fold larger stash ring — exactly Megatron's trade
+    (Narayanan et al. 2021).  Gradients match the replicated step to
+    reduction order (tests/test_pipeline.py).
+
+    ``scan=True`` and ``compute_dtype`` behave as in
+    :func:`make_pp_1f1b_train_step` (one shared tick body for both forms;
+    bf16 halves the stash ring and both relays).  Reference: single-GPU, no
+    PP (SURVEY §2.3) — this closes the last cell of the schedule matrix.
+    """
+    from dino_tpu.models.heads import head_apply
+    from dino_tpu.ops.preprocess import normalize_imagenet
+
+    if head_type not in ("mlp", "linear"):
+        raise ValueError(f"PP training supports the mlp/linear heads; "
+                         f"got {head_type!r}")
+    n_stages = mesh.shape[stage_axis]
+    n_mb = n_microbatches
+    V = n_chunks
+    C = n_stages * V                       # total chunks
+    last = n_stages - 1
+    cap = 2 * C                            # stash ring slots
+    delta = C                              # first-backward tick offset
+    perm_f = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+    perm_b = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+    g_max, r_max = divmod(n_mb - 1, n_stages)
+    # last active forward tick (lane S-1, chunk C-1, microbatch M-1) and
+    # total ticks (last backward = forward mirrored + delta)
+    max_tf = g_max * C + (V - 1) * n_stages + r_max + last
+    n_ticks = max_tf + delta + 1
+    act_dtype = compute_dtype if compute_dtype is not None else jnp.float32
+
+    def step(chunks, rest, head_p, opt_state, images, labels):
+        x = normalize_imagenet(images)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
+        b = x.shape[0]
+        if b % n_mb != 0:
+            raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
+        mb = b // n_mb
+        n_pat = labels.shape[-1]
+        total = b * n_pat                  # global token count for the mean
+        x_mbs = x.reshape((n_mb, mb) + x.shape[1:])
+        y_mbs = labels.reshape(n_mb, mb, n_pat)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, stage_axis), P(), P(), P(), P()),
+                 out_specs=(P(), P(None, stage_axis), P(), P()),
+                 check_vma=False)
+        def value_and_grads(chunks_in, rest_in, head_in, x_in, y_in):
+            s = jax.lax.axis_index(stage_axis)
+            st = jax.tree.map(lambda t: t[:, 0], chunks_in)   # (V, per, ...)
+            per = jax.tree.leaves(st)[0].shape[1]
+
+            def chunk_fwd(st_p, v_idx, h):
+                """Run chunk v_idx of this device's (V, per, ...) slabs.
+                Differentiating through the dynamic_index transposes it
+                into a scatter-add, so the vjp's chunk gradient lands at
+                the right (V, ...) position with zeros elsewhere — no
+                manual indexed accumulation."""
+                ch = jax.tree.map(
+                    lambda t: jax.lax.dynamic_index_in_dim(
+                        t, v_idx, 0, keepdims=False), st_p)
+                for i in range(per):
+                    blk = jax.tree.map(lambda t, i=i: t[i], ch)
+                    h = block_apply(blk, h, cfg, use_flash=use_flash)[0]
+                return h
+
+            def mb_loss(rest_r, head_r, tokens, y_lab):
+                feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
+                normed = layer_norm(rest_r["norm"], feats, cfg.ln_eps)
+                logp = head_apply(head_type, head_r, normed)
+                yi = y_lab.reshape(-1).astype(jnp.int32)
+                picked = jnp.take_along_axis(logp, yi[:, None], axis=1)[:, 0]
+                # partial of the global mean; f32 reduction under bf16
+                return -jnp.sum(picked.astype(jnp.float32)) / total
+
+            tok_shape = (mb, (x_in.shape[2] // cfg.patch_size) *
+                         (x_in.shape[3] // cfg.patch_size) + 1, cfg.embed_dim)
+            ring = jnp.zeros((cap,) + tok_shape, act_dtype)
+            recv_f = jnp.zeros(tok_shape, act_dtype)
+            recv_b = jnp.zeros(tok_shape, act_dtype)
+            dy_pend = jnp.zeros(tok_shape, act_dtype)
+            loss_acc = jnp.zeros((), jnp.float32)
+            g_st = jax.tree.map(jnp.zeros_like, st)
+            g_rest = jax.tree.map(jnp.zeros_like, rest_in)
+            g_head = jax.tree.map(jnp.zeros_like, head_in)
+
+            def acc(tree_acc, tree_g, active):
+                w = active.astype(jnp.float32)
+                return jax.tree.map(lambda a, g: a + g * w, tree_acc, tree_g)
+
+            def mb_slice(arr, idx, static):
+                if static:
+                    return arr[idx]
+                return jax.lax.dynamic_index_in_dim(
+                    arr, jnp.clip(idx, 0, n_mb - 1), 0, keepdims=False)
+
+            # ONE tick body for both schedule forms, like the contiguous
+            # 1F1B: static=True skips globally-idle slots and traces lane-0
+            # microbatch indices as constants; static=False (the lax.scan
+            # body) turns the same gates into masks/clips.
+            def tick(carry, t, static):
+                (ring, recv_f, recv_b, dy_pend, loss_acc,
+                 g_st, g_rest, g_head) = carry
+                y_f = None
+                if (not static) or t <= max_tf:              # fwd slot
+                    u_f = t - s                               # lane clock
+                    v_f = jnp.clip(jnp.mod(u_f, C) // n_stages, 0, V - 1)
+                    # lane-0 injection: chunk-0 window of its group
+                    if static:
+                        inj = (t % C) < n_stages and \
+                            (t // C) * n_stages + t % n_stages < n_mb
+                        f0 = (t // C) * n_stages + t % n_stages if inj else 0
+                    else:
+                        f0 = (t // C) * n_stages + jnp.mod(t, n_stages)
+                        inj = jnp.logical_and(jnp.mod(t, C) < n_stages,
+                                              f0 < n_mb)
+                    if (not static) or inj:
+                        tok_in = prepare_tokens(
+                            rest_in, mb_slice(x_in, f0, static), cfg)
+                        lane0 = (s == 0) if static else jnp.logical_and(
+                            s == 0, inj)
+                        h_in = jnp.where(lane0, tok_in, recv_f)
+                    else:   # lane 0 consumes the ring wrap, like every lane
+                        h_in = recv_f
+                    ring = jax.lax.dynamic_update_index_in_dim(
+                        ring, h_in, t % cap if static else jnp.mod(t, cap),
+                        0)
+                    y_f = chunk_fwd(st, v_f, h_in)
+                    recv_f = jax.lax.ppermute(y_f, stage_axis, perm_f)
+
+                if (not static) or t >= delta:                # bwd slot
+                    u_b = t - delta - (last - s)              # lane clock
+                    vp = jnp.mod(u_b, C) // n_stages          # mirrored loop
+                    r_b = jnp.mod(u_b, n_stages)
+                    m_b = (u_b // C) * n_stages + r_b
+                    active_b = jnp.logical_and(u_b >= 0, m_b < n_mb)
+                    v_b = jnp.clip(V - 1 - vp, 0, V - 1)      # local chunk
+                    # chunk C-1 (lane S-1, vp==0) takes the head cotangent;
+                    # every other chunk takes the -1-ring relay
+                    g_in = jnp.where(
+                        jnp.logical_and(s == last, vp == 0), dy_pend, recv_b)
+                    lag = 2 * (C - (v_b * n_stages + s)) - 1
+                    slot = jnp.mod(t - lag, cap)
+                    h_st = jax.lax.dynamic_index_in_dim(ring, slot, 0,
+                                                        keepdims=False)
+                    _, vjp_fn = jax.vjp(
+                        lambda stp, h: chunk_fwd(stp, v_b, h), st, h_st)
+                    g_st_mb, dh = vjp_fn(g_in)
+                    g_st = acc(g_st, g_st_mb, active_b)
+                    # embedding grads fire when lane 0's backward chunk is
+                    # chunk 0 (vp == V-1); its microbatch index m0 is the
+                    # lane-0 clock's
+                    u0 = t - delta - last
+                    if static:
+                        emb_tick = (u0 >= 0 and (u0 % C) // n_stages == V - 1
+                                    and (u0 // C) * n_stages +
+                                    u0 % n_stages < n_mb)
+                        m0 = ((u0 // C) * n_stages + u0 % n_stages
+                              if emb_tick else 0)
+                    else:
+                        emb_tick = True
+                        m0 = (u0 // C) * n_stages + jnp.mod(u0, n_stages)
+                    if emb_tick:
+                        x_b = mb_slice(x_in, m0, static)
+                        _, vjp_prep = jax.vjp(
+                            lambda r: prepare_tokens(r, x_b, cfg), rest_in)
+                        (g_emb,) = vjp_prep(
+                            jnp.where(s == 0, dh, jnp.zeros_like(dh)))
+                        g_rest = acc(g_rest, g_emb,
+                                     jnp.logical_and(active_b, v_b == 0))
+                    recv_b = jax.lax.ppermute(dh, stage_axis, perm_b)
+
+                # head slot: fires when lane S-1's forward this tick was
+                # chunk C-1 (microbatch m_h leaves the pipe)
+                u_h = t - last
+                if static:
+                    head_tick = (u_h >= 0 and
+                                 (u_h % C) // n_stages == V - 1 and
+                                 (u_h // C) * n_stages + u_h % n_stages
+                                 < n_mb)
+                    m_h = ((u_h // C) * n_stages + u_h % n_stages
+                           if head_tick else 0)
+                else:
+                    head_tick = True
+                    m_h = (u_h // C) * n_stages + jnp.mod(u_h, n_stages)
+                if head_tick:
+                    active_h = (s == last) if static else jnp.logical_and(
+                        s == last, jnp.logical_and(
+                            u_h >= 0, jnp.logical_and(
+                                jnp.mod(u_h, C) // n_stages == V - 1,
+                                m_h < n_mb)))
+                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
+                        mb_loss, argnums=(0, 1, 2))(
+                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static))
+                    loss_acc += jnp.where(active_h, loss_m, 0.0)
+                    g_rest = acc(g_rest, g_nr, active_h)
+                    g_head = acc(g_head, g_hd, active_h)
+                    dy_pend = jnp.where(active_h, dy, dy_pend)
+                return (ring, recv_f, recv_b, dy_pend, loss_acc,
+                        g_st, g_rest, g_head)
+
+            carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
+                     g_st, g_rest, g_head)
+            if scan:
+                carry, _ = jax.lax.scan(
+                    lambda c, t: (tick(c, t, static=False), None),
+                    carry, jnp.arange(n_ticks, dtype=jnp.int32))
+            else:
+                for t in range(n_ticks):
+                    carry = tick(carry, t, static=True)
+            (ring, recv_f, recv_b, dy_pend, loss_acc,
+             g_st, g_rest, g_head) = carry
+
+            loss = jax.lax.psum(loss_acc, stage_axis)
+            g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_rest)
+            g_head = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
+                                  g_head)
+            g_st = jax.tree.map(lambda t: t[:, None], g_st)  # (V, 1, per...)
+            return loss, g_st, g_rest, g_head
+
+        loss, g_ch, g_rest, g_head = value_and_grads(chunks, rest, head_p,
+                                                     x_mbs, y_mbs)
+        params = {"chunks": chunks, "rest": rest, "head": head_p}
+        grads = {"chunks": g_ch, "rest": g_rest, "head": g_head}
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params["chunks"], params["rest"], params["head"], opt_state,
+                loss)
+
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
 
 
 # ---------------------------------------------------------------------------

@@ -274,6 +274,150 @@ def test_pp_interleaved_waves_accumulate_exactly():
                                    atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("n_stages,n_chunks,n_mb,scan",
+                         [(2, 2, 4, False),   # M = 2S: the case waves existed for
+                          (4, 2, 8, False),   # M = 2S at S=4, ring wraps
+                          (2, 2, 3, False),   # M % S != 0: partial last group
+                          (2, 4, 2, False),   # deep chunking, M = S
+                          (2, 2, 4, True)])   # lax.scan form, same table
+def test_pp_interleaved_1f1b_matches_replicated(n_stages, n_chunks, n_mb,
+                                                scan):
+    """The hand-scheduled interleaved 1F1B: M > S microbatches run through
+    the virtual-chunk placement in ONE schedule (no waves), each backward
+    launching as its microbatch leaves chunk SV-1, with the 2SV-slot ring
+    stash — and the Adam step equals the replicated make_train_step."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (
+        init_pp_interleaved_train_state,
+        make_pp_interleaved_1f1b_train_step, stack_block_chunks)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    depth, n_classes = 8, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    b = 2 * n_mb
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    chunks = jax.device_put(
+        stack_block_chunks(vit_p["blocks"], n_stages, n_chunks),
+        NamedSharding(mesh, P(None, "stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    pp_step = make_pp_interleaved_1f1b_train_step(
+        CFG, "mlp", n_classes, opt, mesh, n_chunks=n_chunks,
+        n_microbatches=n_mb, scan=scan)
+    opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
+    new_chunks, new_rest, new_head, _, pp_loss = pp_step(
+        chunks, rest, head_p, opt_state, images, labels)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    per = depth // (n_stages * n_chunks)
+    got_blocks = [
+        jax.tree.map(lambda t: np.asarray(t)[v, s, i], new_chunks)
+        for v in range(n_chunks) for s in range(n_stages)
+        for i in range(per)]
+    for got, want in zip(got_blocks, ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for k in rest:
+        for g_l, w_l in zip(jax.tree.leaves(new_rest[k]),
+                            jax.tree.leaves(ref_vit[k])):
+            np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("maker_kind", ["contiguous", "interleaved"])
+def test_pp_1f1b_bf16_stash_is_compute_dtype(maker_kind):
+    """compute_dtype=bf16: the 1F1B schedules run their stage compute, stash
+    ring, and both relays in bf16 (halving the schedule's memory bound) and
+    still track the replicated bf16 step to bf16-level tolerance."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (
+        init_pp_interleaved_train_state, init_pp_train_state,
+        make_pp_1f1b_train_step, make_pp_interleaved_1f1b_train_step,
+        stack_block_chunks, stack_block_stages)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    n_stages, n_mb, depth, n_classes = 2, 4, 8, 5
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    b = 2 * n_mb
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False,
+        compute_dtype=jnp.bfloat16)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    if maker_kind == "contiguous":
+        stages = jax.device_put(
+            stack_block_stages(vit_p["blocks"], n_stages),
+            NamedSharding(mesh, P("stage")))
+        step = make_pp_1f1b_train_step(
+            CFG, "mlp", n_classes, opt, mesh, n_microbatches=n_mb,
+            compute_dtype=jnp.bfloat16)
+        opt_state = init_pp_train_state(opt, stages, rest, head_p)
+        new_bb, new_rest, new_head, _, pp_loss = step(
+            stages, rest, head_p, opt_state, images, labels)
+    else:
+        chunks = jax.device_put(
+            stack_block_chunks(vit_p["blocks"], n_stages, 2),
+            NamedSharding(mesh, P(None, "stage")))
+        step = make_pp_interleaved_1f1b_train_step(
+            CFG, "mlp", n_classes, opt, mesh, n_chunks=2,
+            n_microbatches=n_mb, compute_dtype=jnp.bfloat16)
+        opt_state = init_pp_interleaved_train_state(opt, chunks, rest,
+                                                    head_p)
+        new_bb, new_rest, new_head, _, pp_loss = step(
+            chunks, rest, head_p, opt_state, images, labels)
+
+    # bf16 compute reduces in a different order than the replicated step's
+    # single-pass bf16 graph: bf16-level tolerance, NOT the f32 2e-4 gate
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=2e-2,
+                               atol=2e-2)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=5e-3, rtol=5e-2)
+
+    # the memory claim is structural: the (cap, mb, N, D) stash ring must
+    # lower as a bf16 HLO tensor (CPU XLA upcasts bf16 COMPUTE to f32
+    # buffers, so whole-program temp can't show the halving here — see
+    # docs/SCALING.md "Stash dtype"; the ring dtype is checkable anywhere)
+    cap = 2 * n_stages if maker_kind == "contiguous" else 2 * n_stages * 2
+    mb = b // n_mb
+    n_tok = 36 + 1
+    hlo = step.lower(*((stages, rest, head_p, opt_state, images, labels)
+                       if maker_kind == "contiguous" else
+                       (chunks, rest, head_p, opt_state, images, labels))
+                     ).as_text()
+    ring_ty = f"tensor<{cap}x{mb}x{n_tok}x{CFG.embed_dim}xbf16>"
+    assert ring_ty in hlo, f"stash ring not bf16 ({ring_ty} absent)"
+
+
 def test_pp_interleaved_constraints():
     """M > S and indivisible depth are rejected with actionable messages."""
     from dino_tpu.parallel.pipeline import (make_pp_interleaved_train_step,

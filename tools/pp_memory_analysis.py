@@ -22,6 +22,7 @@ from dino_tpu.models.vit import ViTConfig, init_vit_params
 from dino_tpu.parallel.pipeline import (init_pp_interleaved_train_state,
                                         init_pp_train_state,
                                         make_pp_1f1b_train_step,
+                                        make_pp_interleaved_1f1b_train_step,
                                         make_pp_interleaved_train_step,
                                         make_pp_train_step,
                                         stack_block_chunks,
@@ -130,11 +131,66 @@ def main():
                      "M": n_mb, "temp_MiB": round(temp / 2**20, 1),
                      "args_MiB": round(arg / 2**20, 1)})
         print(json.dumps(rows[-1]))
+        # interleaved 1F1B: same placement, hand-scheduled backward — all
+        # M microbatches in ONE schedule (no waves), 2SV-slot ring stash
+        il1_step = make_pp_interleaved_1f1b_train_step(
+            cfg, "mlp", n_classes, opt, mesh, n_chunks=2,
+            n_microbatches=n_mb, use_flash=False)
+        temp, arg = peak_temp_bytes(il1_step, il_args)
+        rows.append({"schedule": "interleaved_1f1b_v2", "S": n_stages,
+                     "M": n_mb, "temp_MiB": round(temp / 2**20, 1),
+                     "args_MiB": round(arg / 2**20, 1)})
+        print(json.dumps(rows[-1]))
+
+
+def dtype_scaling():
+    """Stash-dtype accounting: the 1F1B ring buffer + relays carry the
+    activation dtype, so compute_dtype=bf16 should roughly halve peak temp
+    bytes for both 1F1B forms at fixed (S, M)."""
+    cfg = ViTConfig(patch_size=8, embed_dim=128, num_heads=2)
+    depth, n_classes, n_stages, res = 8, 5, 4, 96
+    n_pat = (res // cfg.patch_size) ** 2
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       cfg.embed_dim)
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    stages = jax.device_put(stack_block_stages(vit_p["blocks"], n_stages),
+                            NamedSharding(mesh, P("stage")))
+    chunks = jax.device_put(stack_block_chunks(vit_p["blocks"], n_stages, 2),
+                            NamedSharding(mesh, P(None, "stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    opt = make_optimizer("adam", 1e-3)
+    opt_state = init_pp_train_state(opt, stages, rest, head_p)
+    il_opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
+    n_mb, mb = 16, 2
+    b = mb * n_mb
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (b, res, res, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, n_pat)).astype(np.int32)
+    import jax.numpy as jnp
+    for dname, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        step = make_pp_1f1b_train_step(
+            cfg, "mlp", n_classes, opt, mesh, n_microbatches=n_mb,
+            use_flash=False, compute_dtype=dt)
+        temp, _ = peak_temp_bytes(
+            step, (stages, rest, head_p, opt_state, images, labels))
+        print(json.dumps({"schedule": "1f1b", "dtype": dname, "S": n_stages,
+                          "M": n_mb, "temp_MiB": round(temp / 2**20, 1)}))
+        il_step = make_pp_interleaved_1f1b_train_step(
+            cfg, "mlp", n_classes, opt, mesh, n_chunks=2,
+            n_microbatches=n_mb, use_flash=False, compute_dtype=dt)
+        temp, _ = peak_temp_bytes(
+            il_step, (chunks, rest, head_p, il_opt_state, images, labels))
+        print(json.dumps({"schedule": "interleaved_1f1b_v2", "dtype": dname,
+                          "S": n_stages, "M": n_mb,
+                          "temp_MiB": round(temp / 2**20, 1)}))
 
 
 if __name__ == "__main__":
     import sys
     if "--compile_scaling" in sys.argv:
         compile_scaling()
+    elif "--dtype" in sys.argv:
+        dtype_scaling()
     else:
         main()
