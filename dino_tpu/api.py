@@ -253,6 +253,8 @@ class DINOSeg:
             out_size = res // 8
             factor = 480 // out_size
 
+            wire_dtype = jnp.uint8 if self.n_classes <= 255 else jnp.int32
+
             @jax.jit
             def fn(vit_p, head_p, img_u8):
                 with _matmul_ctx(cdt):
@@ -261,7 +263,7 @@ class DINOSeg:
                                        images_u8=None, pre_normalized=x,
                                        compute_dtype=cdt, backbone=bb, **hk)
                 low = jnp.argmax(logp, axis=-1).reshape(out_size, out_size)
-                return kron_upsample(low.astype(jnp.int32), factor)
+                return kron_upsample(low.astype(wire_dtype), factor)
 
             self._jit_cache[key] = fn
         return self._jit_cache[key]
@@ -283,7 +285,9 @@ class DINOSeg:
             return self.predict_batch(img[None], precision, parallelism)[0]
         fn = self._predict_fn(img.shape[:2], precision)
         vit_p, head_p = self._serving_params(precision, parallelism)
-        return np.asarray(fn(vit_p, head_p, jnp.asarray(img)))
+        # labels ride the wire as uint8 (4x less D2H); int32 out as ever
+        return np.asarray(fn(vit_p, head_p, jnp.asarray(img))).astype(
+            np.int32, copy=False)
 
     def _serving_params(self, precision: Optional[str],
                         parallelism: Optional[str]):
@@ -335,11 +339,22 @@ class DINOSeg:
 
     def _predict_batch_traced(self, precision: Optional[str] = None,
                               parallelism: Optional[str] = None,
-                              n_devices: Optional[int] = None):
+                              n_devices: Optional[int] = None,
+                              wire_u8: bool = False):
         """The untraced batched-predict body: (vit_p, head_p, imgs_u8) ->
         (B, out, out) int32 label maps.  Shared by the live jit path and the
         AOT export (dino_tpu/serving.py) so the two programs are the same
         math by construction.
+
+        ``wire_u8=True`` returns the label maps as uint8 instead of int32
+        (valid whenever n_classes <= 255, i.e. always for this task): the
+        live predict/predict_batch paths use it and cast back to int32 on
+        the host, so the public contract is unchanged while the
+        device->host label transfer shrinks 4x — on a bandwidth-limited
+        link (the sandbox RPC tunnel here; an ethernet-attached robot
+        host in deployment) the D2H bytes are a first-order serving cost
+        (PERF.md "Serving: wire dtype").  The AOT export keeps int32 so
+        existing artifacts' contracts are untouched.
 
         ``parallelism='sp'`` swaps the backbone for the ring-attention
         sequence-parallel forward: the TOKEN axis shards over every visible
@@ -353,6 +368,7 @@ class DINOSeg:
         hk = dict(self._head_kwargs)
         out_size = res // 8
         factor = 480 // out_size
+        wire_dtype = jnp.uint8 if wire_u8 else jnp.int32
 
         if parallelism == "sp":
             from dino_tpu.models.heads import head_apply
@@ -373,7 +389,8 @@ class DINOSeg:
                 low = jnp.argmax(logp, axis=-1).reshape(-1, out_size,
                                                         out_size)
                 return jax.vmap(
-                    lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
+                    lambda m: kron_upsample(m, factor))(
+                    low.astype(wire_dtype))
 
             return fn
 
@@ -385,7 +402,7 @@ class DINOSeg:
                                    compute_dtype=cdt, backbone=bb, **hk)
             low = jnp.argmax(logp, axis=-1).reshape(-1, out_size, out_size)
             return jax.vmap(
-                lambda m: kron_upsample(m, factor))(low.astype(jnp.int32))
+                lambda m: kron_upsample(m, factor))(low.astype(wire_dtype))
 
         return fn
 
@@ -398,7 +415,8 @@ class DINOSeg:
             self._jit_cache[key] = jax.jit(
                 self._predict_batch_traced(
                     precision,
-                    parallelism if parallelism == "sp" else None))
+                    parallelism if parallelism == "sp" else None,
+                    wire_u8=self.n_classes <= 255))
         return self._jit_cache[key]
 
     def predict_batch(self, images, precision: Optional[str] = None,
@@ -426,7 +444,8 @@ class DINOSeg:
         fn = self._predict_batch_fn(imgs.shape, precision, parallelism)
         x = (jnp.asarray(imgs) if parallelism in ("tp", "sp")
              else self._place_batch(imgs))
-        return np.asarray(fn(vit_p, head_p, x))
+        # labels ride the wire as uint8 (4x less D2H); int32 out as ever
+        return np.asarray(fn(vit_p, head_p, x)).astype(np.int32, copy=False)
 
     @staticmethod
     def _place_batch(imgs: np.ndarray):
@@ -473,7 +492,7 @@ class DINOSeg:
             if pending is not None:
                 out, n = pending
                 pending = None
-                for m in np.asarray(out)[:n]:
+                for m in np.asarray(out)[:n].astype(np.int32, copy=False):
                     yield m
 
         batch = []
@@ -509,11 +528,28 @@ class DINOSeg:
                      cls_mask: np.ndarray) -> np.ndarray:
         """Embed N region masks via masked CLS attention in the last block
         (reference dino.forward_mask). image: (H, W, 3) uint8; cls_mask:
-        (N, res/8, res/8). Returns (N, D)."""
-        from dino_tpu.models.vit import forward_mask
-        x = preprocess(jnp.asarray(image_u8)[None], self.resolution)
-        return np.asarray(forward_mask(self.vit_params, x,
-                                       jnp.asarray(cls_mask), self.cfg))
+        (N, res/8, res/8). Returns (N, D).
+
+        The companion-agent hot path (reference vision_transformer.py:
+        250-271 is called per frame): the mask count/shape is static per
+        call site, so the whole preprocess+backbone+masked-attention graph
+        jits once per (image shape, resolution, mask shape) and repeated
+        frames hit the compiled program — no per-call eager dispatch."""
+        from dino_tpu.models.vit import forward_mask as _forward_mask
+        img = np.asarray(image_u8)
+        mask = np.asarray(cls_mask)
+        key = ("fmask", img.shape, self.resolution, mask.shape,
+               str(mask.dtype))
+        if key not in self._jit_cache:
+            res, cfg = self.resolution, self.cfg
+
+            def fn(vit_p, img_u8, m):
+                x = preprocess(img_u8[None], res)
+                return _forward_mask(vit_p, x, m, cfg)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return np.asarray(self._jit_cache[key](
+            self.vit_params, jnp.asarray(img), jnp.asarray(mask)))
 
     def get_last_selfattention(self, images_u8: np.ndarray,
                                cls_mask=None,
@@ -524,7 +560,8 @@ class DINOSeg:
         O(N) memory — the row the attention-map consumers actually use;
         required for 960px maps (the full matrix would be ~5 GB)."""
         key = ("attn", images_u8.shape, self.resolution,
-               None if cls_mask is None else cls_mask.shape, cls_only)
+               None if cls_mask is None else np.asarray(cls_mask).shape,
+               cls_only)
         if key not in self._jit_cache:
             res, cfg = self.resolution, self.cfg
 
@@ -533,21 +570,29 @@ class DINOSeg:
                 return get_last_selfattention(vit_p, x, cfg, cls_mask=mask,
                                               cls_only=cls_only)
 
-            self._jit_cache[key] = jax.jit(fn) if cls_mask is None else fn
+            # the mask is a static-SHAPE traced arg (the key pins its
+            # shape), so the cls_mask path compiles once per mask shape
+            # like every other serving path — it used to dispatch eagerly
+            self._jit_cache[key] = jax.jit(fn)
         return np.asarray(self._jit_cache[key](
-            self.vit_params, jnp.asarray(images_u8), cls_mask))
+            self.vit_params, jnp.asarray(images_u8),
+            None if cls_mask is None else jnp.asarray(cls_mask)))
 
     # ------------------------------------------------------------------
     # Checkpointing
     # ------------------------------------------------------------------
 
-    def save(self, path: str, extra_hparams: Optional[Dict[str, Any]] = None
-             ) -> None:
+    def save(self, path: str, extra_hparams: Optional[Dict[str, Any]] = None,
+             params: Optional[Dict[str, Any]] = None) -> None:
+        """``params`` overrides the live {"vit", "head"} trees — used by the
+        multi-host FSDP fit, whose live params are shards spanning other
+        hosts' devices (host 0 writes the collectively gathered copy)."""
         hp = dict(self.hparams)
         if extra_hparams:
             hp.update(extra_hparams)
-        save_checkpoint(path, {"vit": self.vit_params,
-                               "head": self.head_params}, hp)
+        save_checkpoint(path, params if params is not None
+                        else {"vit": self.vit_params,
+                              "head": self.head_params}, hp)
 
     def save_torch_checkpoint(self, path: str, epoch: int = 0,
                               global_step: int = 0) -> None:
@@ -657,14 +702,15 @@ class DINOSeg:
         # multi-host: each host evaluates an interleaved slice, CMs sum below
         if jax.process_count() > 1:
             idx = idx[jax.process_index()::jax.process_count()]
-            # SP training leaves params as GLOBAL replicated arrays; eval is
-            # a per-host program over different slices, so localize (a
-            # replicated global array materializes fully on every host)
-            localize = (lambda t: np.asarray(t)
-                        if isinstance(t, jax.Array)
-                        and not t.is_fully_addressable else t)
-            vit_p = jax.tree.map(localize, vit_p)
-            head_p = jax.tree.map(localize, head_p)
+            # SP training leaves params as GLOBAL replicated arrays and
+            # FSDP training leaves them genuinely SHARDED across hosts;
+            # eval is a per-host program over different slices, so
+            # materialize a host-local copy — gather_if_sharded reassembles
+            # sharded leaves collectively (every rank calls _run_eval at
+            # the same points) and passes addressable ones through.
+            from dino_tpu.parallel.mesh import gather_if_sharded
+            vit_p = gather_if_sharded(vit_p)
+            head_p = gather_if_sharded(head_p)
         for xb, yb in batched_loader(dataset, idx, batch_size):
             cm += np.asarray(eval_step(vit_p, head_p,
                                        jnp.asarray(xb), jnp.asarray(yb)))
@@ -792,9 +838,14 @@ class DINOSeg:
         stored 1/N per device (parallel/mesh.py:fsdp_spec; weights
         all-gather transiently at use, gradients reduce-scatter into the
         sharded update).  Numerics unchanged (tests/test_fsdp.py).
-        Single-host multi-device; multi-host loops should build on
-        make_train_step(fsdp_mesh=...) directly (checkpoint/eval would
-        otherwise gather cross-host shards every epoch).  Skipped with a
+        Multi-host works: the state shards span every process's devices
+        and stay sharded across steps; only at save time (best-ckpt /
+        resume) and at the per-epoch eval do all ranks join a collective
+        gather so host 0 can write and each host can run its local eval
+        slice (parallel/mesh.py:gather_if_sharded — the same pattern the
+        pretrain CLI's --fsdp uses).  2-process-cluster-tested against
+        the single-process run, resume included
+        (tests/test_multihost.py).  Skipped with a
         warning under ``freeze_backbone`` (only the tiny head is
         trainable; the frozen ViT stays replicated either way); warns
         when the batch does not divide the device count (state shards,
@@ -812,11 +863,6 @@ class DINOSeg:
                 raise ValueError("fsdp composes with the default DP path; "
                                  "under parallelism='sp' use zero=True "
                                  "(token-axis state sharding) instead")
-            if jax.process_count() > 1:
-                raise ValueError(
-                    "fit(fsdp=True) is single-host; multi-host FSDP loops "
-                    "should build on make_train_step(fsdp_mesh=...) "
-                    "directly (docs/SCALING.md)")
         if accum_steps > 1:
             if parallelism == "sp":
                 raise ValueError("accum_steps composes with the default DP "
@@ -930,6 +976,7 @@ class DINOSeg:
                   f"per unique image)")
         sp_mesh = None
         zero_mesh = None
+        fsdp_mesh = None
         sp_zero = (parallelism == "sp" and bool(zero)
                    and jax.device_count() > 1)
         if parallelism == "sp":
@@ -951,7 +998,6 @@ class DINOSeg:
                     and self.batch_size % jax.device_count() == 0):
                 from dino_tpu.parallel.mesh import data_sharding
                 zero_mesh = data_sharding().mesh
-            fsdp_mesh = None
             if fsdp and jax.device_count() > 1:
                 if self.freeze_backbone:
                     # frozen backbone: the trainable state is the tiny
@@ -1204,28 +1250,42 @@ class DINOSeg:
             resume_state = {"vit": self.vit_params,
                             "head": self.head_params,
                             "opt_state": opt_state}
-            if resume and n_proc > 1 and (zero_mesh is not None or sp_zero):
-                # ZeRO moments span non-addressable devices, so host 0
-                # alone cannot np.asarray them — every process joins a
-                # collective gather and host 0 writes the global arrays.
-                # Covers both the DP-ZeRO mesh and SP+ZeRO (where the
-                # moments shard over the token axis but multi_host/
-                # zero_mesh stay unset because the batch is replicated);
-                # process_allgather reassembles whatever axis is sharded.
-                from jax.experimental import multihost_utils
-                resume_state = multihost_utils.process_allgather(
-                    resume_state, tiled=True)
             # EarlyStopping bookkeeping (reference pl_torch_modules.py:
             # 385-388 semantics: strict improvement resets the counter);
             # derived from the psum'd CM, so identical on every host
             improved = metrics["val_acc"] > best_acc
             since_improve = 0 if improved else since_improve + 1
+            if resume and n_proc > 1 and (zero_mesh is not None or sp_zero
+                                          or fsdp_mesh is not None):
+                # ZeRO/FSDP state spans non-addressable devices, so host 0
+                # alone cannot np.asarray it — every process joins a
+                # collective gather and host 0 writes the global arrays.
+                # Covers the DP-ZeRO mesh, SP+ZeRO (moments shard over the
+                # token axis but multi_host/zero_mesh stay unset because
+                # the batch is replicated), and FSDP (params AND moments
+                # sharded); gather_if_sharded reassembles whatever axis is
+                # sharded, per leaf.
+                from dino_tpu.parallel.mesh import gather_if_sharded
+                resume_state = gather_if_sharded(resume_state)
+            save_params = None
+            if fsdp_mesh is not None and n_proc > 1 and improved:
+                # the best-ckpt write also needs host-replicated params;
+                # `improved` derives from the psum'd CM so every rank
+                # takes this collective branch together
+                if resume:  # params already gathered with the resume state
+                    save_params = {"vit": resume_state["vit"],
+                                   "head": resume_state["head"]}
+                else:
+                    from dino_tpu.parallel.mesh import gather_if_sharded
+                    save_params = gather_if_sharded(
+                        {"vit": self.vit_params, "head": self.head_params})
             if jax.process_index() == 0:
                 if improved:
                     self.save(ck_path,
                               extra_hparams={"best_val_acc":
                                              metrics["val_acc"],
-                                             "epoch": epoch})
+                                             "epoch": epoch},
+                              params=save_params)
                 if resume:
                     ck_writer.save_train_state(
                         resume_path,

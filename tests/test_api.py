@@ -114,6 +114,50 @@ def test_intermediate_layers_and_forward_mask(model):
     assert np.isfinite(emb).all()
 
 
+def test_mask_paths_jit_once(model):
+    """The cls_mask/forward_mask hot paths (companion-agent per-frame calls,
+    reference vision_transformer.py:250-271) compile ONCE per mask shape:
+    repeated same-shape calls hit the cached jitted program, no retrace."""
+    import jax
+    rs = np.random.RandomState(5)
+    model.set_resolution(240)
+    img = rs.randint(0, 255, (240, 240, 3), np.uint8)
+    mask = (rs.rand(3, 30, 30) > 0.5).astype(np.float32)
+
+    emb1 = model.forward_mask(img, mask)
+    fm_key = [k for k in model._jit_cache if k[0] == "fmask"]
+    assert len(fm_key) == 1
+    jitted = model._jit_cache[fm_key[0]]
+    assert isinstance(jitted, jax.stages.Wrapped)
+    n_traces = jitted._cache_size()
+    emb2 = model.forward_mask(img, (rs.rand(3, 30, 30) > 0.5).astype(
+        np.float32))
+    assert jitted._cache_size() == n_traces      # same shape: no retrace
+    assert len([k for k in model._jit_cache if k[0] == "fmask"]) == 1
+    assert emb2.shape == emb1.shape
+
+    # eager-vs-jitted numerical agreement
+    from dino_tpu.api import preprocess
+    from dino_tpu.models.vit import forward_mask as fm_eager
+    import jax.numpy as jnp
+    x = preprocess(jnp.asarray(img)[None], 240)
+    ref = np.asarray(fm_eager(model.vit_params, x, jnp.asarray(mask),
+                              model.cfg))
+    np.testing.assert_allclose(emb1, ref, atol=1e-5, rtol=1e-5)
+
+    # the masked attention path is jitted now too (it used to stay eager)
+    att1 = model.get_last_selfattention(img[None], cls_mask=mask)
+    att_key = [k for k in model._jit_cache if k[0] == "attn"
+               and k[3] is not None]
+    assert len(att_key) == 1
+    att_jit = model._jit_cache[att_key[0]]
+    assert isinstance(att_jit, jax.stages.Wrapped)
+    n_traces = att_jit._cache_size()
+    model.get_last_selfattention(img[None], cls_mask=mask)
+    assert att_jit._cache_size() == n_traces
+    assert att1.shape[0] == 1
+
+
 def test_dataloader_methods(tmp_path):
     from tests.test_train_smoke import RES, _make_split
     root = str(tmp_path / "d")

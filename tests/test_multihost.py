@@ -302,6 +302,76 @@ def test_two_process_zero_resume(voc_root, tmp_path):
                                float(ref["test_acc"]), atol=1e-6)
 
 
+_FSDP_RESUME_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    kw = dict(data_path=cfg["data"], write_path=cfg["write"],
+              head="linear", n_blocks=1, n_classes=cfg["n_classes"],
+              batch_size=4, lr=1e-2, optimizer="adam",
+              freeze_backbone=False, random_init=True,
+              augmented=False, train_resolution=cfg["res"],
+              precision="fp32", seed=0)
+    # FSDP: params AND moments shard over BOTH processes' devices and stay
+    # sharded across steps; the epoch-end best-ckpt/resume saves and the
+    # per-epoch eval must gather collectively (host 0 alone cannot
+    # np.asarray shards living on the other host's devices)
+    model = DINOSeg(max_epochs=1, **kw)
+    model.fit(samples_per_epoch=8, ck_file_name="fr", fsdp=True,
+              resume=True)
+    # resume leg: a fresh model continues from the gathered state
+    model2 = DINOSeg(max_epochs=2, **kw)
+    metrics = model2.fit(samples_per_epoch=8, ck_file_name="fr", fsdp=True,
+                         resume=True)
+    # fit() ends by reloading the best checkpoint, so head_params are
+    # host-local npz-backed arrays on every rank here
+    if jax.process_index() == 0:
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"],
+                 k1=np.asarray(model2.head_params["layer_1"]["kernel"]))
+""")
+
+
+def test_two_process_fsdp_fit_resume_matches_single_process(voc_root,
+                                                            tmp_path):
+    """fit(fsdp=True, resume=True) on the 2-process cluster: the train
+    state shards across BOTH hosts' devices, epoch-end saves and evals
+    gather collectively, and the resumed run matches the single-process
+    FSDP run (the api.py:815 single-host raise is gone)."""
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "fr_ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_FSDP_RESUME_RUNNER)
+
+    w_mh = str(tmp_path / "fr_mh")
+    port = free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_FSDP_RESUME_RUNNER)
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)
+
+
 _AGREE_RUNNER = textwrap.dedent("""
     import json, os, sys
     cfg = json.loads(sys.argv[1])
