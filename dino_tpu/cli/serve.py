@@ -248,12 +248,15 @@ class _Batcher:
 
 def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                 resolution: int = 480, precision=None, max_batch: int = 1,
-                batch_timeout_ms: float = 3.0) -> ThreadingHTTPServer:
+                batch_timeout_ms: float = 3.0,
+                host_resize: bool = False) -> ThreadingHTTPServer:
     import numpy as np
     from PIL import Image
 
     predict, predict_many, info = _build_backend(path, resolution, precision,
                                                  max_batch)
+    if host_resize:
+        info["host_resize"] = True
     lock = threading.Lock()
     stats = _Stats()
     batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3,
@@ -290,8 +293,27 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
             t_req = time.monotonic()
             try:
                 n = int(self.headers.get("Content-Length", 0))
-                img = np.asarray(
-                    Image.open(io.BytesIO(self.rfile.read(n))).convert("RGB"))
+                body = self.rfile.read(n)
+                # JPEG request bodies decode through the native C++ loader
+                # (ctypes releases the GIL, so the ThreadingHTTPServer's
+                # request threads decode on real parallel cores — the
+                # single-core PIL decode was the measured dynamic-batching
+                # bottleneck, PERF.md); PNG or decode failure falls back
+                from dino_tpu.data.native_loader import (decode_bytes,
+                                                         decode_resize_bytes)
+                img = None
+                if host_resize and info.get("backend") == "model":
+                    # decode+resize natively to the model resolution: the
+                    # upload to the device shrinks (a camera frame is
+                    # usually larger than res x res) at the cost of u8
+                    # rounding before normalization (rare near-tie argmax
+                    # flips vs the on-device float resize) — see --help
+                    img = decode_resize_bytes(body, resolution, resolution)
+                if img is None:
+                    img = decode_bytes(body)
+                if img is None:
+                    img = np.asarray(
+                        Image.open(io.BytesIO(body)).convert("RGB"))
                 if batcher is not None:  # dynamic batching (module docstring)
                     labels = np.asarray(batcher(img))
                 else:
@@ -332,10 +354,19 @@ def main(argv=None) -> None:
     p.add_argument("--batch_timeout_ms", type=float, default=3.0,
                    help="how long the batcher waits to fill a batch after "
                         "the first request arrives")
+    p.add_argument("--host_resize", action="store_true",
+                   help="decode+resize request bodies to the model "
+                        "resolution on the host (native C++ bilinear) "
+                        "before upload: shrinks the host->device frame "
+                        "bytes — the first-order cost on a bandwidth-"
+                        "limited device link — at the cost of uint8 "
+                        "rounding before normalization (rare near-tie "
+                        "argmax flips vs the on-device float resize)")
     args = p.parse_args(argv)
     server = make_server(args.model, args.host, args.port, args.resolution,
                          args.precision, max_batch=args.max_batch,
-                         batch_timeout_ms=args.batch_timeout_ms)
+                         batch_timeout_ms=args.batch_timeout_ms,
+                         host_resize=args.host_resize)
     print(f"dt-serve: listening on http://{args.host}:{args.port} "
           f"(POST /predict, GET /healthz)")
     try:

@@ -94,6 +94,18 @@ def get_lib():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         lib.dt_load_batch.restype = ctypes.c_int
+        lib.dt_jpeg_dims.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.dt_jpeg_dims.restype = ctypes.c_int
+        lib.dt_decode_jpeg_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+        lib.dt_decode_jpeg_mem.restype = ctypes.c_int
+        lib.dt_decode_resize_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.dt_decode_resize_mem.restype = ctypes.c_int
         lib.dt_augment_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float),
@@ -138,6 +150,43 @@ def decode(path: str, max_h: int = 4096, max_w: int = 4096
     if rc != 0:
         return None
     return buf[:h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+
+def decode_bytes(data: bytes) -> Optional[np.ndarray]:
+    """Decode in-memory JPEG bytes (a dt-serve request body) natively;
+    None on any failure (caller falls back to PIL).  Two native calls:
+    a header-only dims parse (microseconds) sizes the exact output buffer,
+    then the decode fills it — both release the GIL, so concurrent server
+    request threads decode on real parallel cores."""
+    lib = get_lib()
+    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None  # not a JPEG (PNG etc. keep the PIL path)
+    buf = np.frombuffer(data, np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.dt_jpeg_dims(src, len(data), ctypes.byref(h),
+                        ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.dt_decode_jpeg_mem(
+        src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h.value, w.value)
+    return out if rc == 0 else None
+
+
+def decode_resize_bytes(data: bytes, out_h: int,
+                        out_w: int) -> Optional[np.ndarray]:
+    """Decode + bilinear-resize in-memory JPEG bytes natively; None on
+    failure."""
+    lib = get_lib()
+    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.dt_decode_resize_mem(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data),
+        out_h, out_w, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
 
 
 def augment_batch(paths: List[str], masks: List[np.ndarray], res: int,

@@ -35,12 +35,14 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Decode a JPEG file to tightly-packed RGB. Returns malloc'd buffer (caller
-// frees) or nullptr.
-uint8_t* decode_rgb(const char* path, int* height, int* width) {
-  FILE* f = fopen(path, "rb");
-  if (!f) return nullptr;
-
+// Decode a JPEG from an in-memory buffer to tightly-packed RGB.  Returns
+// malloc'd buffer (caller frees) or nullptr.  The memory source is the
+// single decompress implementation: the file path below reads the bytes
+// and lands here, and dt-serve feeds request bodies to it directly (no
+// temp files, no PIL — the serving decode rides the same code the loader
+// uses, off the GIL via ctypes).
+uint8_t* decode_rgb_mem(const uint8_t* data, size_t len, int* height,
+                        int* width) {
   jpeg_decompress_struct cinfo;
   ErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -48,12 +50,11 @@ uint8_t* decode_rgb(const char* path, int* height, int* width) {
   uint8_t* buffer = nullptr;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     free(buffer);
     return nullptr;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -64,7 +65,6 @@ uint8_t* decode_rgb(const char* path, int* height, int* width) {
   buffer = static_cast<uint8_t*>(malloc(static_cast<size_t>(h) * stride));
   if (!buffer) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return nullptr;
   }
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -73,10 +73,28 @@ uint8_t* decode_rgb(const char* path, int* height, int* width) {
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   *height = h;
   *width = w;
   return buffer;
+}
+
+// Decode a JPEG file to tightly-packed RGB. Returns malloc'd buffer (caller
+// frees) or nullptr.
+uint8_t* decode_rgb(const char* path, int* height, int* width) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return nullptr; }
+  const long fsize = ftell(f);
+  if (fsize <= 0) { fclose(f); return nullptr; }
+  rewind(f);
+  uint8_t* bytes = static_cast<uint8_t*>(malloc(static_cast<size_t>(fsize)));
+  if (!bytes) { fclose(f); return nullptr; }
+  const size_t got = fread(bytes, 1, static_cast<size_t>(fsize), f);
+  fclose(f);
+  if (got != static_cast<size_t>(fsize)) { free(bytes); return nullptr; }
+  uint8_t* out = decode_rgb_mem(bytes, got, height, width);
+  free(bytes);
+  return out;
 }
 
 // Half-pixel bilinear resize of packed RGB uint8, round-half-up (matches
@@ -806,6 +824,57 @@ int dt_decode_jpeg_file(const char* path, uint8_t* out, int* h, int* w,
   free(buf);
   *h = sh;
   *w = sw;
+  return 0;
+}
+
+// Header-only parse of in-memory JPEG bytes: dimensions without decoding
+// (microseconds) so the caller can allocate an exact-size output buffer.
+int dt_jpeg_dims(const uint8_t* data, long long len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *h = static_cast<int>(cinfo.image_height);
+  *w = static_cast<int>(cinfo.image_width);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Decode in-memory JPEG bytes into a caller buffer sized h*w*3 from
+// dt_jpeg_dims (the dt-serve request-body path). Returns 0 on success.
+int dt_decode_jpeg_mem(const uint8_t* data, long long len, uint8_t* out,
+                       int expect_h, int expect_w) {
+  int sh, sw;
+  uint8_t* buf = decode_rgb_mem(data, static_cast<size_t>(len), &sh, &sw);
+  if (!buf) return -1;
+  if (sh != expect_h || sw != expect_w) {  // dims changed under us
+    free(buf);
+    return -2;
+  }
+  memcpy(out, buf, static_cast<size_t>(sh) * sw * 3);
+  free(buf);
+  return 0;
+}
+
+// Decode + resize in-memory JPEG bytes to (out_h, out_w). Returns 0.
+int dt_decode_resize_mem(const uint8_t* data, long long len, int out_h,
+                         int out_w, uint8_t* out) {
+  int sh, sw;
+  uint8_t* buf = decode_rgb_mem(data, static_cast<size_t>(len), &sh, &sw);
+  if (!buf) return -1;
+  if (sh == out_h && sw == out_w) {
+    memcpy(out, buf, static_cast<size_t>(sh) * sw * 3);
+  } else {
+    resize_bilinear_u8(buf, sh, sw, out, out_h, out_w);
+  }
+  free(buf);
   return 0;
 }
 

@@ -39,6 +39,40 @@ def test_decode_matches_pil(jpegs, lib):
         np.testing.assert_array_equal(ours, ref)
 
 
+def test_decode_bytes_matches_pil(jpegs, lib):
+    """In-memory decode (the dt-serve request-body path): byte-identical to
+    PIL's decode of the same JPEG (both are libjpeg underneath)."""
+    for p in jpegs:
+        with open(p, "rb") as f:
+            data = f.read()
+        ours = native_loader.decode_bytes(data)
+        assert ours is not None
+        ref = np.array(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(ours, ref)
+        # file-path decode goes through the same mem-source implementation
+        np.testing.assert_array_equal(ours, native_loader.decode(p))
+
+
+def test_decode_bytes_rejects_non_jpeg(lib):
+    """PNG/garbage bodies return None (caller keeps the PIL path)."""
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(buf, format="PNG")
+    assert native_loader.decode_bytes(buf.getvalue()) is None
+    assert native_loader.decode_bytes(b"\xff\xd8garbage") is None
+    assert native_loader.decode_bytes(b"") is None
+
+
+def test_decode_resize_bytes_matches_file_path(jpegs, lib):
+    for p in jpegs:
+        with open(p, "rb") as f:
+            data = f.read()
+        ours = native_loader.decode_resize_bytes(data, 64, 64)
+        assert ours is not None
+        np.testing.assert_array_equal(ours,
+                                      native_loader.decode_resize(p, 64, 64))
+
+
 def test_decode_resize_matches_python_path(jpegs, lib):
     for p in jpegs:
         ours = native_loader.decode_resize(p, 64, 64)

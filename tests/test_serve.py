@@ -59,6 +59,22 @@ def test_serve_checkpoint(model, tmp_path):
                             img)
         assert ctype == "image/png"
         assert Image.open(io.BytesIO(body)).size == (480, 480)
+
+        # JPEG request body: decodes through the native C++ loader when
+        # available (GIL-free, the round-4 serving-decode fix) and must
+        # produce exactly what predict() gives on the same decoded pixels
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=92)
+        jb = buf.getvalue()
+        from dino_tpu.data.native_loader import decode_bytes
+        decoded = decode_bytes(jb)
+        if decoded is None:  # no native toolchain: PIL decodes the body
+            decoded = np.asarray(Image.open(io.BytesIO(jb)).convert("RGB"))
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=jb, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            labels_j = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_array_equal(labels_j, model.predict(decoded))
     finally:
         server.shutdown()
 
