@@ -1125,10 +1125,10 @@ class DINOSeg:
             if self.augmented:
                 # every host loads the FULL batch and declares it
                 # replicated, so per-host pixels must be bit-identical.
-                # Geometry ops are bit-exact across the native-C++/cv2
-                # backends but jitter/blur are per-backend only
-                # (data/augment.py contract) — fail fast if hosts would
-                # augment on different backends.
+                # Geometry and ColorJitter are bit-exact across the
+                # native-C++/cv2 backends (round 4); the warp and k >= 11
+                # blur remain per-backend (data/augment.py contract) —
+                # fail fast if hosts would augment on different backends.
                 from dino_tpu.data import native_loader
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts(

@@ -16,15 +16,18 @@ Backend pixel contract (cv2 path here vs the native C++ path,
 native/dtloader.cpp, pinned by tests/test_native_augment.py): all RANDOM
 PARAMETERS are seed-exact on both backends (drawn only here); resize / crop /
 flip produce BIT-IDENTICAL pixels (the C++ resize replicates cv2's
-INTER_LINEAR fixed-point arithmetic); blur is BIT-IDENTICAL for k <= 9 and
-off-by-<=1 beyond (cv2's own sigma=0 taps, see ops/device_augment.
-_gaussian_taps); warpAffine is off-by-one on <0.1% of pixels and jitter is
-tolerance-matched (MAD < 2.5 levels) — so resume bit-determinism holds per
-backend, and across backends whenever only the bit-exact ops fire.
+INTER_LINEAR fixed-point arithmetic); ColorJitter is BIT-IDENTICAL (round 4:
+the chain is defined as exact f32/integer arithmetic — fx15 gray,
+hsv_shift=12 HSV tables, two-rounding float sector math — that every
+backend reproduces, see _apply_jitter); blur is BIT-IDENTICAL for k <= 9
+and off-by-<=1 beyond (cv2's own sigma=0 taps, see ops/device_augment.
+_gaussian_taps); warpAffine is off-by-one on <0.1% of pixels — so resume
+bit-determinism holds per backend, and across backends whenever no warp
+and no k >= 11 blur fires.
 
 A third backend runs the pixel ops ON DEVICE (`augment_backend='device'`,
-ops/device_augment.py): same drawn parameters, float math in cv2's
-coordinate conventions, same tolerance class vs this oracle
+ops/device_augment.py): same drawn parameters; geometry/blur in cv2's
+conventions at the same fidelity class, ColorJitter bit-identical
 (tests/test_device_augment.py); the host keeps only decode+resize.
 """
 from __future__ import annotations
@@ -151,26 +154,117 @@ def pack_params(p: dict) -> np.ndarray:
 # cv2 application path (reference semantics; also the native path's oracle)
 # ---------------------------------------------------------------------------
 
+# The three color conversions in the jitter chain, implemented as EXACT
+# arithmetic recipes (each exhaustively verified bit-equal to this build's
+# cv2.cvtColor over every input: 16.7M RGB triples for gray/HSV-forward,
+# 11.8M HSV triples for the backward).  Having the recipe — instead of
+# calling into cv2 — is what lets the C++ and device backends reproduce
+# the chain bit-for-bit (round 4; the blur tap ladder was the same move).
+
+def gray_u8(u8: np.ndarray) -> np.ndarray:
+    """cv2 RGB2GRAY on uint8: IPP's shift-15 fixed point
+    (9798, 19235, 3735)/32768 with round-half-up descale."""
+    r = u8[..., 0].astype(np.int64)
+    g = u8[..., 1].astype(np.int64)
+    b = u8[..., 2].astype(np.int64)
+    return ((r * 9798 + g * 19235 + b * 3735 + 16384) >> 15).astype(np.uint8)
+
+
+_HSV_SHIFT = 12
+_IDX = np.arange(256)
+_IDX[0] = 1
+SDIV_TABLE = np.round((255 << _HSV_SHIFT) / _IDX.astype(np.float64)
+                      ).astype(np.int64)
+HDIV_TABLE = np.round((180 << _HSV_SHIFT) / (6.0 * _IDX)).astype(np.int64)
+SDIV_TABLE[0] = HDIV_TABLE[0] = 0
+
+
+def rgb_to_hsv_u8(u8: np.ndarray):
+    """cv2 RGB2HSV on uint8 (H in [0,180)): the hsv_shift=12 div-table
+    integer path.  Returns (h, s, v) int arrays."""
+    r = u8[..., 0].astype(np.int64)
+    g = u8[..., 1].astype(np.int64)
+    b = u8[..., 2].astype(np.int64)
+    v = np.maximum(np.maximum(r, g), b)
+    diff = v - np.minimum(np.minimum(r, g), b)
+    s = (diff * SDIV_TABLE[v] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    h = np.where(v == r, g - b,
+                 np.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = (h * HDIV_TABLE[diff] + (1 << (_HSV_SHIFT - 1))) >> _HSV_SHIFT
+    return np.where(h < 0, h + 180, h), s, v
+
+
+def hsv_to_rgb_u8(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """cv2-shaped HSV2RGB on uint8: float32 sector math with TRUNCATING
+    output cast.  One deliberate deviation from this cv2 build: the
+    ``1 - s*f`` terms are plain two-rounding f32 (mul, round, subtract)
+    where cv2's build contracts them into an fma — two-rounding is what
+    numpy, the C++ backend (-ffp-contract=off), and the TPU's elementwise
+    f32 all compute NATIVELY, which is what makes the three backends
+    bit-identical; the cost is disagreeing with cv2's own cvtColor on
+    ~5e-5 of HSV inputs by one level (bounded in
+    tests/test_color_exact.py).  gray/RGB2HSV above are pure integer
+    recipes and stay exactly cv2."""
+    ft = np.float32
+    hf = h.astype(ft) * ft(6.0 / 180.0)
+    sf = s.astype(ft) * ft(1.0 / 255.0)
+    vf = v.astype(ft) * ft(1.0 / 255.0)
+    sector = np.floor(hf).astype(np.int64)
+    f = (hf - sector).astype(ft)
+    sector = sector % 6
+    one = ft(1.0)
+    tabs = np.stack([vf, vf * (one - sf), vf * (one - sf * f),
+                     vf * (one - sf * (one - f))], axis=-1).astype(ft)
+    rsel = np.array([0, 2, 1, 1, 3, 0])
+    gsel = np.array([3, 0, 0, 2, 1, 1])
+    bsel = np.array([1, 1, 3, 0, 0, 2])
+    flat = tabs.reshape(-1, 4)
+    ar = np.arange(flat.shape[0])
+    sec = sector.reshape(-1)
+    out = np.stack([flat[ar, rsel[sec]], flat[ar, gsel[sec]],
+                    flat[ar, bsel[sec]]], axis=-1) * ft(255.0)
+    return np.floor(out).astype(np.uint8).reshape(h.shape + (3,))
+
+
+def _u8(x: np.ndarray) -> np.ndarray:
+    """clip + truncating uint8 cast (numpy astype semantics)."""
+    return np.clip(x, 0, 255).astype(np.uint8)
+
+
 def _apply_jitter(img, order, factors):
-    b, c, s, hshift = factors
+    """torchvision-style ColorJitter, defined as an exact f32 chain.
+
+    Every operation below is a single-rounded float32 op on f32-cast
+    factors (or exact integer arithmetic), so the C++ backend
+    (native/dtloader.cpp:color_jitter) and the device backend
+    (ops/device_augment.py:_jitter) reproduce it BIT-FOR-BIT — the
+    per-backend jitter tolerance of rounds 2-3 is gone.  Chain: f32
+    accumulator, clip to [0,255] after each op, uint8 conversions
+    truncate; the contrast mean is the exact integer-sum split
+    q + fl32(r/n) (both addends exactly representable; a naive f32 mean
+    of 230k grays accumulates error past 2^24)."""
+    fb, fc, fs, fh = [np.float32(v) for v in factors]
+    one = np.float32(1.0)
     x = img.astype(np.float32)
     for i in order:
         if i == 0:
-            x = x * b
+            x = x * fb
         elif i == 1:
-            gray = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
-                                cv2.COLOR_RGB2GRAY).mean()
-            x = x * c + gray * (1 - c)
+            g = gray_u8(_u8(x))
+            q, r = divmod(int(g.sum()), g.size)
+            gray32 = np.float32(q) + np.float32(
+                np.float32(r) / np.float32(g.size))
+            add = gray32 * (one - fc)
+            x = (x * fc) + add
         elif i == 2:
-            gray = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
-                                cv2.COLOR_RGB2GRAY).astype(np.float32)
-            x = x * s + gray[..., None] * (1 - s)
+            g = gray_u8(_u8(x)).astype(np.float32)
+            gy = g * (one - fs)
+            x = (x * fs) + gy[..., None]
         else:
-            hsv = cv2.cvtColor(np.clip(x, 0, 255).astype(np.uint8),
-                               cv2.COLOR_RGB2HSV)
-            hch = hsv[..., 0].astype(np.int32) + int(round(hshift * 180))
-            hsv[..., 0] = np.mod(hch, 180).astype(np.uint8)
-            x = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
+            h, s, v = rgb_to_hsv_u8(_u8(x))
+            shift = int(np.rint(fh * np.float32(180.0)))
+            h = (h.astype(np.int64) + shift) % 180
+            x = hsv_to_rgb_u8(h, s, v).astype(np.float32)
         x = np.clip(x, 0, 255)
     return x.astype(np.uint8)
 

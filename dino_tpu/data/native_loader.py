@@ -48,8 +48,14 @@ def _build(src_dir: str) -> Optional[str]:
     # files are bounded by the number of distinct CPU generations.
     tmp = f"{so}.build.{os.getpid()}"
     try:
+        # -ffp-contract=off: GCC's default 'fast' contraction fuses
+        # mul+add into fma ACROSS statements, silently changing f32
+        # last-ulp results — the jitter chain's bit-exactness contract
+        # (vs the numpy oracle, which never contracts) depends on plain
+        # two-rounding ops.  Deliberate fusions use std::fmaf explicitly.
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+            ["g++", "-O3", "-march=native", "-funroll-loops",
+             "-ffp-contract=off", "-fPIC",
              "-shared", "-std=c++17", "-o", tmp, src, "-ljpeg", "-lpthread"],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)

@@ -142,36 +142,78 @@ def _crop_resize(img, p):
     return _round_u8(out)
 
 
-def _rgb_to_hsv(x):
-    """x in [0,1] (S,S,3) -> h in [0,1), s, v (cv2 hue convention / 360)."""
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    v = jnp.max(x, axis=-1)
-    mn = jnp.min(x, axis=-1)
-    delta = v - mn
-    safe = jnp.where(delta == 0, 1.0, delta)
-    h = jnp.where(
-        v == r, (g - b) / safe,
-        jnp.where(v == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe))
-    h = jnp.where(delta == 0, 0.0, h) / 6.0
-    h = jnp.mod(h, 1.0)
-    sat = jnp.where(v == 0, 0.0, delta / jnp.where(v == 0, 1.0, v))
-    return h, sat, v
+def _hsv_tables():
+    """cv2's hsv_shift=12 div tables (exact integers; see
+    data/augment.py:SDIV_TABLE — same recipe, exhaustively cv2-verified)."""
+    idx = np.arange(256)
+    idx[0] = 1
+    sdiv = np.round((255 << 12) / idx.astype(np.float64)).astype(np.int32)
+    hdiv = np.round((180 << 12) / (6.0 * idx)).astype(np.int32)
+    sdiv[0] = hdiv[0] = 0
+    return sdiv, hdiv
 
 
-def _hsv_to_rgb(h, s, v):
-    i = jnp.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1 - s)
-    q = v * (1 - f * s)
-    t = v * (1 - (1 - f) * s)
-    i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
-                   [p, p, t, v, v, q])
-    return jnp.stack([r, g, b], axis=-1)
+def _rgb_to_hsv_u8(x_u8f):
+    """cv2 RGB2HSV u8 integer path on float-held u8 values (S,S,3) ->
+    (h, s, v) int32 arrays.  All products fit int32 (diff*sdiv <= 2^28)."""
+    sdiv, hdiv = _hsv_tables()
+    xi = x_u8f.astype(jnp.int32)
+    r, g, b = xi[..., 0], xi[..., 1], xi[..., 2]
+    v = jnp.max(xi, axis=-1)
+    diff = v - jnp.min(xi, axis=-1)
+    s = (diff * jnp.take(jnp.asarray(sdiv), v) + (1 << 11)) >> 12
+    h = jnp.where(v == r, g - b,
+                  jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
+    h = (h * jnp.take(jnp.asarray(hdiv), diff) + (1 << 11)) >> 12
+    return jnp.where(h < 0, h + 180, h), s, v
+
+
+def _opaque_zero(x):
+    """int32 0 that XLA cannot constant-fold (it is derived from runtime
+    data — isnan of an image/factor value, always false here).  Needed
+    because `lax.optimization_barrier` and plain bitcast round-trips are
+    simplified away before codegen, where XLA:CPU's LLVM contracts a mul
+    feeding an add/sub into an fma (measured; TPU performs true
+    two-rounding f32 and matches numpy with no help)."""
+    return jnp.isnan(jax.lax.reshape(x, (x.size,))[0]).astype(jnp.int32)
+
+
+def _rounded(x, z):
+    """Pin a multiply's ROUNDED f32 value against fma contraction: xor the
+    bit pattern with a runtime zero (``z`` from :func:`_opaque_zero`) —
+    an integer op codegen cannot contract through — and bitcast back.
+    Only needed where the product is inexact AND feeds an add/sub; exact
+    products (masks, 12-bit split halves) give the same answer fused or
+    not and stay pin-free for fusion."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32) ^ z
+    return jax.lax.bitcast_convert_type(xi, jnp.float32)
+
+
+def _hsv_to_rgb_u8(h, s, v, z):
+    """cv2-shaped HSV2RGB u8: f32 sector math with plain TWO-ROUNDING
+    1-s*f terms and truncating output — bit-equal to the host recipe
+    (data/augment.py:hsv_to_rgb_u8; every inexact product feeding an
+    add/sub is pinned with ``z``).  Returns float-held u8 (S,S,3)."""
+    ft = jnp.float32
+    # hf feeds a subtract and the s-products feed (1 - .): pin them
+    hf = _rounded(h.astype(ft) * ft(6.0 / 180.0), z)
+    sf = _rounded(s.astype(ft) * ft(1.0 / 255.0), z)
+    vf = v.astype(ft) * ft(1.0 / 255.0)   # feeds only muls: safe
+    sector = jnp.floor(hf).astype(jnp.int32)
+    f = hf - sector.astype(ft)
+    sector = sector % 6
+    one = ft(1.0)
+    tabs = jnp.stack([vf, vf * (one - sf),
+                      vf * (one - _rounded(sf * f, z)),
+                      vf * (one - _rounded(sf * (one - f), z))], axis=-1)
+    rsel = jnp.asarray(np.array([0, 2, 1, 1, 3, 0], np.int32))
+    gsel = jnp.asarray(np.array([3, 0, 0, 2, 1, 1], np.int32))
+    bsel = jnp.asarray(np.array([1, 1, 3, 0, 0, 2], np.int32))
+    out = jnp.stack([
+        jnp.take_along_axis(tabs, jnp.take(sel, sector)[..., None],
+                            axis=-1)[..., 0]
+        for sel in (rsel, gsel, bsel)], axis=-1) * ft(255.0)
+    return jnp.floor(out)
 
 
 def _trunc_u8(x):
@@ -182,60 +224,60 @@ def _trunc_u8(x):
 
 
 def _cv2_gray_u8(x_u8):
-    """cv2 RGB2GRAY on uint8 via OpenCV's classic fixed-point formula
-    (R*4899 + G*9617 + B*1868 + 8192) >> 14, computed exactly (every value
-    < 2^24, exact in f32).  NOTE the oracle ceiling: cv2 5.x's IPP-backed
-    cvtColor rounds half-cases by its own internal path, so ~0.3% of pixels
-    sit one level off this formula — grays feeding contrast/saturation are
-    one-level-tolerance vs the oracle, not bit-exact.
-    Elementwise mul-adds, NOT a dot: a dot obeys the ambient matmul
-    precision, and on TPU the DEFAULT (bf16) path rounds the coefficients
-    (4899/9617 need >8 mantissa bits), flipping the floored gray on a large
-    fraction of pixels; VPU elementwise ops are always exact f32."""
-    return jnp.floor((x_u8[..., 0] * 4899.0 + x_u8[..., 1] * 9617.0
-                      + x_u8[..., 2] * 1868.0 + 8192.0) / 16384.0)
+    """cv2 RGB2GRAY on uint8: IPP's shift-15 fixed point
+    (9798, 19235, 3735)/32768 with round-half-up descale — the recipe
+    exhaustively verified bit-equal to this cv2 build over all 16.7M RGB
+    triples (data/augment.py:gray_u8; it replaced the classic 4899/9617/
+    1868 shift-14 formula, which this build's IPP path does NOT use —
+    ~0.3% of pixels sat one level off).  Integer ops in int32: every
+    partial product <= 255*19235 < 2^23."""
+    xi = x_u8.astype(jnp.int32)
+    return ((xi[..., 0] * 9798 + xi[..., 1] * 19235 + xi[..., 2] * 3735
+             + 16384) >> 15).astype(jnp.float32)
 
 
 def _jitter(img, p):
-    """ColorJitter: the cv2 oracle's op order/semantics (data/augment.py
-    _apply_jitter) in float: brightness scale, contrast toward the mean
-    gray, saturation toward per-pixel gray, hue rotation (uint8-HSV's 180
-    levels -> shift of round(hshift*180)/180 of a turn); clip after each.
-    uint8 conversions TRUNCATE and the gray uses cv2's fixed-point
-    coefficients, mirroring the oracle's integer semantics.  Fidelity per
-    op: brightness is bit-faithful (same f32 multiply both sides);
-    contrast/saturation track the oracle to the gray's one-level rounding
-    ties (see _cv2_gray_u8) plus f32 rounding of the oracle's float64
-    scalar chain (numpy evaluates `gray*(1-c)` in f64 before the f32 add;
-    the device has no f64); hue (float HSV vs cv2's table-quantized uint8
-    HSV) is tolerance-matched."""
+    """ColorJitter, BIT-EXACT vs the host oracle (data/augment.py
+    _apply_jitter, round 4): every op is the same single-rounded f32 op
+    (XLA does not contract independent mul/add HLOs to fma) or exact
+    integer arithmetic — brightness scale, contrast toward the exact
+    integer-split mean gray, saturation toward the per-pixel fx15 gray,
+    hue through cv2's integer RGB2HSV and fused-f32 HSV2RGB (_fma32);
+    clip after each op, uint8 conversions truncate.  Asserted bit-equal
+    in tests/test_device_augment.py."""
     on = p[13] > 0.5
     order = p[14:18].astype(jnp.int32)
     b, c, s_, hshift = p[18], p[19], p[20], p[21]
+    one = jnp.float32(1.0)
+    z = _opaque_zero(p)   # runtime zero for the rounding pins
 
     def op_brightness(x):
         return x * b
 
     def op_contrast(x):
-        # integer-exact mean: the grays are integers <= 255, so their int32
-        # sum is exact (<= 480*480*255 < 2^31) where a plain f32 jnp.mean
-        # accumulates error past 2^24; split sum = q*n + r so both halves
-        # stay exactly representable in f32 (oracle: float64 .mean())
+        # integer-exact mean, split q + fl32(r/n): the int32 gray sum is
+        # exact (<= 480*480*255 < 2^31) and both addends are exactly
+        # representable in f32 — identical to the oracle's divmod split
         g = _cv2_gray_u8(_trunc_u8(x)).astype(jnp.int32)
         n = g.size
         q, r = jnp.divmod(jnp.sum(g), n)
-        gray = q.astype(jnp.float32) + r.astype(jnp.float32) / n
-        return x * c + gray * (1 - c)
+        gray = q.astype(jnp.float32) + (r.astype(jnp.float32)
+                                        / jnp.float32(n))
+        # both products are pinned: the blend is mul, ROUND, add —
+        # numpy's (uncontracted) semantics
+        add = _rounded(gray * (one - c), z)
+        return _rounded(x * c, z) + add
 
     def op_saturation(x):
         gray = _cv2_gray_u8(_trunc_u8(x))
-        return x * s_ + gray[..., None] * (1 - s_)
+        gy = _rounded(gray * (one - s_), z)
+        return _rounded(x * s_, z) + gy[..., None]
 
     def op_hue(x):
-        h, sat, v = _rgb_to_hsv(_trunc_u8(x) / 255.0)
-        shift = jnp.round(hshift * 180.0) / 180.0
-        h = jnp.mod(h + shift, 1.0)
-        return _hsv_to_rgb(h, sat, v) * 255.0
+        h, sat, v = _rgb_to_hsv_u8(_trunc_u8(x))
+        shift = jnp.round(hshift * jnp.float32(180.0)).astype(jnp.int32)
+        h = jnp.mod(h + shift, 180)
+        return _hsv_to_rgb_u8(h, sat, v, z)
 
     # unrolled (vs lax.scan): the scan boundary blocks XLA from fusing the
     # elementwise chains between steps

@@ -420,70 +420,80 @@ void warp_affine_i32_nearest(const int32_t* src, int h, int w, int32_t* dst,
   }
 }
 
-// numpy astype(uint8) after clip TRUNCATES; cv2's u8 gray then rounds.
-inline uint8_t gray_u8(float r, float g, float b) {
-  const float v = 0.299f * static_cast<int>(r) + 0.587f * static_cast<int>(g)
-                + 0.114f * static_cast<int>(b);
-  return static_cast<uint8_t>(clampi(static_cast<int>(v + 0.5f), 0, 255));
+// The three color conversions in the jitter chain, as EXACT recipes
+// bit-equal to this cv2 build's cvtColor (exhaustively verified from the
+// Python side over every input; data/augment.py holds the same recipes,
+// which is what makes cross-backend jitter bit-exact — round 4).
+
+// cv2 RGB2GRAY on uint8: IPP's shift-15 fixed point with round-half-up.
+inline int gray_u8i(int r, int g, int b) {
+  return (r * 9798 + g * 19235 + b * 3735 + 16384) >> 15;
+}
+inline int gray_u8(float r, float g, float b) {  // float-held u8 values
+  return gray_u8i(static_cast<int>(r), static_cast<int>(g),
+                  static_cast<int>(b));
 }
 
-// Reciprocal LUTs kill the per-pixel divisions in the HSV round-trip.
+// cv2 RGB2HSV u8 div tables (hsv_shift = 12).
 struct HsvLuts {
-  float inv30[256];   // 30 / diff
-  float s255[256];    // 255 / v
+  int32_t sdiv[256];
+  int32_t hdiv[256];
   HsvLuts() {
-    inv30[0] = s255[0] = 0.0f;
+    sdiv[0] = hdiv[0] = 0;
     for (int i = 1; i < 256; ++i) {
-      inv30[i] = 30.0f / i;
-      s255[i] = 255.0f / i;
+      sdiv[i] = static_cast<int32_t>(std::lround((255 << 12) / (1.0 * i)));
+      hdiv[i] = static_cast<int32_t>(std::lround((180 << 12) / (6.0 * i)));
     }
   }
 };
 const HsvLuts kHsv;
 
-// cv2 uint8 HSV conventions (H in [0,180)).
-inline void rgb_to_hsv_u8(uint8_t r, uint8_t g, uint8_t b,
+// cv2 uint8 RGB2HSV (H in [0,180)): the integer div-table path.
+inline void rgb_to_hsv_u8(uint8_t r8, uint8_t g8, uint8_t b8,
                           uint8_t* hh, uint8_t* ss, uint8_t* vv) {
+  const int r = r8, g = g8, b = b8;
   const int v = r > g ? (r > b ? r : b) : (g > b ? g : b);
   const int mn = r < g ? (r < b ? r : b) : (g < b ? g : b);
   const int diff = v - mn;
   *vv = static_cast<uint8_t>(v);
-  *ss = static_cast<uint8_t>(
-      static_cast<int>(diff * kHsv.s255[v] + 0.5f));
-  const float inv30 = kHsv.inv30[diff];  // 0 when diff==0 -> hdeg2 terms 0
-  // branchless channel selection (ternaries compile to cmov/blend)
-  const float hdeg2 = (v == r) ? (g - b) * inv30
-                    : (v == g) ? 60.0f + (b - r) * inv30
-                               : 120.0f + (r - g) * inv30;
-  const float hpos = hdeg2 < 0 ? hdeg2 + 180.0f : hdeg2;
-  int hq = static_cast<int>(hpos + 0.5f);
-  hq = hq >= 180 ? hq - 180 : hq;
-  *hh = static_cast<uint8_t>(diff == 0 ? 0 : hq);
+  *ss = static_cast<uint8_t>((diff * kHsv.sdiv[v] + (1 << 11)) >> 12);
+  int h = (v == r) ? (g - b)
+        : (v == g) ? (b - r + 2 * diff)
+                   : (r - g + 4 * diff);
+  h = (h * kHsv.hdiv[diff] + (1 << 11)) >> 12;
+  h += h < 0 ? 180 : 0;
+  *hh = static_cast<uint8_t>(h);
 }
 
-// Branchless sector selection: vals = {v, p, q, t} indexed by per-sector
-// tables (a random hue sector mispredicts a switch on every pixel).
+// cv2-shaped uint8 HSV2RGB: float32 sector math, truncating output cast.
+// The 1 - s*f terms are plain TWO-ROUNDING f32 (mul, round, subtract —
+// the named temporaries plus -ffp-contract=off keep it that way): the
+// form numpy and the TPU compute natively, making the three backends
+// bit-identical; it deviates from this cv2 build's own (fma-contracted)
+// cvtColor on ~5e-5 of inputs by one level (data/augment.py:
+// hsv_to_rgb_u8 — same recipe; tests pin cross-backend equality).
+// Branchless sector selection: vals = {v,p,q,t} via per-sector tables.
 inline void hsv_to_rgb_u8(uint8_t hh, uint8_t ss, uint8_t vv,
                           uint8_t* r, uint8_t* g, uint8_t* b) {
   static const uint8_t RSEL[6] = {0, 2, 1, 1, 3, 0};
   static const uint8_t GSEL[6] = {3, 0, 0, 2, 1, 1};
   static const uint8_t BSEL[6] = {1, 1, 3, 0, 0, 2};
-  const float h = hh * (1.0f / 30.0f);  // sector in [0, 6)
-  const float s = ss * (1.0f / 255.0f), v = static_cast<float>(vv);
+  const float h = hh * (6.0f / 180.0f);  // sector position in [0, 6)
+  const float s = ss * (1.0f / 255.0f);
+  const float v = vv * (1.0f / 255.0f);
   int sector = static_cast<int>(h);
   const float f = h - sector;
   sector = sector >= 6 ? 0 : sector;
+  const float sf = s * f;
+  const float sg = s * (1.0f - f);
   float vals[4];
   vals[0] = v;
-  vals[1] = v * (1 - s);
-  vals[2] = v * (1 - s * f);
-  vals[3] = v * (1 - s * (1 - f));
-  *r = static_cast<uint8_t>(clampi(
-      static_cast<int>(vals[RSEL[sector]] + 0.5f), 0, 255));
-  *g = static_cast<uint8_t>(clampi(
-      static_cast<int>(vals[GSEL[sector]] + 0.5f), 0, 255));
-  *b = static_cast<uint8_t>(clampi(
-      static_cast<int>(vals[BSEL[sector]] + 0.5f), 0, 255));
+  vals[1] = v * (1.0f - s);
+  vals[2] = v * (1.0f - sf);
+  vals[3] = v * (1.0f - sg);
+  *r = static_cast<uint8_t>(vals[RSEL[sector]] * 255.0f);
+  *g = static_cast<uint8_t>(vals[GSEL[sector]] * 255.0f);
+  *b = static_cast<uint8_t>(vals[BSEL[sector]] * 255.0f);
 }
 
 // torchvision-style ColorJitter: factors applied in the drawn order, float
@@ -494,28 +504,43 @@ inline float clampf(float v) {  // plain ternaries vectorize (fmin/fmax's
 
 void color_jitter(float* x, int h, int w, const float order[4],
                   float fb, float fc, float fs, float fh) {
+  // BIT-EXACT vs data/augment.py:_apply_jitter: every op is the same
+  // single-rounded f32 op (the mul and add are SEPARATE statements — the
+  // oracle is numpy, which never contracts to fma; the named temporary
+  // keeps -ffp-contract from fusing them here) or exact integer math.
   const size_t n = static_cast<size_t>(h) * w;
   for (int oi = 0; oi < 4; ++oi) {
     const int kind = static_cast<int>(order[oi]);
     if (kind == 0) {  // brightness
       for (size_t i = 0; i < 3 * n; ++i) x[i] = clampf(x[i] * fb);
     } else if (kind == 1) {  // contrast: blend with mean gray
-      double acc = 0.0;
+      // exact integer-sum mean, split q + fl32(r/n) like the oracle
+      int64_t acc = 0;
       for (size_t i = 0; i < n; ++i)
         acc += gray_u8(x[3 * i], x[3 * i + 1], x[3 * i + 2]);
-      const float mean = static_cast<float>(acc / n);
-      const float add = mean * (1 - fc);
-      for (size_t i = 0; i < 3 * n; ++i) x[i] = clampf(x[i] * fc + add);
+      const int64_t q = acc / static_cast<int64_t>(n);
+      const int64_t rr = acc % static_cast<int64_t>(n);
+      const float frac = static_cast<float>(rr) / static_cast<float>(n);
+      const float mean = static_cast<float>(q) + frac;
+      const float add = mean * (1.0f - fc);
+      for (size_t i = 0; i < 3 * n; ++i) {
+        const float t = x[i] * fc;
+        x[i] = clampf(t + add);
+      }
     } else if (kind == 2) {  // saturation: blend with per-pixel gray
-      const float ks = 1 - fs;
+      const float ks = 1.0f - fs;
       for (size_t i = 0; i < n; ++i) {
         const float gy = gray_u8(x[3 * i], x[3 * i + 1], x[3 * i + 2]) * ks;
-        x[3 * i] = clampf(x[3 * i] * fs + gy);
-        x[3 * i + 1] = clampf(x[3 * i + 1] * fs + gy);
-        x[3 * i + 2] = clampf(x[3 * i + 2] * fs + gy);
+        const float t0 = x[3 * i] * fs;
+        const float t1 = x[3 * i + 1] * fs;
+        const float t2 = x[3 * i + 2] * fs;
+        x[3 * i] = clampf(t0 + gy);
+        x[3 * i + 1] = clampf(t1 + gy);
+        x[3 * i + 2] = clampf(t2 + gy);
       }
     } else {  // hue shift through u8 HSV round-trip (numpy cast truncates)
-      const int shift = static_cast<int>(std::lround(fh * 180.0f));
+      // rne like np.rint (lrintf under the default rounding mode)
+      const int shift = static_cast<int>(std::lrintf(fh * 180.0f));
       for (size_t i = 0; i < n; ++i) {
         uint8_t r = static_cast<uint8_t>(x[3 * i]);
         uint8_t g = static_cast<uint8_t>(x[3 * i + 1]);

@@ -50,28 +50,21 @@ def _grid(mask):
 
 
 def test_cv2_gray_exact_under_default_matmul_precision():
-    """_cv2_gray_u8 must stay on the exact fixed-point formula even when the
-    ambient matmul precision is DEFAULT (bf16 dots on TPU): conftest pins
-    'highest' globally, which would mask a regression to a dot-product
-    formulation whose coefficients (4899/9617) are not bf16-representable
-    (that regression flips ~20% of pixels; cv2 5.x's IPP rounding sits one
-    level off the formula on only ~0.3% — see _cv2_gray_u8)."""
+    """_cv2_gray_u8 must be BIT-EQUAL to this cv2 build's cvtColor (the
+    fx15 IPP recipe, round 4) — including when the ambient matmul
+    precision is DEFAULT (bf16 dots on TPU): conftest pins 'highest'
+    globally, which would mask a regression to a dot-product formulation
+    whose coefficients are not bf16-representable."""
     import cv2
     import jax
     import jax.numpy as jnp
     from dino_tpu.ops.device_augment import _cv2_gray_u8
 
     img = _rand_img(3)
-    x = img.astype(np.int64)
-    formula = ((x[..., 0] * 4899 + x[..., 1] * 9617 + x[..., 2] * 1868
-                + 8192) >> 14).astype(np.float32)
     with jax.default_matmul_precision("default"):
         got = np.asarray(jax.jit(_cv2_gray_u8)(jnp.asarray(img, jnp.float32)))
-    np.testing.assert_array_equal(got, formula)  # exact vs the formula
-    # and the formula is within one level of this cv2 build on >99% pixels
     want = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY).astype(np.float32)
-    assert np.abs(got - want).max() <= 1.0
-    assert (got == want).mean() > 0.99
+    np.testing.assert_array_equal(got, want)
 
 
 def test_contrast_mean_integer_exact():
@@ -136,16 +129,57 @@ def test_affine_close():
         assert agree >= 0.9, agree
 
 
-def test_jitter_close():
+def test_jitter_bit_exact():
+    """ColorJitter on device is BIT-EQUAL to the host oracle (round 4):
+    same exact f32/integer chain — fx15 gray, integer-split contrast mean,
+    hsv_shift=12 forward tables, Dekker-fma'd f32 HSV2RGB."""
     rng = np.random.default_rng(13)
     from dino_tpu.data.augment import _draw_jitter
-    for _ in range(6):
+    for trial in range(6):
         p = _null_params()
         p["jitter"] = _draw_jitter(rng)
         img, mask = _rand_img(4), _rand_mask(4)
         cv_img, _, d_img, _ = _run_both(p, img, mask)
-        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
-        assert mad < 2.5, (p["jitter"], mad)
+        np.testing.assert_array_equal(d_img, cv_img,
+                                      err_msg=str(p["jitter"]))
+
+
+def test_device_hsv_roundtrip_bit_equal_host_exhaustive():
+    """Device RGB2HSV (integer) and HSV2RGB (two-rounding f32) equal the
+    host recipes over every (h, s) at a v sweep — the hue op's entire
+    input structure (the conversions are elementwise in v), asserted by
+    enumeration rather than sampling."""
+    import jax
+    import jax.numpy as jnp
+    from dino_tpu.data.augment import hsv_to_rgb_u8, rgb_to_hsv_u8
+    from dino_tpu.ops.device_augment import (_hsv_to_rgb_u8, _opaque_zero,
+                                             _rgb_to_hsv_u8)
+
+    H, Su = np.meshgrid(np.arange(180), np.arange(256), indexing="ij")
+    for v_val in (0, 1, 37, 128, 254, 255):
+        h = H.reshape(-1).astype(np.int64)
+        s = Su.reshape(-1).astype(np.int64)
+        v = np.full_like(h, v_val)
+        want = hsv_to_rgb_u8(h, s, v)
+
+        def run(hh, ss, vv, zsrc):
+            return _hsv_to_rgb_u8(hh, ss, vv, _opaque_zero(zsrc))
+        got = np.asarray(jax.jit(run)(
+            jnp.asarray(h, jnp.int32), jnp.asarray(s, jnp.int32),
+            jnp.asarray(v, jnp.int32),
+            jnp.asarray(np.array([0.5], np.float32)))).astype(np.uint8)
+        np.testing.assert_array_equal(got.reshape(want.shape), want,
+                                      err_msg=f"v={v_val}")
+
+    # forward: all RGB with b swept (integer path, sampled sweep)
+    rs = np.random.RandomState(3)
+    rgb = rs.randint(0, 256, (200000, 3)).astype(np.uint8)
+    h_w, s_w, v_w = rgb_to_hsv_u8(rgb)
+    hd, sd, vd = jax.jit(_rgb_to_hsv_u8)(
+        jnp.asarray(rgb.reshape(-1, 1, 3), jnp.float32))
+    np.testing.assert_array_equal(np.asarray(hd).reshape(-1), h_w)
+    np.testing.assert_array_equal(np.asarray(sd).reshape(-1), s_w)
+    np.testing.assert_array_equal(np.asarray(vd).reshape(-1), v_w)
 
 
 def test_blur_close():

@@ -7,14 +7,16 @@ data/augment.py and docs/SCALING.md):
   * resize / crop / flip: BIT-EXACT — the C++ resize replicates cv2's
     INTER_LINEAR 8U fixed-point arithmetic (native/dtloader.cpp:
     resize_bilinear_u8_cv2)
+  * color jitter: BIT-EXACT (round 4) — both backends run the same exact
+    f32/integer chain (fx15 gray, hsv_shift=12 tables, fused-f32 HSV2RGB)
+  * GaussianBlur: BIT-EXACT for k <= 9 (cv2's hardcoded/fixed-point taps),
+    off-by-<=1 beyond (float taps)
   * warpAffine: off-by-one on <0.1% of pixels (cv2's fixed-point remap
     tables vs float sampling), masks >99.8% agreement
-  * color jitter / GaussianBlur: tolerance-matched (cv2's internal
-    fixed-point filters), image MAD < 2.5 levels
 
 Consequence: a training stream is bit-deterministic PER BACKEND; the two
-backends produce identical streams whenever only resize/crop/flip fire and
-near-identical (sub-quantization-level) streams otherwise.
+backends produce identical streams whenever no warp and no k >= 11 blur
+fires (jitter joined the bit-exact set in round 4).
 """
 import os
 
@@ -94,14 +96,24 @@ def test_forced_ops_match_oracle(sample):
                                           pack_params(p)[None])
         pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
         np.testing.assert_array_equal(nat[0][0], pi, err_msg=f"blur {k}")
+    # color jitter: BIT-EXACT (round 4) — every factor combination and
+    # order, including hue through the u8 HSV round-trip
+    jitter_cases = [
+        {**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
+        {**base, "jitter": (np.array([1, 2, 0, 3]), (0.6, 1.15, 0.85, 0.1))},
+        {**base, "jitter": (np.array([0, 1, 2, 3]), (1.5, 0.8, 1.2, 0.2))},
+        {**base, "jitter": (np.array([2, 3, 1, 0]), (0.5, 1.2, 0.8, -0.15))},
+    ]
+    for p in jitter_cases:
+        native = native_loader.augment_batch([path], [mask], 480,
+                                             pack_params(p)[None])
+        pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
+        np.testing.assert_array_equal(native[0][0], pi,
+                                      err_msg=str(p["jitter"]))
     cases = [
         ({**base, "blur": 41}, 0.2),   # k >= 11: float taps, off-by-<=1
         ({**base, "blur": 13}, 0.2),
         (affine, 0.01),      # off-by-one on <1% of pixels
-        ({**base, "jitter": (np.array([3, 0, 1, 2]), (1.0, 1.0, 1.0, -0.2))},
-         2.5),
-        ({**base, "jitter": (np.array([1, 2, 0, 3]), (0.6, 1.15, 0.85, 0.1))},
-         2.5),
     ]
     for p, tol in cases:
         native = native_loader.augment_batch([path], [mask], 480,
