@@ -53,13 +53,27 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
     import numpy as np
     if path.endswith((".shlo", ".stablehlo")):
         from dino_tpu.serving import load_exported_predict
+        t0 = time.perf_counter()
         served = load_exported_predict(path)
+        t_load = time.perf_counter() - t0
         # the deserialized program knows its true input shape even when the
         # .json sidecar is missing — fall back to its avals so a batch-N or
         # differently-shaped artifact still serves
         want = (served.contract["input"]["shape"] if served.contract
                 else list(served.exported.in_avals[0].shape))
         art_batch = want[0]
+        # cold start measured AT startup with a warmup inference: the
+        # robot-deployment number (power-on -> first label map), and the
+        # first real request then hits a warm program
+        t1 = time.perf_counter()
+        np.asarray(served(np.zeros(want, np.uint8)))
+        t_first = time.perf_counter() - t1
+        cold = {"artifact_load_s": round(t_load, 3),
+                "first_infer_s": round(t_first, 3),
+                "total_cold_start_s": round(t_load + t_first, 3)}
+        print(f"dt-serve: artifact cold start {cold['total_cold_start_s']}s "
+              f"(load {cold['artifact_load_s']}s + first inference "
+              f"{cold['first_infer_s']}s)")
         if art_batch > 1:
             print(f"dt-serve: artifact is batch-{art_batch}; single frames "
                   "will be tiled to fill the batch (export with "
@@ -84,7 +98,7 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
             return out
 
         info = {"backend": "artifact", "artifact": path,
-                "contract": served.contract}
+                "contract": served.contract, "cold_start": cold}
         return (lambda img: predict_many([img])[0]), predict_many, info
     from dino_tpu import DINOSeg
     model = DINOSeg.load_from_checkpoint(path)

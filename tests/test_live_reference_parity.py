@@ -51,10 +51,37 @@ def test_full_scale_tokens_match(ref_model, our_params, res):
     np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-4)
 
 
+def test_full_scale_tokens_match_960_golden(our_params):
+    """The 960px leg (N = 14,401 tokens, full ViT-S/8 scale) against the
+    CACHED torch oracle (tests/goldens/live960.npz, tools/gen_goldens.py
+    --960): 1024 sampled token rows at fp32 tolerance plus the FULL
+    120x120 argmax label map bit-identical — the BASELINE criterion — in
+    the default suite, without the ~15 min live-torch forward.  The
+    live-oracle variant below stays behind DINO_TPU_SLOW=1."""
+    from dino_tpu.models.vit import ViTConfig, vit_forward
+    path = os.path.join(os.path.dirname(__file__), "goldens", "live960.npz")
+    if not os.path.exists(path):
+        pytest.skip("live960.npz golden not generated")
+    with np.load(path) as z:
+        g = {k: z[k] for k in z.files}
+    cfg = ViTConfig(patch_size=8)
+    rs = np.random.RandomState(960)
+    x = rs.randn(1, 3, 960, 960).astype(np.float32)
+    ours = np.asarray(vit_forward(our_params, x.transpose(0, 2, 3, 1), cfg))
+    np.testing.assert_allclose(ours[0, g["token_idx"]], g["token_rows"],
+                               atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(ours[0, 0], g["cls"], atol=1e-3, rtol=1e-4)
+    our_map = _head_argmax_ours(ours[:, 1:]).astype(np.int8)
+    mismatch = int((our_map != g["argmax_map"]).sum())
+    assert mismatch == 0, f"{mismatch}/{120 * 120} patches differ"
+
+
 @pytest.mark.slow
 @pytest.mark.skipif(os.environ.get("DINO_TPU_SLOW") != "1",
                     reason="960px live-torch leg: ~15 min + ~10 GB on the "
-                           "1-core host; set DINO_TPU_SLOW=1 to run")
+                           "1-core host; set DINO_TPU_SLOW=1 to run "
+                           "(the golden-file variant above covers 960px "
+                           "in the default suite)")
 def test_full_scale_tokens_match_960(ref_model, our_params):
     """The BASELINE 960px leg (N = 14,401 tokens) at full ViT-S/8 scale:
     token outputs and per-patch argmax maps vs the live torch reference.

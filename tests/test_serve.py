@@ -1,5 +1,6 @@
 """dt-serve HTTP daemon: predict over the wire matches in-process predict."""
 import io
+import json
 import threading
 import urllib.error
 import urllib.request
@@ -98,6 +99,15 @@ def test_serve_artifact(model, tmp_path):
                                                 np.uint8)
         body2, _ = _post(f"http://127.0.0.1:{port}/predict", img2)
         assert np.load(io.BytesIO(body2)).shape == (480, 480)
+        # cold-start telemetry: artifact load + first-inference time is
+        # measured at startup and published on /healthz (round 4)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        cold = health["cold_start"]
+        assert set(cold) == {"artifact_load_s", "first_infer_s",
+                             "total_cold_start_s"}
+        assert cold["total_cold_start_s"] > 0
     finally:
         server.shutdown()
 
