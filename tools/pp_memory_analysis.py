@@ -53,19 +53,33 @@ def compile_scaling():
     rest = {k: v for k, v in vit_p.items() if k != "blocks"}
     opt = make_optimizer("adam", 1e-3)
     opt_state = init_pp_train_state(opt, stages, rest, head_p)
+    chunks = jax.device_put(stack_block_chunks(vit_p["blocks"], n_stages, 2),
+                            NamedSharding(mesh, P(None, "stage")))
+    il_opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
     for n_mb in (8, 32):
         b = 2 * n_mb
         rs = np.random.RandomState(0)
         images = rs.randint(0, 255, (b, res, res, 3)).astype(np.uint8)
         labels = rs.randint(0, n_classes, (b, n_pat)).astype(np.int32)
         args = (stages, rest, head_p, opt_state, images, labels)
-        for name, scan in (("unrolled", False), ("scan", True)):
-            step = make_pp_1f1b_train_step(cfg, "mlp", n_classes, opt, mesh,
-                                           n_microbatches=n_mb,
-                                           use_flash=False, scan=scan)
+        il_args = (chunks, rest, head_p, il_opt_state, images, labels)
+        for name, scan, mk, a in (
+            ("unrolled", False, "contig", args),
+            ("scan", True, "contig", args),
+            ("il_unrolled", False, "il", il_args),
+            ("il_scan", True, "il", il_args),
+        ):
+            if mk == "contig":
+                step = make_pp_1f1b_train_step(
+                    cfg, "mlp", n_classes, opt, mesh, n_microbatches=n_mb,
+                    use_flash=False, scan=scan)
+            else:
+                step = make_pp_interleaved_1f1b_train_step(
+                    cfg, "mlp", n_classes, opt, mesh, n_chunks=2,
+                    n_microbatches=n_mb, use_flash=False, scan=scan)
             t0 = time.perf_counter()
             lowered = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
-                              else step).lower(*args)
+                              else step).lower(*a)
             t1 = time.perf_counter()
             hlo_kb = len(lowered.as_text()) // 1024
             lowered.compile()
