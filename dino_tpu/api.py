@@ -776,7 +776,11 @@ class DINOSeg:
             parallelism: Optional[str] = None,
             accum_steps: int = 1, zero: bool = False, fsdp: bool = False,
             early_stopping: bool = False,
-            augment_backend: str = "auto") -> Dict[str, float]:
+            augment_backend: str = "auto",
+            pp_schedule: str = "1f1b",
+            pp_microbatches: Optional[int] = None,
+            pp_chunks: int = 2,
+            pp_stages: Optional[int] = None) -> Dict[str, float]:
         """Train; with ``resume=True`` an interrupted run continues from the
         last finished epoch (params + optimizer state + counters restored).
 
@@ -817,6 +821,29 @@ class DINOSeg:
         curves are the same.  Default (None) keeps the automatic DP batch
         sharding.
 
+        ``parallelism='pp'`` trains THROUGH a pipeline: the backbone
+        blocks partition over every visible chip and microbatches flow
+        stage-to-stage under a production 1F1B schedule
+        (``pp_schedule='1f1b'`` contiguous stages, or
+        ``'interleaved_1f1b'`` with ``pp_chunks=V`` virtual chunks per
+        device — Megatron's placement; parallel/pipeline.py) — the
+        multi-chip mode for DEEP backbones, where one chip should hold
+        only 1/S of the blocks' weights and Adam moments.
+        ``pp_microbatches`` sets M (default: batch_size, i.e. one sample
+        per microbatch); the scan-rolled tick table keeps compile time
+        O(1) in M.  Requires the ViT backbone, freeze_backbone=False, an
+        mlp/linear head, depth divisible by the stage count (x V), batch
+        divisible by M, and samples_per_epoch divisible by batch_size
+        (the pipelined loss has no ragged-tail mask).  Per-epoch train
+        metrics report the loss only (the pipelined step does not
+        assemble a train confusion matrix; val/test metrics — what
+        checkpoint selection uses — are computed by the replicated eval
+        exactly as always).  Gradients match the replicated step to
+        reduction order (tests/test_pipeline.py), so training curves are
+        the same.  ``pp_stages`` caps the stage mesh to the first N
+        devices (default: all).  Single-host (multi-host pipelines build
+        on make_pp_*_train_step directly).
+
         ``accum_steps=K`` splits each batch into K microbatches inside the
         jitted step (one optimizer update on the exactly-accumulated
         gradient — sum/weight bookkeeping makes the masked-mean semantics
@@ -853,8 +880,43 @@ class DINOSeg:
         it) and with ``parallelism='sp'`` (whose own ``zero`` shards over
         the token axis).
         """
-        if parallelism not in (None, "sp"):
+        if parallelism not in (None, "sp", "pp"):
             raise ValueError(f"unsupported train parallelism {parallelism!r}")
+        if parallelism == "pp":
+            if pp_schedule not in ("1f1b", "interleaved_1f1b"):
+                raise ValueError(f"pp_schedule must be '1f1b' or "
+                                 f"'interleaved_1f1b', got {pp_schedule!r}")
+            if self.backbone != "vit":
+                raise ValueError("parallelism='pp' requires the ViT backbone")
+            if self.freeze_backbone:
+                raise ValueError("parallelism='pp' pipelines the UNFROZEN "
+                                 "backbone; frozen training has no backbone "
+                                 "weights to shard (use the feature cache)")
+            if self.head not in ("mlp", "linear"):
+                raise ValueError("parallelism='pp' supports the mlp/linear "
+                                 "heads")
+            if zero or fsdp:
+                raise ValueError("parallelism='pp' already shards the block "
+                                 "weights AND their Adam moments per stage; "
+                                 "drop zero/fsdp")
+            if accum_steps > 1:
+                raise ValueError("parallelism='pp' accumulates via "
+                                 "pp_microbatches (the schedule's native "
+                                 "form); drop accum_steps")
+            if jax.process_count() > 1:
+                raise ValueError("fit(parallelism='pp') is single-host; "
+                                 "multi-host pipelines build on "
+                                 "make_pp_*_train_step directly")
+            m = pp_microbatches or self.batch_size
+            if self.batch_size % m:
+                raise ValueError(f"batch_size {self.batch_size} must divide "
+                                 f"by pp_microbatches {m}")
+            if samples_per_epoch % self.batch_size:
+                raise ValueError(
+                    f"parallelism='pp' needs samples_per_epoch "
+                    f"({samples_per_epoch}) divisible by batch_size "
+                    f"({self.batch_size}): the pipelined loss has no "
+                    f"ragged-tail mask")
         if fsdp:
             if zero:
                 raise ValueError("fsdp=True already shards the optimizer "
@@ -894,6 +956,9 @@ class DINOSeg:
         os.makedirs(self.write_path, exist_ok=True)
         ck_path = os.path.join(self.write_path, ck_file_name + ".ckpt.npz")
 
+        pp_kwargs = dict(pp_schedule=pp_schedule,
+                         pp_microbatches=pp_microbatches,
+                         pp_chunks=pp_chunks, pp_stages=pp_stages)
         if self.pretrain_on_sim:
             print("Pretraining on simulation data...")
             self._fit_phase(self.train_path_sim, self.val_path, ck_path,
@@ -901,7 +966,7 @@ class DINOSeg:
                             cache_features=cache_features,
                             parallelism=parallelism,
                             accum_steps=accum_steps, zero=zero, fsdp=fsdp,
-                            augment_backend=augment_backend)
+                            augment_backend=augment_backend, **pp_kwargs)
 
         self._fit_phase(self.train_path, self.val_path, ck_path,
                         samples_per_epoch, seed, log=True, resume=resume,
@@ -909,7 +974,7 @@ class DINOSeg:
                         parallelism=parallelism,
                         accum_steps=accum_steps, zero=zero, fsdp=fsdp,
                         early_stopping=early_stopping,
-                        augment_backend=augment_backend)
+                        augment_backend=augment_backend, **pp_kwargs)
 
         # Reload the best checkpoint and test (reference trainer.test :425)
         best = DINOSeg.load_from_checkpoint(ck_path)
@@ -939,7 +1004,11 @@ class DINOSeg:
                    accum_steps: int = 1, zero: bool = False,
                    fsdp: bool = False,
                    early_stopping: bool = False,
-                   augment_backend: str = "auto") -> None:
+                   augment_backend: str = "auto",
+                   pp_schedule: str = "1f1b",
+                   pp_microbatches: Optional[int] = None,
+                   pp_chunks: int = 2,
+                   pp_stages: Optional[int] = None) -> None:
         train_ds = DuckieSegDataset(train_path, augmented=self.augmented,
                                     resolution=self.train_resolution,
                                     backend=augment_backend)
@@ -977,9 +1046,53 @@ class DINOSeg:
         sp_mesh = None
         zero_mesh = None
         fsdp_mesh = None
+        pp_state = None
         sp_zero = (parallelism == "sp" and bool(zero)
                    and jax.device_count() > 1)
-        if parallelism == "sp":
+        if parallelism == "pp":
+            # pipeline parallelism: blocks partition over a stage mesh of
+            # every visible device; block weights AND their Adam moments
+            # live 1/S per device throughout the fit.  The epoch loop
+            # below steps the STACKED layout and re-materializes the
+            # standard vit_params at each epoch end for eval/save/resume.
+            from jax.sharding import (Mesh as _Mesh, NamedSharding,
+                                      PartitionSpec as _P)
+            from dino_tpu.parallel.pipeline import (
+                init_pp_interleaved_train_state, init_pp_train_state,
+                make_pp_1f1b_train_step,
+                make_pp_interleaved_1f1b_train_step, stack_block_chunks,
+                stack_block_stages)
+            n_stages = pp_stages or jax.device_count()
+            pp_mesh = _Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+            n_mb = pp_microbatches or self.batch_size
+            rest = {k: v for k, v in self.vit_params.items()
+                    if k != "blocks"}
+            if pp_schedule == "interleaved_1f1b":
+                stacked = jax.device_put(
+                    stack_block_chunks(self.vit_params["blocks"], n_stages,
+                                       pp_chunks),
+                    NamedSharding(pp_mesh, _P(None, "stage")))
+                train_step = make_pp_interleaved_1f1b_train_step(
+                    self.cfg, self.head, self.n_classes, optimizer,
+                    pp_mesh, n_chunks=pp_chunks, n_microbatches=n_mb,
+                    scan=True, compute_dtype=self.compute_dtype,
+                    donate=True)
+                opt_state = init_pp_interleaved_train_state(
+                    optimizer, stacked, rest, self.head_params)
+            else:
+                stacked = jax.device_put(
+                    stack_block_stages(self.vit_params["blocks"], n_stages),
+                    NamedSharding(pp_mesh, _P("stage")))
+                train_step = make_pp_1f1b_train_step(
+                    self.cfg, self.head, self.n_classes, optimizer,
+                    pp_mesh, n_microbatches=n_mb, scan=True,
+                    compute_dtype=self.compute_dtype, donate=True)
+                opt_state = init_pp_train_state(optimizer, stacked, rest,
+                                                self.head_params)
+            pp_state = {"stacked": stacked, "rest": rest,
+                        "schedule": pp_schedule, "n_stages": n_stages,
+                        "chunks": pp_chunks}
+        elif parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
             # below is unchanged; the batch stays replicated (the token
@@ -1039,8 +1152,10 @@ class DINOSeg:
                                    compute_dtype=self.compute_dtype,
                                    backbone=self.backbone,
                                    **self._head_kwargs)
-        opt_state = init_opt_state(optimizer, self.vit_params,
-                                   self.head_params, self.freeze_backbone)
+        if pp_state is None:  # pp initialized its stage-sharded state above
+            opt_state = init_opt_state(optimizer, self.vit_params,
+                                       self.head_params,
+                                       self.freeze_backbone)
 
         # Data parallelism: shard the batch over all devices when it divides
         # evenly (single-chip degenerates to no-op).  Multi-host: the mesh
@@ -1048,7 +1163,7 @@ class DINOSeg:
         # each global batch (put_global below), so IO and compute both
         # divide by the host count.
         batch_sharding = None
-        if (parallelism != "sp" and jax.device_count() > 1
+        if (parallelism not in ("sp", "pp") and jax.device_count() > 1
                 and self.batch_size % jax.device_count() == 0):
             from dino_tpu.parallel.mesh import data_sharding
             batch_sharding = data_sharding()
@@ -1106,6 +1221,27 @@ class DINOSeg:
             start_epoch = int(run_vars["epoch"]) + 1
             best_acc = float(run_vars["best_acc"])
             since_improve = int(run_vars["since_improve"])
+            if pp_state is not None:
+                # rebuild the stage-sharded stacked layout from the
+                # restored standard params (the moments were saved in the
+                # PP layout and restored structurally above)
+                from jax.sharding import (NamedSharding, PartitionSpec
+                                          as _P)
+                from dino_tpu.parallel.pipeline import (stack_block_chunks,
+                                                        stack_block_stages)
+                pp_state["rest"] = {k: v for k, v in self.vit_params.items()
+                                    if k != "blocks"}
+                if pp_state["schedule"] == "interleaved_1f1b":
+                    pp_state["stacked"] = jax.device_put(
+                        stack_block_chunks(self.vit_params["blocks"],
+                                           pp_state["n_stages"],
+                                           pp_state["chunks"]),
+                        NamedSharding(pp_mesh, _P(None, "stage")))
+                else:
+                    pp_state["stacked"] = jax.device_put(
+                        stack_block_stages(self.vit_params["blocks"],
+                                           pp_state["n_stages"]),
+                        NamedSharding(pp_mesh, _P("stage")))
             if n_proc > 1:  # torn read / stale NFS cache => fail fast
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts("resume epoch/best_acc",
@@ -1176,6 +1312,38 @@ class DINOSeg:
                                            jnp.asarray(mask))
                     losses.append(loss)
                     cms.append(cm)
+            elif pp_state is not None:
+                # pipelined epoch: the batch is replicated into the SPMD
+                # program and microbatches flow stage-to-stage; block
+                # weights + moments stay stage-sharded across steps.  No
+                # ragged tails by the fit() divisibility contract.
+                for xb, yb in batched_loader(train_ds, idx, self.batch_size,
+                                             rng=rng):
+                    (pp_state["stacked"], pp_state["rest"],
+                     self.head_params, opt_state, loss) = train_step(
+                        pp_state["stacked"], pp_state["rest"],
+                        self.head_params, opt_state, jnp.asarray(xb),
+                        jnp.asarray(yb))
+                    losses.append(loss)
+                # standard layout for eval/save/resume: pull the stage
+                # slabs host-side and unstack into the block list
+                stacked_np = jax.tree.map(np.asarray, pp_state["stacked"])
+                n_st = pp_state["n_stages"]
+                if pp_state["schedule"] == "interleaved_1f1b":
+                    per = (len(self.vit_params["blocks"])
+                           // (n_st * pp_state["chunks"]))
+                    blocks = [
+                        jax.tree.map(lambda t: jnp.asarray(t[v, s, i]),
+                                     stacked_np)
+                        for v in range(pp_state["chunks"])
+                        for s in range(n_st) for i in range(per)]
+                else:
+                    per = len(self.vit_params["blocks"]) // n_st
+                    blocks = [
+                        jax.tree.map(lambda t: jnp.asarray(t[s, i]),
+                                     stacked_np)
+                        for s in range(n_st) for i in range(per)]
+                self.vit_params = dict(pp_state["rest"], blocks=blocks)
             elif multi_host:
                 # every process iterates the SAME global batch windows
                 # (identical shuffle rng) but loads/feeds only its own slab;

@@ -23,8 +23,14 @@ def frames():
 def test_predict_batch_matches_single(model, frames):
     batch = model.predict_batch(frames[:4])
     assert batch.shape == (4, 480, 480)
+    # public contract: int maps — even though the label maps ride the
+    # device->host wire as uint8 (4x less D2H, api.py wire_u8) the caller
+    # always sees int32, and values are untouched by the round-trip
+    assert batch.dtype == np.int32
     for i in range(4):
-        np.testing.assert_array_equal(batch[i], model.predict(frames[i]))
+        single = model.predict(frames[i])
+        assert single.dtype == np.int32
+        np.testing.assert_array_equal(batch[i], single)
 
 
 def test_predict_stream_order_and_ragged(model, frames):

@@ -145,6 +145,84 @@ def test_fit_sp_parallelism_matches_plain(voc_root, tmp_path):
         mdl.fit(parallelism="sp")
 
 
+@pytest.mark.parametrize("schedule,stages,chunks",
+                         [("1f1b", 4, 2), ("interleaved_1f1b", 2, 2)])
+def test_fit_pp_parallelism_matches_plain(voc_root, tmp_path, schedule,
+                                          stages, chunks):
+    """fit(parallelism='pp'): unfrozen training through the production
+    1F1B pipeline schedules (contiguous and interleaved placements), block
+    weights + moments stage-sharded across the fit — reproduces the plain
+    fit's loss and test metrics (round 4: PP reachable through the public
+    API like SP/FSDP, not only via make_pp_*_train_step)."""
+    depth = 4
+
+    def run(parallelism, tag):
+        model = DINOSeg(data_path=voc_root,
+                        write_path=str(tmp_path / f"pp_{tag}"),
+                        head="mlp", n_blocks=depth, n_classes=N_CLASSES,
+                        batch_size=4, lr=1e-3, optimizer="adam",
+                        freeze_backbone=False, max_epochs=1,
+                        random_init=True, augmented=False,
+                        train_resolution=RES, seed=0, precision="fp32")
+        captured = {}
+        orig = model._log
+        model._log = lambda m, step: (captured.update(m), orig(m, step))[1]
+        metrics = model.fit(ck_file_name=f"pp_{tag}", samples_per_epoch=8,
+                            parallelism=parallelism, pp_schedule=schedule,
+                            pp_microbatches=2, pp_chunks=chunks,
+                            pp_stages=stages, cache_features=False)
+        return model, captured, metrics
+
+    m_pp_model, cap_pp, m_pp = run("pp", f"pipe_{schedule}")
+    m_pl_model, cap_plain, m_plain = run(None, f"plain_{schedule}")
+    np.testing.assert_allclose(cap_pp["train_loss"], cap_plain["train_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(m_pp["test_acc"], m_plain["test_acc"],
+                               atol=1e-6)
+    # the unstacked end-of-fit backbone equals the plain fit's
+    for a, b in zip(jax.tree.leaves(m_pp_model.vit_params),
+                    jax.tree.leaves(m_pl_model.vit_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+    mdl = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "gpp"),
+                  head="mlp", n_blocks=depth, n_classes=N_CLASSES,
+                  random_init=True, freeze_backbone=True, seed=0)
+    with pytest.raises(ValueError, match="UNFROZEN"):
+        mdl.fit(parallelism="pp")
+    mdl2 = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "gpp2"),
+                   head="mlp", n_blocks=depth, n_classes=N_CLASSES,
+                   random_init=True, freeze_backbone=False, batch_size=4,
+                   seed=0)
+    with pytest.raises(ValueError, match="ragged-tail"):
+        mdl2.fit(parallelism="pp", samples_per_epoch=10)
+
+
+def test_fit_pp_resume(voc_root, tmp_path):
+    """fit(parallelism='pp', resume=True): the epoch-end save carries the
+    PP-layout optimizer moments and the standard-layout params; the
+    resumed run restacks the stage-sharded state and matches the
+    uninterrupted 2-epoch run."""
+    kw = dict(data_path=voc_root, write_path=str(tmp_path / "ppr"),
+              head="mlp", n_blocks=4, n_classes=N_CLASSES, batch_size=4,
+              lr=1e-3, optimizer="adam", freeze_backbone=False,
+              random_init=True, augmented=False, train_resolution=RES,
+              seed=0, precision="fp32")
+    pp = dict(parallelism="pp", pp_microbatches=2, pp_stages=4,
+              cache_features=False, samples_per_epoch=8,
+              ck_file_name="ppr")
+    DINOSeg(max_epochs=1, **kw).fit(resume=True, **pp)
+    m_res = DINOSeg(max_epochs=2, **kw)
+    m_res.fit(resume=True, **pp)
+    kw2 = dict(kw, write_path=str(tmp_path / "ppu"))
+    m_unint = DINOSeg(max_epochs=2, **kw2)
+    m_unint.fit(resume=False, **dict(pp, ck_file_name="ppu"))
+    for a, b in zip(jax.tree.leaves(m_res.vit_params),
+                    jax.tree.leaves(m_unint.vit_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
 def test_ragged_tail_batch_trains_every_sample(voc_root, tmp_path):
     """samples_per_epoch % batch_size != 0: the padded tail batch still trains
     and its real samples land in the train CM (reference keeps partial
