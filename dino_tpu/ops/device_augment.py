@@ -142,29 +142,27 @@ def _crop_resize(img, p):
     return _round_u8(out)
 
 
-def _hsv_tables():
-    """cv2's hsv_shift=12 div tables (exact integers; see
-    data/augment.py:SDIV_TABLE — same recipe, exhaustively cv2-verified)."""
-    idx = np.arange(256)
-    idx[0] = 1
-    sdiv = np.round((255 << 12) / idx.astype(np.float64)).astype(np.int32)
-    hdiv = np.round((180 << 12) / (6.0 * idx)).astype(np.int32)
-    sdiv[0] = hdiv[0] = 0
-    return sdiv, hdiv
-
-
 def _rgb_to_hsv_u8(x_u8f):
     """cv2 RGB2HSV u8 integer path on float-held u8 values (S,S,3) ->
-    (h, s, v) int32 arrays.  All products fit int32 (diff*sdiv <= 2^28)."""
-    sdiv, hdiv = _hsv_tables()
+    (h, s, v) int32 arrays.  The div tables are computed ARITHMETICALLY
+    per pixel — sdiv[v] = round((255<<12)/v) == (2*1044480 + v)//(2*v),
+    verified equal to the float64 tables for every v (round-half-up
+    never lands on the half-even tie for these numerators) — because a
+    per-pixel 256-entry ``jnp.take`` is a real gather on TPU and gathers
+    are the one op TPUs run poorly (measured ~170x on this op).  All
+    products fit int32 (diff*sdiv <= 2^28)."""
     xi = x_u8f.astype(jnp.int32)
     r, g, b = xi[..., 0], xi[..., 1], xi[..., 2]
     v = jnp.max(xi, axis=-1)
     diff = v - jnp.min(xi, axis=-1)
-    s = (diff * jnp.take(jnp.asarray(sdiv), v) + (1 << 11)) >> 12
+    vs = jnp.maximum(v, 1)
+    sdiv = jnp.where(v == 0, 0, (2 * 1044480 + vs) // (2 * vs))
+    s = (diff * sdiv + (1 << 11)) >> 12
+    ds = jnp.maximum(diff, 1)
+    hdiv = jnp.where(diff == 0, 0, (2 * 122880 + ds) // (2 * ds))
     h = jnp.where(v == r, g - b,
                   jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
-    h = (h * jnp.take(jnp.asarray(hdiv), diff) + (1 << 11)) >> 12
+    h = (h * hdiv + (1 << 11)) >> 12
     return jnp.where(h < 0, h + 180, h), s, v
 
 
@@ -203,15 +201,16 @@ def _hsv_to_rgb_u8(h, s, v, z):
     f = hf - sector.astype(ft)
     sector = sector % 6
     one = ft(1.0)
-    tabs = jnp.stack([vf, vf * (one - sf),
-                      vf * (one - _rounded(sf * f, z)),
-                      vf * (one - _rounded(sf * (one - f), z))], axis=-1)
-    rsel = jnp.asarray(np.array([0, 2, 1, 1, 3, 0], np.int32))
-    gsel = jnp.asarray(np.array([3, 0, 0, 2, 1, 1], np.int32))
-    bsel = jnp.asarray(np.array([1, 1, 3, 0, 0, 2], np.int32))
+    tabs = [vf, vf * (one - sf),
+            vf * (one - _rounded(sf * f, z)),
+            vf * (one - _rounded(sf * (one - f), z))]
+    rsel = [0, 2, 1, 1, 3, 0]
+    gsel = [3, 0, 0, 2, 1, 1]
+    bsel = [1, 1, 3, 0, 0, 2]
+    # branch by SELECTS, not gathers: six compare-masks per channel are
+    # pure VPU work where a per-pixel take_along_axis is a TPU gather
     out = jnp.stack([
-        jnp.take_along_axis(tabs, jnp.take(sel, sector)[..., None],
-                            axis=-1)[..., 0]
+        sum(jnp.where(sector == k, tabs[sel[k]], ft(0.0)) for k in range(6))
         for sel in (rsel, gsel, bsel)], axis=-1) * ft(255.0)
     return jnp.floor(out)
 
