@@ -73,6 +73,40 @@ _HPARAM_KEYS = ("data_path", "write_path", "class_names", "head", "n_blocks",
                 "moe_capacity")
 
 
+def _pp_restack(pp_state: Dict[str, Any], vit_params: Dict[str, Any]) -> None:
+    """Build fit('pp')'s stage-sharded {stacked, rest} layout from
+    standard-layout params (at setup AND after a resume restore — the one
+    place the chunk/stage packing is spelled out in this module)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.parallel.pipeline import (stack_block_chunks,
+                                            stack_block_stages)
+    pp_state["rest"] = {k: v for k, v in vit_params.items() if k != "blocks"}
+    if pp_state["schedule"] == "interleaved_1f1b":
+        pp_state["stacked"] = jax.device_put(
+            stack_block_chunks(vit_params["blocks"], pp_state["n_stages"],
+                               pp_state["chunks"]),
+            NamedSharding(pp_state["mesh"], P(None, "stage")))
+    else:
+        pp_state["stacked"] = jax.device_put(
+            stack_block_stages(vit_params["blocks"], pp_state["n_stages"]),
+            NamedSharding(pp_state["mesh"], P("stage")))
+
+
+def _pp_unstack(pp_state: Dict[str, Any]) -> Dict[str, Any]:
+    """Inverse of :func:`_pp_restack`: standard-layout vit params from the
+    stage-sharded stacked state (host-side copy, replicated on re-upload)."""
+    from dino_tpu.parallel.pipeline import (unstack_block_chunks,
+                                            unstack_block_stages)
+    stacked_np = jax.tree.map(np.asarray, pp_state["stacked"])
+    if pp_state["schedule"] == "interleaved_1f1b":
+        blocks = unstack_block_chunks(stacked_np, pp_state["n_stages"],
+                                      pp_state["chunks"])
+    else:
+        blocks = unstack_block_stages(stacked_np, pp_state["n_stages"])
+    blocks = [jax.tree.map(jnp.asarray, b) for b in blocks]
+    return dict(pp_state["rest"], blocks=blocks)
+
+
 class DINOSeg:
     """DINO backbone + per-patch segmentation head."""
 
@@ -907,6 +941,10 @@ class DINOSeg:
                 raise ValueError("fit(parallelism='pp') is single-host; "
                                  "multi-host pipelines build on "
                                  "make_pp_*_train_step directly")
+            if pp_stages is not None and pp_stages > jax.device_count():
+                raise ValueError(
+                    f"pp_stages ({pp_stages}) exceeds the device count "
+                    f"({jax.device_count()})")
             m = pp_microbatches or self.batch_size
             if self.batch_size % m:
                 raise ValueError(f"batch_size {self.batch_size} must divide "
@@ -1055,43 +1093,35 @@ class DINOSeg:
             # live 1/S per device throughout the fit.  The epoch loop
             # below steps the STACKED layout and re-materializes the
             # standard vit_params at each epoch end for eval/save/resume.
-            from jax.sharding import (Mesh as _Mesh, NamedSharding,
-                                      PartitionSpec as _P)
+            from jax.sharding import Mesh as _Mesh
             from dino_tpu.parallel.pipeline import (
                 init_pp_interleaved_train_state, init_pp_train_state,
                 make_pp_1f1b_train_step,
-                make_pp_interleaved_1f1b_train_step, stack_block_chunks,
-                stack_block_stages)
+                make_pp_interleaved_1f1b_train_step)
             n_stages = pp_stages or jax.device_count()
             pp_mesh = _Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
             n_mb = pp_microbatches or self.batch_size
-            rest = {k: v for k, v in self.vit_params.items()
-                    if k != "blocks"}
+            pp_state = {"schedule": pp_schedule, "n_stages": n_stages,
+                        "chunks": pp_chunks, "mesh": pp_mesh}
+            _pp_restack(pp_state, self.vit_params)
             if pp_schedule == "interleaved_1f1b":
-                stacked = jax.device_put(
-                    stack_block_chunks(self.vit_params["blocks"], n_stages,
-                                       pp_chunks),
-                    NamedSharding(pp_mesh, _P(None, "stage")))
                 train_step = make_pp_interleaved_1f1b_train_step(
                     self.cfg, self.head, self.n_classes, optimizer,
                     pp_mesh, n_chunks=pp_chunks, n_microbatches=n_mb,
                     scan=True, compute_dtype=self.compute_dtype,
                     donate=True)
                 opt_state = init_pp_interleaved_train_state(
-                    optimizer, stacked, rest, self.head_params)
+                    optimizer, pp_state["stacked"], pp_state["rest"],
+                    self.head_params)
             else:
-                stacked = jax.device_put(
-                    stack_block_stages(self.vit_params["blocks"], n_stages),
-                    NamedSharding(pp_mesh, _P("stage")))
                 train_step = make_pp_1f1b_train_step(
                     self.cfg, self.head, self.n_classes, optimizer,
                     pp_mesh, n_microbatches=n_mb, scan=True,
                     compute_dtype=self.compute_dtype, donate=True)
-                opt_state = init_pp_train_state(optimizer, stacked, rest,
+                opt_state = init_pp_train_state(optimizer,
+                                                pp_state["stacked"],
+                                                pp_state["rest"],
                                                 self.head_params)
-            pp_state = {"stacked": stacked, "rest": rest,
-                        "schedule": pp_schedule, "n_stages": n_stages,
-                        "chunks": pp_chunks}
         elif parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
@@ -1225,23 +1255,7 @@ class DINOSeg:
                 # rebuild the stage-sharded stacked layout from the
                 # restored standard params (the moments were saved in the
                 # PP layout and restored structurally above)
-                from jax.sharding import (NamedSharding, PartitionSpec
-                                          as _P)
-                from dino_tpu.parallel.pipeline import (stack_block_chunks,
-                                                        stack_block_stages)
-                pp_state["rest"] = {k: v for k, v in self.vit_params.items()
-                                    if k != "blocks"}
-                if pp_state["schedule"] == "interleaved_1f1b":
-                    pp_state["stacked"] = jax.device_put(
-                        stack_block_chunks(self.vit_params["blocks"],
-                                           pp_state["n_stages"],
-                                           pp_state["chunks"]),
-                        NamedSharding(pp_mesh, _P(None, "stage")))
-                else:
-                    pp_state["stacked"] = jax.device_put(
-                        stack_block_stages(self.vit_params["blocks"],
-                                           pp_state["n_stages"]),
-                        NamedSharding(pp_mesh, _P("stage")))
+                _pp_restack(pp_state, self.vit_params)
             if n_proc > 1:  # torn read / stale NFS cache => fail fast
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts("resume epoch/best_acc",
@@ -1327,23 +1341,7 @@ class DINOSeg:
                     losses.append(loss)
                 # standard layout for eval/save/resume: pull the stage
                 # slabs host-side and unstack into the block list
-                stacked_np = jax.tree.map(np.asarray, pp_state["stacked"])
-                n_st = pp_state["n_stages"]
-                if pp_state["schedule"] == "interleaved_1f1b":
-                    per = (len(self.vit_params["blocks"])
-                           // (n_st * pp_state["chunks"]))
-                    blocks = [
-                        jax.tree.map(lambda t: jnp.asarray(t[v, s, i]),
-                                     stacked_np)
-                        for v in range(pp_state["chunks"])
-                        for s in range(n_st) for i in range(per)]
-                else:
-                    per = len(self.vit_params["blocks"]) // n_st
-                    blocks = [
-                        jax.tree.map(lambda t: jnp.asarray(t[s, i]),
-                                     stacked_np)
-                        for s in range(n_st) for i in range(per)]
-                self.vit_params = dict(pp_state["rest"], blocks=blocks)
+                self.vit_params = _pp_unstack(pp_state)
             elif multi_host:
                 # every process iterates the SAME global batch windows
                 # (identical shuffle rng) but loads/feeds only its own slab;

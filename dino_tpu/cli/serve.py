@@ -98,7 +98,8 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
             return out
 
         info = {"backend": "artifact", "artifact": path,
-                "contract": served.contract, "cold_start": cold}
+                "contract": served.contract, "cold_start": cold,
+                "input_hw": (want[1], want[2])}
         return (lambda img: predict_many([img])[0]), predict_many, info
     from dino_tpu import DINOSeg
     model = DINOSeg.load_from_checkpoint(path)
@@ -119,7 +120,8 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
     info = {"backend": "model", "checkpoint": path,
             "resolution": resolution,
             "precision": precision or model.precision,
-            "n_classes": model.n_classes}
+            "n_classes": model.n_classes,
+            "input_hw": (resolution, resolution)}
     return predict, predict_many, info
 
 
@@ -269,8 +271,28 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
 
     predict, predict_many, info = _build_backend(path, resolution, precision,
                                                  max_batch)
+    # warm the native decoder at STARTUP: a cold checkout builds the C++
+    # library with g++ (up to ~2 min) behind get_lib()'s lock — paying it
+    # inside the first request would stall that client (and everyone
+    # queued on the lock) while the cold-start telemetry above claims the
+    # server is warm
+    import time as _time
+    t0 = _time.perf_counter()
+    from dino_tpu.data import native_loader
+    native_available = native_loader.get_lib() is not None
+    build_s = _time.perf_counter() - t0
+    info["native_decode"] = native_available
+    if build_s > 0.1:
+        info.setdefault("cold_start", {})["native_loader_build_s"] = round(
+            build_s, 3)
     if host_resize:
-        info["host_resize"] = True
+        # honest flag: without the native library the resize would
+        # silently not happen (PIL fallback decodes full-size; the device
+        # resizes as usual) — report what will actually run
+        info["host_resize"] = native_available
+        if not native_available:
+            print("dt-serve: --host_resize requested but the native "
+                  "decoder is unavailable; frames upload full-size")
     lock = threading.Lock()
     stats = _Stats()
     batcher = (_Batcher(predict_many, max_batch, batch_timeout_ms / 1e3,
@@ -316,13 +338,14 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                 from dino_tpu.data.native_loader import (decode_bytes,
                                                          decode_resize_bytes)
                 img = None
-                if host_resize and info.get("backend") == "model":
-                    # decode+resize natively to the model resolution: the
-                    # upload to the device shrinks (a camera frame is
-                    # usually larger than res x res) at the cost of u8
-                    # rounding before normalization (rare near-tie argmax
-                    # flips vs the on-device float resize) — see --help
-                    img = decode_resize_bytes(body, resolution, resolution)
+                if host_resize:
+                    # decode+resize natively to the backend's input shape
+                    # (model resolution, or the artifact contract's H x W):
+                    # the upload to the device shrinks (a camera frame is
+                    # usually larger) at the cost of u8 rounding before
+                    # normalization (rare near-tie argmax flips vs the
+                    # on-device float resize) — see --help
+                    img = decode_resize_bytes(body, *info["input_hw"])
                 if img is None:
                     img = decode_bytes(body)
                 if img is None:

@@ -52,7 +52,7 @@ def _build(src_dir: str) -> Optional[str]:
         # mul+add into fma ACROSS statements, silently changing f32
         # last-ulp results — the jitter chain's bit-exactness contract
         # (vs the numpy oracle, which never contracts) depends on plain
-        # two-rounding ops.  Deliberate fusions use std::fmaf explicitly.
+        # two-rounding ops (no deliberate fusions remain in the file).
         subprocess.run(
             ["g++", "-O3", "-march=native", "-funroll-loops",
              "-ffp-contract=off", "-fPIC",
@@ -158,13 +158,11 @@ def decode(path: str, max_h: int = 4096, max_w: int = 4096
     return buf[:h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
 
-def decode_bytes(data: bytes) -> Optional[np.ndarray]:
-    """Decode in-memory JPEG bytes (a dt-serve request body) natively;
-    None on any failure (caller falls back to PIL).  Two native calls:
-    a header-only dims parse (microseconds) sizes the exact output buffer,
-    then the decode fills it — both release the GIL, so concurrent server
-    request threads decode on real parallel cores."""
-    lib = get_lib()
+def _jpeg_dims_checked(lib, data: bytes, max_h: int, max_w: int):
+    """(h, w, src_ptr) of in-memory JPEG bytes, or None — rejecting
+    non-JPEG bodies AND decompression bombs (a few-KB solid-color JPEG
+    can declare a 65000x65000 frame whose decode commits tens of GB; the
+    header-only parse costs microseconds and gates the malloc)."""
     if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
         return None  # not a JPEG (PNG etc. keep the PIL path)
     buf = np.frombuffer(data, np.uint8)
@@ -173,19 +171,39 @@ def decode_bytes(data: bytes) -> Optional[np.ndarray]:
     if lib.dt_jpeg_dims(src, len(data), ctypes.byref(h),
                         ctypes.byref(w)) != 0:
         return None
-    out = np.empty((h.value, w.value, 3), np.uint8)
+    if not (0 < h.value <= max_h and 0 < w.value <= max_w):
+        return None  # dimension bomb / corrupt header
+    return h.value, w.value, src
+
+
+def decode_bytes(data: bytes, max_h: int = 4096,
+                 max_w: int = 4096) -> Optional[np.ndarray]:
+    """Decode in-memory JPEG bytes (a dt-serve request body) natively;
+    None on any failure or when the declared frame exceeds max_h x max_w
+    (the same bomb cap as :func:`decode`; callers fall back to PIL, whose
+    own MAX_IMAGE_PIXELS guard then applies).  Both native calls release
+    the GIL, so concurrent server request threads decode on real
+    parallel cores."""
+    lib = get_lib()
+    dims = _jpeg_dims_checked(lib, data, max_h, max_w)
+    if dims is None:
+        return None
+    h, w, src = dims
+    out = np.empty((h, w, 3), np.uint8)
     rc = lib.dt_decode_jpeg_mem(
         src, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h.value, w.value)
+        h, w)
     return out if rc == 0 else None
 
 
-def decode_resize_bytes(data: bytes, out_h: int,
-                        out_w: int) -> Optional[np.ndarray]:
+def decode_resize_bytes(data: bytes, out_h: int, out_w: int,
+                        max_h: int = 4096,
+                        max_w: int = 4096) -> Optional[np.ndarray]:
     """Decode + bilinear-resize in-memory JPEG bytes natively; None on
-    failure."""
+    failure or oversized declared dimensions (bomb cap — the C side
+    mallocs the full decoded frame before resizing)."""
     lib = get_lib()
-    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+    if _jpeg_dims_checked(lib, data, max_h, max_w) is None:
         return None
     buf = np.frombuffer(data, np.uint8)
     out = np.empty((out_h, out_w, 3), np.uint8)

@@ -241,7 +241,7 @@ def _jitter(img, p):
     (XLA does not contract independent mul/add HLOs to fma) or exact
     integer arithmetic — brightness scale, contrast toward the exact
     integer-split mean gray, saturation toward the per-pixel fx15 gray,
-    hue through cv2's integer RGB2HSV and fused-f32 HSV2RGB (_fma32);
+    hue through cv2's integer RGB2HSV and two-rounding f32 HSV2RGB;
     clip after each op, uint8 conversions truncate.  Asserted bit-equal
     in tests/test_device_augment.py."""
     on = p[13] > 0.5

@@ -511,6 +511,23 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 # Interleaved (virtual-chunk) pipeline: Megatron's looped placement
 # ---------------------------------------------------------------------------
 
+def unstack_block_stages(stacked, n_stages: int) -> list:
+    """Inverse of :func:`stack_block_stages`: (S, per, ...) pytree ->
+    depth-ordered block list (block s*per + i lives at [s, i])."""
+    per = jax.tree.leaves(stacked)[0].shape[1]
+    return [jax.tree.map(lambda t: t[s, i], stacked)
+            for s in range(n_stages) for i in range(per)]
+
+
+def unstack_block_chunks(stacked, n_stages: int, n_chunks: int) -> list:
+    """Inverse of :func:`stack_block_chunks`: (V, S, per, ...) pytree ->
+    depth-ordered block list (block (v*S+s)*per + i lives at [v, s, i])."""
+    per = jax.tree.leaves(stacked)[0].shape[2]
+    return [jax.tree.map(lambda t: t[v, s, i], stacked)
+            for v in range(n_chunks) for s in range(n_stages)
+            for i in range(per)]
+
+
 def stack_block_chunks(blocks: list, n_stages: int, n_chunks: int):
     """[depth x block-pytree] -> pytree with leading (V, S, per) axes.
 

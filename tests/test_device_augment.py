@@ -132,7 +132,7 @@ def test_affine_close():
 def test_jitter_bit_exact():
     """ColorJitter on device is BIT-EQUAL to the host oracle (round 4):
     same exact f32/integer chain — fx15 gray, integer-split contrast mean,
-    hsv_shift=12 forward tables, Dekker-fma'd f32 HSV2RGB."""
+    hsv_shift=12 forward tables, two-rounding f32 HSV2RGB."""
     rng = np.random.default_rng(13)
     from dino_tpu.data.augment import _draw_jitter
     for trial in range(6):

@@ -63,6 +63,24 @@ def test_decode_bytes_rejects_non_jpeg(lib):
     assert native_loader.decode_bytes(b"") is None
 
 
+def test_decode_bytes_rejects_dimension_bombs(lib):
+    """The header-only dims gate rejects frames above the cap BEFORE any
+    full-frame malloc (a few-KB JPEG can declare a 65000x65000 frame whose
+    decode would commit tens of GB — the dt-serve request-body path must
+    never allocate for it)."""
+    import io
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((64, 48, 3), np.uint8)).save(buf,
+                                                          format="JPEG")
+    data = buf.getvalue()
+    assert native_loader.decode_bytes(data) is not None
+    # the same frame with a cap below its declared dims is refused
+    assert native_loader.decode_bytes(data, max_h=32) is None
+    assert native_loader.decode_bytes(data, max_w=32) is None
+    assert native_loader.decode_resize_bytes(data, 16, 16, max_h=32) is None
+    assert native_loader.decode_resize_bytes(data, 16, 16) is not None
+
+
 def test_decode_resize_bytes_matches_file_path(jpegs, lib):
     for p in jpegs:
         with open(p, "rb") as f:
