@@ -12,8 +12,19 @@ Endpoints:
   GET  /stats              -> JSON request counters, recent-latency p50/p95,
                               dynamic-batch round-size histogram
   POST /predict            -> request body: JPEG/PNG image bytes
-                              response: .npy bytes of the int label map
+                              response: .npy bytes of the int32 label map
+                              (the compatibility default)
+  POST /predict?format=npy8 -> response: .npy bytes of the SAME labels as
+                              uint8 — 4x fewer response bytes, the
+                              first-order win in the bandwidth-limited
+                              regime PERF.md's round-4 sweep measured
+                              (labels always fit: n_classes <= 255).
+                              Also selectable via the request header
+                              ``Accept: application/x-npy-uint8``.
   POST /predict?format=png -> response: colorized PNG (VOC palette)
+  POST /predict?format=pngl -> response: grayscale PNG of the raw labels
+                              (lossless zlib: smallest wire format, the
+                              client reads values back as class ids)
 
 By default requests are single-flight: they serialize through one device
 program via a lock.  ``--max_batch N`` turns on server-side DYNAMIC
@@ -35,6 +46,33 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+
+
+def _cache_entries(cache_dir: str) -> int:
+    """Number of persisted XLA executables under ``cache_dir`` (recursive —
+    the cache may shard into subdirectories)."""
+    import os
+    total = 0
+    for _, _, files in os.walk(cache_dir):
+        total += sum(1 for f in files if f.endswith("-cache"))
+    return total
+
+
+def _enable_compile_cache(cache_dir: str) -> None:
+    """Point XLA's persistent compilation cache at ``cache_dir``.
+
+    Must run before the first compile.  PERF.md round 4 measured the AOT
+    artifact's 16.2 s first inference and attributed it to the compile at
+    load site; a warm cache turns that into a disk read.  min-compile-time
+    and min-entry-size drop to 0 so even the small per-resolution predict
+    programs persist.
+    """
+    import os
+    import jax
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def _bucket(n: int, max_batch: int = 1) -> int:
@@ -102,11 +140,24 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
                 "input_hw": (want[1], want[2])}
         return (lambda img: predict_many([img])[0]), predict_many, info
     from dino_tpu import DINOSeg
+    t0 = time.perf_counter()
     model = DINOSeg.load_from_checkpoint(path)
     model.set_resolution(resolution)
+    t_load = time.perf_counter() - t0
 
     def predict(img):
         return model.predict(img, precision=precision)
+
+    # warm the predict program at STARTUP (same contract as the artifact
+    # backend above): the robot-deployment cold start is power-on -> first
+    # label map, and with --compile_cache the first-inference time below is
+    # the direct hit/miss measurement (compile ~tens of s, cache read ~1 s)
+    t1 = time.perf_counter()
+    np.asarray(predict(np.zeros((resolution, resolution, 3), np.uint8)))
+    t_first = time.perf_counter() - t1
+    cold = {"model_load_s": round(t_load, 3),
+            "first_infer_s": round(t_first, 3),
+            "total_cold_start_s": round(t_load + t_first, 3)}
 
     def predict_many(imgs):
         batch = np.stack(imgs)
@@ -121,6 +172,7 @@ def _build_backend(path: str, resolution: int, precision, max_batch: int = 1):
             "resolution": resolution,
             "precision": precision or model.precision,
             "n_classes": model.n_classes,
+            "cold_start": cold,
             "input_hw": (resolution, resolution)}
     return predict, predict_many, info
 
@@ -265,12 +317,28 @@ class _Batcher:
 def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                 resolution: int = 480, precision=None, max_batch: int = 1,
                 batch_timeout_ms: float = 3.0,
-                host_resize: bool = False) -> ThreadingHTTPServer:
+                host_resize: bool = False,
+                compile_cache: Optional[str] = None) -> ThreadingHTTPServer:
     import numpy as np
     from PIL import Image
 
+    if compile_cache:
+        _enable_compile_cache(compile_cache)
+        entries_before = _cache_entries(compile_cache)
     predict, predict_many, info = _build_backend(path, resolution, precision,
                                                  max_batch)
+    if compile_cache:
+        # hit/miss detection: the persistent cache WRITES a new entry on
+        # every compile and writes nothing on a hit, so "no new entries
+        # across the startup warmup" + "cache was non-empty" = warm start.
+        # first_infer_s in cold_start is the corresponding measurement.
+        entries_after = _cache_entries(compile_cache)
+        info["compile_cache"] = {
+            "dir": compile_cache,
+            "entries_before": entries_before,
+            "entries_after": entries_after,
+            "warm_hit": entries_before > 0 and entries_after == entries_before,
+        }
     # warm the native decoder at STARTUP: a cold checkout builds the C++
     # library with g++ (up to ~2 min) behind get_lib()'s lock — paying it
     # inside the first request would stall that client (and everyone
@@ -362,12 +430,32 @@ def make_server(path: str, host: str = "127.0.0.1", port: int = 8080,
                     {"error": str(exc)}).encode(), "application/json")
                 return
             stats.record((time.monotonic() - t_req) * 1e3)
-            if "format=png" in (self.path.split("?") + [""])[1]:
+            query = (self.path.split("?") + [""])[1]
+            fmt = None
+            for part in query.split("&"):
+                if part.startswith("format="):
+                    fmt = part[len("format="):]
+            if fmt is None and "application/x-npy-uint8" in (
+                    self.headers.get("Accept") or ""):
+                fmt = "npy8"
+            if fmt == "png":
                 from dino_tpu.utils.viz import label2rgb
                 buf = io.BytesIO()
                 Image.fromarray(label2rgb(labels)).save(buf, format="PNG")
                 self._send(200, buf.getvalue(), "image/png")
+            elif fmt == "pngl":
+                # raw labels as a grayscale PNG: zlib-lossless, the
+                # smallest wire format (labels fit uint8, n_classes <= 255)
+                buf = io.BytesIO()
+                Image.fromarray(labels.astype(np.uint8), mode="L").save(
+                    buf, format="PNG")
+                self._send(200, buf.getvalue(), "image/png")
+            elif fmt == "npy8" and labels.max(initial=0) <= 255:
+                buf = io.BytesIO()
+                np.save(buf, labels.astype(np.uint8))
+                self._send(200, buf.getvalue(), "application/x-npy-uint8")
             else:
+                # compatibility default: int32 .npy, the round-1 contract
                 buf = io.BytesIO()
                 np.save(buf, labels)
                 self._send(200, buf.getvalue(), "application/octet-stream")
@@ -399,11 +487,18 @@ def main(argv=None) -> None:
                         "limited device link — at the cost of uint8 "
                         "rounding before normalization (rare near-tie "
                         "argmax flips vs the on-device float resize)")
+    p.add_argument("--compile_cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache directory: the first "
+                        "run pays the compile and persists the executable; "
+                        "later cold starts read it back (~1 s instead of "
+                        "tens of seconds — PERF.md 'compile-cache cold "
+                        "start').  /healthz reports hit/miss")
     args = p.parse_args(argv)
     server = make_server(args.model, args.host, args.port, args.resolution,
                          args.precision, max_batch=args.max_batch,
                          batch_timeout_ms=args.batch_timeout_ms,
-                         host_resize=args.host_resize)
+                         host_resize=args.host_resize,
+                         compile_cache=args.compile_cache)
     print(f"dt-serve: listening on http://{args.host}:{args.port} "
           f"(POST /predict, GET /healthz)")
     try:
