@@ -97,7 +97,13 @@ def _pp_unstack(pp_state: Dict[str, Any]) -> Dict[str, Any]:
     stage-sharded stacked state (host-side copy, replicated on re-upload)."""
     from dino_tpu.parallel.pipeline import (unstack_block_chunks,
                                             unstack_block_stages)
-    stacked_np = jax.tree.map(np.asarray, pp_state["stacked"])
+    # multi-host: the stage slabs live 1/S per device across every process,
+    # so host-side unstacking first gathers them collectively (every rank
+    # calls _pp_unstack at the same epoch-end point; single-host leaves are
+    # fully addressable and pass through)
+    from dino_tpu.parallel.mesh import gather_if_sharded
+    stacked_np = jax.tree.map(np.asarray,
+                              gather_if_sharded(pp_state["stacked"]))
     if pp_state["schedule"] == "interleaved_1f1b":
         blocks = unstack_block_chunks(stacked_np, pp_state["n_stages"],
                                       pp_state["chunks"])
@@ -866,17 +872,21 @@ class DINOSeg:
         ``pp_microbatches`` sets M (default: batch_size, i.e. one sample
         per microbatch); the scan-rolled tick table keeps compile time
         O(1) in M.  Requires the ViT backbone, freeze_backbone=False, an
-        mlp/linear head, depth divisible by the stage count (x V), batch
-        divisible by M, and samples_per_epoch divisible by batch_size
-        (the pipelined loss has no ragged-tail mask).  Per-epoch train
-        metrics report the loss only (the pipelined step does not
-        assemble a train confusion matrix; val/test metrics — what
-        checkpoint selection uses — are computed by the replicated eval
-        exactly as always).  Gradients match the replicated step to
-        reduction order (tests/test_pipeline.py), so training curves are
-        the same.  ``pp_stages`` caps the stage mesh to the first N
-        devices (default: all).  Single-host (multi-host pipelines build
-        on make_pp_*_train_step directly).
+        mlp/linear head, depth divisible by the stage count (x V), and
+        batch divisible by M.  Ragged epoch tails pad-and-mask exactly
+        like the plain path (the 1F1B steps carry make_train_step's
+        mask + train-CM contract), so any samples_per_epoch works and
+        per-epoch train metrics (train_acc/F1/iou from the last stage's
+        psum'd CM) report as in every other mode.  Gradients match the
+        replicated step to reduction order (tests/test_pipeline.py), so
+        training curves are the same.  ``pp_stages`` caps the stage mesh
+        to the first N devices (default: all).  Multi-host works: the
+        stage ring spans every process's devices, every host loads the
+        full batch with the shared shuffle rng (augmented multi-host
+        additionally fences on the augmentation backend, like SP), and
+        the epoch-end unstack / best-ckpt / resume writes gather
+        collectively so host 0 can write — 2-process-cluster-tested with
+        resume (tests/test_multihost.py).
 
         ``accum_steps=K`` splits each batch into K microbatches inside the
         jitted step (one optimizer update on the exactly-accumulated
@@ -937,10 +947,6 @@ class DINOSeg:
                 raise ValueError("parallelism='pp' accumulates via "
                                  "pp_microbatches (the schedule's native "
                                  "form); drop accum_steps")
-            if jax.process_count() > 1:
-                raise ValueError("fit(parallelism='pp') is single-host; "
-                                 "multi-host pipelines build on "
-                                 "make_pp_*_train_step directly")
             if pp_stages is not None and pp_stages > jax.device_count():
                 raise ValueError(
                     f"pp_stages ({pp_stages}) exceeds the device count "
@@ -949,12 +955,6 @@ class DINOSeg:
             if self.batch_size % m:
                 raise ValueError(f"batch_size {self.batch_size} must divide "
                                  f"by pp_microbatches {m}")
-            if samples_per_epoch % self.batch_size:
-                raise ValueError(
-                    f"parallelism='pp' needs samples_per_epoch "
-                    f"({samples_per_epoch}) divisible by batch_size "
-                    f"({self.batch_size}): the pipelined loss has no "
-                    f"ragged-tail mask")
         if fsdp:
             if zero:
                 raise ValueError("fsdp=True already shards the optimizer "
@@ -1104,6 +1104,36 @@ class DINOSeg:
             pp_state = {"schedule": pp_schedule, "n_stages": n_stages,
                         "chunks": pp_chunks, "mesh": pp_mesh}
             _pp_restack(pp_state, self.vit_params)
+            if jax.process_count() > 1:
+                # multi-host PP: ONE stage ring spans every process's
+                # devices.  The stacked slabs are already global (the
+                # device_put in _pp_restack shards them over the global
+                # mesh); the replicated leaves (rest/head) promote to
+                # global arrays here so the opt-state init below inherits
+                # global shardings (stage moments stay 1/S per device);
+                # each full batch promotes through pp_state["rep"] (every
+                # host loads the same rows with the same shuffle rng).
+                from jax.experimental import multihost_utils as _mhu
+                from jax.sharding import PartitionSpec as _PS
+
+                def _pp_rep(x, _mesh=pp_mesh):
+                    return _mhu.host_local_array_to_global_array(
+                        np.asarray(x), _mesh, _PS())
+
+                pp_state["rep"] = _pp_rep
+                pp_state["rest"] = jax.tree.map(_pp_rep, pp_state["rest"])
+                self.head_params = jax.tree.map(_pp_rep, self.head_params)
+                if self.augmented:
+                    # replicated batches need bit-identical pixels on
+                    # every host — the same backend-agreement fence as
+                    # multi-host SP (data/augment.py contract)
+                    from dino_tpu.data import native_loader
+                    from dino_tpu.parallel.dist import agree_across_hosts
+                    agree_across_hosts(
+                        "augmentation backend (native C++ vs cv2); "
+                        "multi-host PP needs identical pixel streams on "
+                        "every host",
+                        int(native_loader.get_lib() is not None))
             if pp_schedule == "interleaved_1f1b":
                 train_step = make_pp_interleaved_1f1b_train_step(
                     self.cfg, self.head, self.n_classes, optimizer,
@@ -1122,6 +1152,17 @@ class DINOSeg:
                                                 pp_state["stacked"],
                                                 pp_state["rest"],
                                                 self.head_params)
+            if jax.process_count() > 1:
+                # any host-local init leaf (e.g. the optax step count)
+                # promotes to a replicated global array, and the global
+                # shardings are captured for re-placing a resume restore
+                rep = pp_state["rep"]
+                opt_state = jax.tree.map(
+                    lambda a: a if (isinstance(a, jax.Array)
+                                    and not a.is_fully_addressable)
+                    else rep(a), opt_state)
+                pp_state["opt_shardings"] = jax.tree.map(
+                    lambda a: a.sharding, opt_state)
         elif parallelism == "sp":
             # token-axis sequence parallelism: the SP step shares
             # make_train_step's contract (mask + CM), so the epoch loop
@@ -1135,7 +1176,7 @@ class DINOSeg:
             train_step = make_sp_train_step(
                 self.cfg, self.head, self.n_classes, optimizer, sp_mesh,
                 compute_dtype=self.compute_dtype, donate=True,
-                zero=sp_zero)
+                zero=sp_zero, **self._head_kwargs)
         else:
             if (zero and jax.device_count() > 1
                     and self.batch_size % jax.device_count() == 0):
@@ -1199,9 +1240,11 @@ class DINOSeg:
             batch_sharding = data_sharding()
         n_proc = jax.process_count()
         multi_host = batch_sharding is not None and n_proc > 1
-        if n_proc > 1 and batch_sharding is None and parallelism != "sp":
-            # (SP deliberately leaves batch_sharding None: one global ring
-            # spans every host's devices, so the token work DOES shard)
+        if n_proc > 1 and batch_sharding is None and parallelism not in (
+                "sp", "pp"):
+            # (SP and PP deliberately leave batch_sharding None: one global
+            # ring spans every host's devices, so the token/stage work DOES
+            # shard even though the batch replicates)
             import warnings
             warnings.warn(
                 f"batch_size {self.batch_size} does not divide the "
@@ -1256,6 +1299,18 @@ class DINOSeg:
                 # restored standard params (the moments were saved in the
                 # PP layout and restored structurally above)
                 _pp_restack(pp_state, self.vit_params)
+                if n_proc > 1:
+                    # restored leaves are host-local npz copies: re-place
+                    # them on the global shardings captured at init (rest/
+                    # head replicate over the global mesh; stage moments
+                    # go back 1/S per device via device_put, which ships
+                    # only each host's addressable shards)
+                    rep = pp_state["rep"]
+                    pp_state["rest"] = jax.tree.map(rep, pp_state["rest"])
+                    self.head_params = jax.tree.map(rep, self.head_params)
+                    opt_state = jax.tree.map(
+                        lambda s, x: jax.device_put(np.asarray(x), s),
+                        pp_state["opt_shardings"], opt_state)
             if n_proc > 1:  # torn read / stale NFS cache => fail fast
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts("resume epoch/best_acc",
@@ -1275,10 +1330,11 @@ class DINOSeg:
             if self.augmented:
                 # every host loads the FULL batch and declares it
                 # replicated, so per-host pixels must be bit-identical.
-                # Geometry and ColorJitter are bit-exact across the
-                # native-C++/cv2 backends (round 4); the warp and k >= 11
-                # blur remain per-backend (data/augment.py contract) —
-                # fail fast if hosts would augment on different backends.
+                # Geometry, ColorJitter (round 4), AND the warp (round 5:
+                # the exact-f32 recipe) are bit-exact across the
+                # native-C++/cv2 backends; only k >= 11 blur remains
+                # per-backend (data/augment.py contract) — fail fast if
+                # hosts would augment on different backends.
                 from dino_tpu.data import native_loader
                 from dino_tpu.parallel.dist import agree_across_hosts
                 agree_across_hosts(
@@ -1329,16 +1385,21 @@ class DINOSeg:
             elif pp_state is not None:
                 # pipelined epoch: the batch is replicated into the SPMD
                 # program and microbatches flow stage-to-stage; block
-                # weights + moments stay stage-sharded across steps.  No
-                # ragged tails by the fit() divisibility contract.
+                # weights + moments stay stage-sharded across steps.
+                # Ragged tails pad-and-mask exactly like the plain path
+                # (the 1F1B steps carry make_train_step's mask/CM
+                # contract), so any samples_per_epoch works.
+                pp_put = pp_state.get("rep", jnp.asarray)
                 for xb, yb in batched_loader(train_ds, idx, self.batch_size,
                                              rng=rng):
+                    (xb, yb), mask = _pad_tail([xb, yb], self.batch_size)
                     (pp_state["stacked"], pp_state["rest"],
-                     self.head_params, opt_state, loss) = train_step(
+                     self.head_params, opt_state, loss, cm) = train_step(
                         pp_state["stacked"], pp_state["rest"],
-                        self.head_params, opt_state, jnp.asarray(xb),
-                        jnp.asarray(yb))
+                        self.head_params, opt_state, pp_put(xb),
+                        pp_put(yb), pp_put(mask))
                     losses.append(loss)
+                    cms.append(cm)
                 # standard layout for eval/save/resume: pull the stage
                 # slabs host-side and unstack into the block list
                 self.vit_params = _pp_unstack(pp_state)
@@ -1422,7 +1483,8 @@ class DINOSeg:
             improved = metrics["val_acc"] > best_acc
             since_improve = 0 if improved else since_improve + 1
             if resume and n_proc > 1 and (zero_mesh is not None or sp_zero
-                                          or fsdp_mesh is not None):
+                                          or fsdp_mesh is not None
+                                          or pp_state is not None):
                 # ZeRO/FSDP state spans non-addressable devices, so host 0
                 # alone cannot np.asarray it — every process joins a
                 # collective gather and host 0 writes the global arrays.

@@ -19,11 +19,14 @@ flip produce BIT-IDENTICAL pixels (the C++ resize replicates cv2's
 INTER_LINEAR fixed-point arithmetic); ColorJitter is BIT-IDENTICAL (round 4:
 the chain is defined as exact f32/integer arithmetic — fx15 gray,
 hsv_shift=12 HSV tables, two-rounding float sector math — that every
-backend reproduces, see _apply_jitter); blur is BIT-IDENTICAL for k <= 9
-and off-by-<=1 beyond (cv2's own sigma=0 taps, see ops/device_augment.
-_gaussian_taps); warpAffine is off-by-one on <0.1% of pixels — so resume
-bit-determinism holds per backend, and across backends whenever no warp
-and no k >= 11 blur fires.
+backend reproduces, see _apply_jitter); warpAffine is BIT-IDENTICAL
+(round 5: defined as an exact two-rounding f32 recipe, see warp_affine_u8
+— it deviates from cv2 5.0's own build-dependent f32 SIMD warp on ~1e-4
+of pixels by one level, the hsv fma trade); blur is BIT-IDENTICAL for
+k <= 9 and off-by-<=1 beyond (cv2's own sigma=0 taps, see
+ops/device_augment._gaussian_taps) — so resume bit-determinism holds per
+backend, and across backends whenever no k >= 11 blur fires (the one
+remaining per-backend op).
 
 A third backend runs the pixel ops ON DEVICE (`augment_backend='device'`,
 ops/device_augment.py): same drawn parameters; geometry/blur in cv2's
@@ -148,6 +151,135 @@ def pack_params(p: dict) -> np.ndarray:
         out[22] = 1.0
         out[23] = p["blur"]
     return out
+
+
+# ---------------------------------------------------------------------------
+# warpAffine as an exact f32 recipe (round 5).
+#
+# cv2 5.0's warpAffine runs a rewritten float32 SIMD engine whose exact
+# rounding depends on how the build associates/fuses the f32 chain (probed:
+# every closed-form model — the classic fixed-point path, f64 coords, four
+# f32 coordinate orders, fma blends — agrees with this build except on
+# ~5e-5..1e-4 of pixels that sit within 3e-4 of a .5 boundary).  Unlike
+# resize (round 3) and the jitter conversions (round 4) there is no stable
+# integer contract to replicate, so the warp gets the same treatment the
+# HSV2RGB fma got: the chain is DEFINED as an exact two-rounding f32 recipe
+# that numpy (here), the C++ backend (-ffp-contract=off), and any device
+# program compute natively and identically:
+#
+#   coords:   bx = f32(m1*y) + m2 ;  sx = f32(m0*x) + bx   (per-op rounding)
+#   bilinear: r0 = t00 + tx*(t01-t00); r1 = t10 + tx*(t11-t10)
+#             v  = r0 + ty*(r1-r0);   out = floor(f64(v) + 0.5) clipped
+#   nearest:  xi = floor(f64(sx) + 0.5)  (masks)
+#   borders:  reflect-101, matrix inverted in f64 (cv2's expressions)
+#
+# This makes the warp BIT-IDENTICAL across all three backends; the cost is
+# deviating from this cv2 build's own warpAffine on ~1e-4 of pixels by one
+# level (bounded in tests/test_native_augment.py), the same honesty class
+# as the hsv_to_rgb_u8 note above.
+# ---------------------------------------------------------------------------
+
+def _invert_affine(M: np.ndarray) -> np.ndarray:
+    """Forward 2x3 -> sampling matrix, double precision, cv2's expressions
+    (mirrors native/dtloader.cpp:invert_affine)."""
+    M = np.asarray(M, np.float64)
+    d = M[0, 0] * M[1, 1] - M[0, 1] * M[1, 0]
+    d = 1.0 / d if d != 0.0 else 0.0
+    inv = np.empty((2, 3), np.float64)
+    inv[0, 0] = M[1, 1] * d
+    inv[0, 1] = -M[0, 1] * d
+    inv[1, 0] = -M[1, 0] * d
+    inv[1, 1] = M[0, 0] * d
+    inv[0, 2] = -(inv[0, 0] * M[0, 2] + inv[0, 1] * M[1, 2])
+    inv[1, 2] = -(inv[1, 0] * M[0, 2] + inv[1, 1] * M[1, 2])
+    return inv
+
+
+def _reflect101_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    if n <= 1:
+        return np.zeros_like(idx)
+    period = 2 * (n - 1)
+    idx = np.mod(idx, period)
+    return np.where(idx < n, idx, period - idx)
+
+
+def _warp_coords_f32(inv: np.ndarray, out_h: int, out_w: int):
+    """(sy, sx) f32 source-coordinate grids per the recipe above."""
+    f = np.float32
+    xs = np.arange(out_w, dtype=f)
+    ys = np.arange(out_h, dtype=f)
+    bx = (f(inv[0, 1]) * ys) + f(inv[0, 2])     # f32 mul then f32 add
+    by = (f(inv[1, 1]) * ys) + f(inv[1, 2])
+    sx = (f(inv[0, 0]) * xs)[None, :] + bx[:, None]
+    sy = (f(inv[1, 0]) * xs)[None, :] + by[:, None]
+    return sx, sy
+
+
+def warp_affine_u8(img: np.ndarray, M: np.ndarray, size: int) -> np.ndarray:
+    """Bilinear reflect-101 warp of a uint8 (H,W,3) image onto a
+    size x size canvas — the exact f32 recipe (bit-identical on every
+    backend; see the block comment above).  The matrix quantizes to f32
+    first: that is its wire precision in the packed-params layout
+    (pack_params), so every backend inverts the identical matrix.
+
+    Dispatches to the native C++ implementation when the library is built
+    (same bits — native/dtloader.cpp:warp_affine_u8 is the identical
+    recipe, asserted in tests/test_native_augment.py); the numpy fallback
+    below IS the recipe's definition."""
+    img = np.ascontiguousarray(img)
+    from dino_tpu.data import native_loader
+    native = native_loader.warp_affine(img, M, size)
+    if native is not None:
+        return native
+    f = np.float32
+    h, w = img.shape[:2]
+    M32 = np.asarray(M, np.float32).astype(np.float64)
+    sx, sy = _warp_coords_f32(_invert_affine(M32), size, size)
+    x0 = np.floor(sx).astype(np.int32)
+    y0 = np.floor(sy).astype(np.int32)
+    tx = (sx - x0.astype(f))[..., None]
+    ty = (sy - y0.astype(f))[..., None]
+    xa = _reflect101_idx(x0, w)
+    xb = _reflect101_idx(x0 + 1, w)
+    ya = _reflect101_idx(y0, h)
+    yb = _reflect101_idx(y0 + 1, h)
+    flat = img.reshape(-1, 3)
+    t00 = np.take(flat, ya * w + xa, axis=0).astype(f)
+    t01 = np.take(flat, ya * w + xb, axis=0).astype(f)
+    t10 = np.take(flat, yb * w + xa, axis=0).astype(f)
+    t11 = np.take(flat, yb * w + xb, axis=0).astype(f)
+    t01 -= t00
+    t01 *= tx
+    t01 += t00          # r0 = t00 + tx*(t01-t00), in place
+    t11 -= t10
+    t11 *= tx
+    t11 += t10          # r1
+    t11 -= t01
+    t11 *= ty
+    t11 += t01          # v
+    v = t11.astype(np.float64)
+    v += 0.5
+    np.floor(v, out=v)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def warp_affine_mask(mask: np.ndarray, M: np.ndarray, size: int
+                     ) -> np.ndarray:
+    """Nearest reflect-101 warp of an integer mask (same f32 coords;
+    native fast path when built, numpy definition otherwise)."""
+    mask = np.ascontiguousarray(mask, dtype=np.int32)
+    from dino_tpu.data import native_loader
+    native = native_loader.warp_affine_nearest(mask, M, size)
+    if native is not None:
+        return native
+    h, w = mask.shape[:2]
+    M32 = np.asarray(M, np.float32).astype(np.float64)
+    sx, sy = _warp_coords_f32(_invert_affine(M32), size, size)
+    xi = _reflect101_idx(np.floor(sx.astype(np.float64) + 0.5
+                                  ).astype(np.int64), w)
+    yi = _reflect101_idx(np.floor(sy.astype(np.float64) + 0.5
+                                  ).astype(np.int64), h)
+    return mask[yi, xi]
 
 
 # ---------------------------------------------------------------------------
@@ -281,12 +413,9 @@ def apply_params(p: dict, img: np.ndarray, mask: Optional[np.ndarray],
         img, mask = resize_pair(img, mask, size)
     if p["affine"] is not None:
         m = np.asarray(p["affine"], np.float64)
-        img = cv2.warpAffine(img, m, (size, size), flags=cv2.INTER_LINEAR,
-                             borderMode=cv2.BORDER_REFLECT_101)
+        img = warp_affine_u8(img, m, size)
         if mask is not None:
-            mask = cv2.warpAffine(mask.astype(np.int32), m, (size, size),
-                                  flags=cv2.INTER_NEAREST,
-                                  borderMode=cv2.BORDER_REFLECT_101)
+            mask = warp_affine_mask(mask.astype(np.int32), m, size)
     if p["flip"]:
         img = img[:, ::-1].copy()
         mask = None if mask is None else mask[:, ::-1].copy()
@@ -329,9 +458,8 @@ def prepare_device_batch(imgs: np.ndarray, params: list, size: int
             if p["crop"] is not None:
                 x0, y0, cw, ch = p["crop"]
                 img, _ = resize_pair(img[y0:y0 + ch, x0:x0 + cw], None, size)
-            imgs[i] = cv2.warpAffine(img, np.asarray(p["affine"], np.float64),
-                                     (size, size), flags=cv2.INTER_LINEAR,
-                                     borderMode=cv2.BORDER_REFLECT_101)
+            imgs[i] = warp_affine_u8(img, np.asarray(p["affine"], np.float64),
+                                     size)
             p = dict(p, crop=None, affine=None)
         packed[i] = pack_params(p)
     return imgs, packed

@@ -126,6 +126,16 @@ def get_lib():
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int]
         lib.dt_dino_crops_batch.restype = ctypes.c_int
+        lib.dt_warp_affine_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.dt_warp_affine_u8.restype = None
+        lib.dt_warp_affine_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.dt_warp_affine_i32.restype = None
         _lib = lib
         return _lib
 
@@ -285,3 +295,39 @@ def load_batch(paths: List[str], out_h: int, out_w: int,
         arr, n, out_h, out_w,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n_threads)
     return out if failures == 0 else None
+
+
+def warp_affine(img: np.ndarray, M, size: int) -> Optional[np.ndarray]:
+    """Bilinear reflect-101 warp via the native recipe implementation
+    (bit-identical to data/augment.py:warp_affine_u8's numpy definition);
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    m = np.ascontiguousarray(np.asarray(M, np.float32).ravel())
+    out = np.empty((size, size, 3), np.uint8)
+    lib.dt_warp_affine_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        img.shape[0], img.shape[1], size,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def warp_affine_nearest(mask: np.ndarray, M, size: int
+                        ) -> Optional[np.ndarray]:
+    """Nearest reflect-101 warp of an int32 mask via the native recipe;
+    None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, np.int32)
+    m = np.ascontiguousarray(np.asarray(M, np.float32).ravel())
+    out = np.empty((size, size), np.int32)
+    lib.dt_warp_affine_i32(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mask.shape[0], mask.shape[1], size,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

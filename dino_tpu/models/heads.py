@@ -119,6 +119,28 @@ def moe_balance_loss(p: Params, x: jnp.ndarray,
     return n_experts * jnp.sum(f * pbar)
 
 
+def moe_balance_stats(p: Params, x: jnp.ndarray,
+                      weights: Optional[jnp.ndarray] = None):
+    """The sufficient statistics behind :func:`moe_balance_loss`:
+    (sum of routed one-hots * w, sum of gate probs * w, sum of w) — 2E+1
+    floats per shard/microbatch.  They aggregate EXACTLY: add across
+    gradient-accumulation microbatches, psum across token shards — which is
+    what lets the balance term compose with accum/SP/PP instead of needing
+    'the gathered features' (the loss is E * <a/W, b/W> of the aggregated
+    sums; its gradient flows only through b, the gate-prob sums).
+    """
+    gate = moe_gate(p, x)
+    n_experts = gate.shape[-1]
+    one_hot = jax.nn.one_hot(jnp.argmax(gate, axis=-1), n_experts,
+                             dtype=jnp.float32)
+    if weights is None:
+        return (jnp.sum(one_hot, axis=0), jnp.sum(gate, axis=0),
+                jnp.float32(x.shape[0]))
+    w = weights.astype(jnp.float32)[:, None]
+    return (jnp.sum(one_hot * w, axis=0), jnp.sum(gate * w, axis=0),
+            jnp.sum(w))
+
+
 def moe_head_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """(M, input_dim) -> (M, n_classes) log-probs via top-1 expert routing.
 

@@ -325,8 +325,9 @@ def _blur(img, p):
 
 
 def _augment_one(img_u8, p):
-    # no _affine here: the loader pre-applies crop+warp on the HOST (cv2,
-    # i.e. exact oracle pixels) for the 25% of samples whose affine fires
+    # no _affine here: the loader pre-applies crop+warp on the HOST (the
+    # exact-f32 warp recipe, bit-identical across every backend — round 5)
+    # for the 25% of samples whose affine fires
     # and clears their flags (data/augment.py:prepare_device_batch) — the
     # warp's per-pixel gather is the one op TPUs run poorly, ~10x the rest
     # of this program combined (PERF.md "Device-side augmentation")
@@ -359,7 +360,8 @@ def device_augment_batch(imgs_u8, packed_params):
 
     PRECONDITION: the batch must come through
     data.augment.prepare_device_batch, which applies the affine warps on
-    the host (cv2) and clears their flags — this program contains no warp
+    the host (the exact-f32 warp recipe) and clears their flags — this
+    program contains no warp
     (per-pixel gathers are the one op TPUs run poorly).  A packed row with
     its affine flag still set is rejected loudly: silently skipping the
     warp while augment_grid_mask applies it to the labels would

@@ -120,7 +120,9 @@ def vit_forward_pipelined(params: Params, x: jnp.ndarray, cfg: ViTConfig,
 def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, stage_axis: str = "stage",
                        n_microbatches: int = 2, use_flash: bool = True,
-                       remat: bool = False, donate: bool = False):
+                       remat: bool = False, donate: bool = False,
+                       moe_dispatch: str = "dense",
+                       moe_capacity: float = 1.25):
     """Unfrozen train step with the backbone blocks pipelined over stages.
 
     step(stages, rest, head_p, opt_state, images_u8, labels) ->
@@ -148,12 +150,13 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
 
-    if head_type not in ("mlp", "linear"):
-        # the moe balance auxiliary (train/loop.py) is not wired through
-        # the pipelined loss — reject rather than silently train a router
-        # without its load-balance term
-        raise ValueError(f"PP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
+    if head_type not in ("mlp", "linear", "moe"):
+        raise ValueError(f"unknown head for PP training: {head_type!r}")
+    if head_type == "moe" and moe_dispatch == "sparse":
+        raise ValueError("PP training with moe_dispatch='sparse' changes "
+                         "the capacity semantics (slots allocate per stage "
+                         "chunk, not per batch, so different patches drop) "
+                         "— use the dense dispatch")
     n_stages = mesh.shape[stage_axis]
     n_mb = n_microbatches
     last = n_stages - 1
@@ -226,13 +229,33 @@ def make_pp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                 w = (jnp.arange(chunk) + s * chunk < total).astype(
                     jnp.float32)
                 normed = layer_norm(rest["norm"], my_f, cfg.ln_eps)
-                logp = head_apply(head_type, head_p, normed)
+                logp = head_apply(head_type, head_p, normed,
+                                  moe_dispatch=moe_dispatch,
+                                  moe_capacity=moe_capacity)
                 picked = jnp.take_along_axis(logp, my_y[:, None],
                                              axis=1)[:, 0]
                 # partial of -mean over the B*N real tokens; the psum
                 # after value_and_grad assembles the total (as it already
                 # does for g_rest/g_head)
-                return -jnp.sum(picked * w) / total
+                partial = -jnp.sum(picked * w) / total
+                if head_type == "moe":
+                    # Switch balance auxiliary from psum'd E-dim statistics
+                    # (2E+1 floats cross the stages, not the features); w
+                    # zeros this chunk's dead padding rows, so the global
+                    # f/pbar equal the monolithic step's.  Each stage adds
+                    # balance/S because the caller psums the loss; the
+                    # gradient flows only through the gate-prob sums (psum
+                    # transpose = psum), riding the same feats cotangent
+                    # transport as the NLL (tests/test_moe.py).
+                    from dino_tpu.models.heads import moe_balance_stats
+                    a_l, b_l, w_l = moe_balance_stats(head_p, normed,
+                                                      weights=w)
+                    a_g = jax.lax.psum(a_l, stage_axis)
+                    b_g = jax.lax.psum(b_l, stage_axis)
+                    w_g = jnp.maximum(jax.lax.psum(w_l, stage_axis), 1.0)
+                    balance = a_g.shape[0] * jnp.dot(a_g / w_g, b_g / w_g)
+                    partial = partial + 0.01 * balance / n_stages
+                return partial
 
             loss, (g_st, g_rest, g_head) = jax.value_and_grad(local_loss)(
                 (stages_in, rest_in, head_in))
@@ -270,8 +293,21 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                             n_microbatches: int = 2, use_flash: bool = True,
                             scan: bool = False, compute_dtype=None,
                             donate: bool = False):
-    """PP train step on a hand-written 1F1B schedule (same contract as
-    :func:`make_pp_train_step`).
+    """PP train step on a hand-written 1F1B schedule.
+
+    step(stages, rest, head_p, opt_state, images_u8, labels, mask=None) ->
+    (stages, rest, head_p, opt_state, loss, cm) — make_train_step's loss/
+    CM/mask contract on make_pp_train_step's stage-sharded param layout.
+    ``mask`` (per-sample 0/1, shape (B,)) excludes padded ragged-tail
+    samples from loss, gradients, AND the confusion matrix: each head-slot
+    microbatch contributes its weighted SUM of per-patch NLLs and the
+    single divide by the global weight total happens in the per-microbatch
+    cotangent (the weight total is a whole-batch scalar computed before
+    the sweep), so the masked-mean semantics are identical to the plain
+    step (train/loop.py:nll_loss) — the reference trains on partial
+    batches, pl_torch_modules.py:354.  The (C, C) train CM is assembled on
+    the head slot of the last stage and psum'd (zeros elsewhere), giving
+    fit('pp') the same per-epoch train metrics as every other mode.
 
     Why it exists: differentiating the GPipe fill-drain (``make_pp_train_step``)
     keeps one stashed activation per *tick* live across the whole forward
@@ -334,10 +370,21 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     """
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.metrics import confusion_matrix
 
     if head_type not in ("mlp", "linear"):
-        raise ValueError(f"PP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
+        # MoE composes with the GPipe PP step (make_pp_train_step: its
+        # barrier-style head sees the full batch, so the psum'd E-dim
+        # balance statistics are exact) but NOT with 1F1B: here each
+        # microbatch's head backward launches the tick its forward leaves
+        # the pipe — before the full-batch routing fractions f exist —
+        # and the balance gradient needs f (grad = 0.01*E/W * f . db_k).
+        # Making f available would take a second full forward sweep per
+        # step, which surrenders exactly the memory/latency edge 1F1B has
+        # over GPipe; use make_pp_train_step for MoE+PP instead.
+        raise ValueError(f"1F1B PP training supports the mlp/linear heads; "
+                         f"got {head_type!r} (for head='moe' use the GPipe "
+                         f"step make_pp_train_step — see the guard comment)")
     n_stages = mesh.shape[stage_axis]
     n_mb = n_microbatches
     last = n_stages - 1
@@ -347,7 +394,7 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 
     act_dtype = compute_dtype if compute_dtype is not None else jnp.float32
 
-    def step(stages, rest, head_p, opt_state, images, labels):
+    def step(stages, rest, head_p, opt_state, images, labels, mask=None):
         x = normalize_imagenet(images)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
@@ -356,14 +403,22 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
         mb = b // n_mb
         n_pat = labels.shape[-1]
-        total = b * n_pat                    # global token count for the mean
+        m = (jnp.ones((b,), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        # global weight total for the masked mean: a whole-batch scalar, so
+        # every microbatch's loss partial (and its cotangent) can divide by
+        # it up front — grads of the weighted sums then add exactly
+        w_total = jnp.maximum(jnp.sum(m) * n_pat, 1.0)
         x_mbs = x.reshape((n_mb, mb) + x.shape[1:])
         y_mbs = labels.reshape(n_mb, mb, n_pat)
+        w_mbs = m.reshape(n_mb, mb)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(stage_axis), P(), P(), P(), P()),
-                 out_specs=(P(), P(stage_axis), P(), P()), check_vma=False)
-        def value_and_grads(stages_in, rest_in, head_in, x_in, y_in):
+                 in_specs=(P(stage_axis), P(), P(), P(), P(), P(), P()),
+                 out_specs=(P(), P(stage_axis), P(), P(), P()),
+                 check_vma=False)
+        def value_and_grads(stages_in, rest_in, head_in, x_in, y_in, w_in,
+                            w_tot):
             s = jax.lax.axis_index(stage_axis)
             st = jax.tree.map(lambda t: t[0], stages_in)       # (per, ...)
             per = jax.tree.leaves(st)[0].shape[0]
@@ -380,12 +435,16 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                 logp = head_apply(head_type, head_r, normed)
                 return logp                   # (mb*n_pat, C)
 
-            def mb_loss(rest_r, head_r, tokens, y_lab):
+            def mb_loss(rest_r, head_r, tokens, y_lab, w_s):
                 logp = head_loss(rest_r, head_r, tokens)
                 yi = y_lab.reshape(-1).astype(jnp.int32)
+                w = jnp.repeat(w_s, n_pat)           # per-patch 0/1 weights
                 picked = jnp.take_along_axis(logp, yi[:, None], axis=1)[:, 0]
-                # partial of the global mean; f32 reduction under bf16 compute
-                return -jnp.sum(picked.astype(jnp.float32)) / total
+                # partial of the global masked mean; f32 under bf16 compute
+                loss = -jnp.sum(picked.astype(jnp.float32) * w) / w_tot
+                cm = confusion_matrix(jnp.argmax(logp, axis=-1), yi,
+                                      n_classes, weights=w)
+                return loss, cm
 
             tok_shape = (mb, (x_in.shape[2] // cfg.patch_size) *
                          (x_in.shape[3] // cfg.patch_size) + 1, cfg.embed_dim)
@@ -397,6 +456,7 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             recv_b = jnp.zeros(tok_shape, act_dtype)
             dy_pend = jnp.zeros(tok_shape, act_dtype)
             loss_acc = jnp.zeros((), jnp.float32)
+            cm_acc = jnp.zeros((n_classes, n_classes), jnp.int32)
             g_st = jax.tree.map(jnp.zeros_like, st)
             g_rest = jax.tree.map(jnp.zeros_like, rest_in)
             g_head = jax.tree.map(jnp.zeros_like, head_in)
@@ -422,7 +482,7 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             # `acc` masks both forms share).  Keeping one copy means a
             # schedule fix can't silently diverge the two forms.
             def tick(carry, t, static):
-                (ring, recv_f, recv_b, dy_pend, loss_acc,
+                (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                  g_st, g_rest, g_head) = carry
                 y_f = None
                 if (not static) or t <= n_mb + n_stages - 2:  # fwd slot
@@ -464,17 +524,20 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                         active_h = jnp.logical_and(
                             active_h,
                             jnp.logical_and(m_h >= 0, m_h < n_mb))
-                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
-                        mb_loss, argnums=(0, 1, 2))(
-                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static))
+                    (loss_m, cm_m), (g_nr, g_hd, dy) = jax.value_and_grad(
+                        mb_loss, argnums=(0, 1, 2), has_aux=True)(
+                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static),
+                        mb_slice(w_in, m_h, static))
                     loss_acc += jnp.where(active_h, loss_m, 0.0)
+                    cm_acc += jnp.where(active_h, cm_m,
+                                        jnp.zeros_like(cm_m))
                     g_rest = acc(g_rest, g_nr, active_h)
                     g_head = acc(g_head, g_hd, active_h)
                     dy_pend = jnp.where(active_h, dy, dy_pend)
-                return (ring, recv_f, recv_b, dy_pend, loss_acc,
+                return (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                         g_st, g_rest, g_head)
 
-            carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
+            carry = (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                      g_st, g_rest, g_head)
             n_ticks = n_mb + 2 * n_stages - 1
             if scan:
@@ -484,25 +547,26 @@ def make_pp_1f1b_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
             else:
                 for t in range(n_ticks):
                     carry = tick(carry, t, static=True)
-            (ring, recv_f, recv_b, dy_pend, loss_acc,
+            (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
              g_st, g_rest, g_head) = carry
 
             loss = jax.lax.psum(loss_acc, stage_axis)
+            cm = jax.lax.psum(cm_acc, stage_axis)  # nonzero on last stage
             g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
                                   g_rest)
             g_head = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
                                   g_head)
             g_st = jax.tree.map(lambda t: t[None], g_st)
-            return loss, g_st, g_rest, g_head
+            return loss, g_st, g_rest, g_head, cm
 
-        loss, g_st, g_rest, g_head = value_and_grads(stages, rest, head_p,
-                                                     x_mbs, y_mbs)
+        loss, g_st, g_rest, g_head, cm = value_and_grads(
+            stages, rest, head_p, x_mbs, y_mbs, w_mbs, w_total)
         params = {"stages": stages, "rest": rest, "head": head_p}
         grads = {"stages": g_st, "rest": g_rest, "head": g_head}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params["stages"], params["rest"], params["head"], opt_state,
-                loss)
+                loss, cm)
 
     return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
 
@@ -644,8 +708,13 @@ def make_pp_interleaved_train_step(cfg: ViTConfig, head_type: str,
     from dino_tpu.ops.preprocess import normalize_imagenet
 
     if head_type not in ("mlp", "linear"):
-        raise ValueError(f"PP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
+        # the interleaved AD step could carry the GPipe MoE treatment but
+        # its waves form accumulates gradients across sweeps, which hits
+        # the same f-coupling as accum_steps; use make_pp_train_step for
+        # MoE+PP (full-batch head, exact psum'd balance statistics)
+        raise ValueError(f"interleaved PP training supports the mlp/linear "
+                         f"heads; got {head_type!r} (for head='moe' use "
+                         f"the GPipe step make_pp_train_step)")
     n_stages = mesh.shape[stage_axis]
     n_mb = n_microbatches
     if n_mb > n_stages:
@@ -768,9 +837,15 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
                                         compute_dtype=None,
                                         donate: bool = False):
     """PP train step: interleaved (virtual-chunk) placement x hand-written
-    1F1B backward.  Same contract as :func:`make_pp_interleaved_train_step`
-    (``chunks`` is the (V, S, per) pytree from :func:`stack_block_chunks`,
-    sharded ``P(None, stage_axis)``) — but WITHOUT the ``n_microbatches <= S``
+    1F1B backward.
+
+    step(chunks, rest, head_p, opt_state, images_u8, labels, mask=None) ->
+    (chunks, rest, head_p, opt_state, loss, cm) — make_train_step's loss/
+    CM/mask contract (ragged-tail masking and the psum'd last-stage train
+    CM exactly as in :func:`make_pp_1f1b_train_step`) on
+    :func:`make_pp_interleaved_train_step`'s param layout (``chunks`` is
+    the (V, S, per) pytree from :func:`stack_block_chunks`, sharded
+    ``P(None, stage_axis)``) — but WITHOUT the ``n_microbatches <= S``
     constraint and WITHOUT ``waves``: any M runs in one schedule, each
     microbatch's backward launching as it leaves chunk SV-1, so activation
     memory is a fixed 2SV-slot ring buffer independent of M.
@@ -822,10 +897,14 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
     """
     from dino_tpu.models.heads import head_apply
     from dino_tpu.ops.preprocess import normalize_imagenet
+    from dino_tpu.train.metrics import confusion_matrix
 
     if head_type not in ("mlp", "linear"):
-        raise ValueError(f"PP training supports the mlp/linear heads; "
-                         f"got {head_type!r}")
+        # same 1F1B structural limit as make_pp_1f1b_train_step (see the
+        # guard comment there); for MoE+PP use the GPipe step
+        raise ValueError(f"1F1B PP training supports the mlp/linear heads; "
+                         f"got {head_type!r} (for head='moe' use the GPipe "
+                         f"step make_pp_train_step)")
     n_stages = mesh.shape[stage_axis]
     n_mb = n_microbatches
     V = n_chunks
@@ -842,7 +921,7 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
     n_ticks = max_tf + delta + 1
     act_dtype = compute_dtype if compute_dtype is not None else jnp.float32
 
-    def step(chunks, rest, head_p, opt_state, images, labels):
+    def step(chunks, rest, head_p, opt_state, images, labels, mask=None):
         x = normalize_imagenet(images)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
@@ -851,15 +930,21 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
             raise ValueError(f"batch {b} not divisible by {n_mb} microbatches")
         mb = b // n_mb
         n_pat = labels.shape[-1]
-        total = b * n_pat                  # global token count for the mean
+        m = (jnp.ones((b,), jnp.float32) if mask is None
+             else mask.astype(jnp.float32))
+        # whole-batch weight total: see make_pp_1f1b_train_step
+        w_total = jnp.maximum(jnp.sum(m) * n_pat, 1.0)
         x_mbs = x.reshape((n_mb, mb) + x.shape[1:])
         y_mbs = labels.reshape(n_mb, mb, n_pat)
+        w_mbs = m.reshape(n_mb, mb)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(None, stage_axis), P(), P(), P(), P()),
-                 out_specs=(P(), P(None, stage_axis), P(), P()),
+                 in_specs=(P(None, stage_axis), P(), P(), P(), P(), P(),
+                           P()),
+                 out_specs=(P(), P(None, stage_axis), P(), P(), P()),
                  check_vma=False)
-        def value_and_grads(chunks_in, rest_in, head_in, x_in, y_in):
+        def value_and_grads(chunks_in, rest_in, head_in, x_in, y_in, w_in,
+                            w_tot):
             s = jax.lax.axis_index(stage_axis)
             st = jax.tree.map(lambda t: t[:, 0], chunks_in)   # (V, per, ...)
             per = jax.tree.leaves(st)[0].shape[1]
@@ -878,14 +963,18 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
                     h = block_apply(blk, h, cfg, use_flash=use_flash)[0]
                 return h
 
-            def mb_loss(rest_r, head_r, tokens, y_lab):
+            def mb_loss(rest_r, head_r, tokens, y_lab, w_s):
                 feats = tokens[:, 1:, :].reshape(-1, cfg.embed_dim)
                 normed = layer_norm(rest_r["norm"], feats, cfg.ln_eps)
                 logp = head_apply(head_type, head_r, normed)
                 yi = y_lab.reshape(-1).astype(jnp.int32)
+                w = jnp.repeat(w_s, n_pat)           # per-patch 0/1 weights
                 picked = jnp.take_along_axis(logp, yi[:, None], axis=1)[:, 0]
-                # partial of the global mean; f32 reduction under bf16
-                return -jnp.sum(picked.astype(jnp.float32)) / total
+                # partial of the global masked mean; f32 under bf16
+                loss = -jnp.sum(picked.astype(jnp.float32) * w) / w_tot
+                cm = confusion_matrix(jnp.argmax(logp, axis=-1), yi,
+                                      n_classes, weights=w)
+                return loss, cm
 
             tok_shape = (mb, (x_in.shape[2] // cfg.patch_size) *
                          (x_in.shape[3] // cfg.patch_size) + 1, cfg.embed_dim)
@@ -894,6 +983,7 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
             recv_b = jnp.zeros(tok_shape, act_dtype)
             dy_pend = jnp.zeros(tok_shape, act_dtype)
             loss_acc = jnp.zeros((), jnp.float32)
+            cm_acc = jnp.zeros((n_classes, n_classes), jnp.int32)
             g_st = jax.tree.map(jnp.zeros_like, st)
             g_rest = jax.tree.map(jnp.zeros_like, rest_in)
             g_head = jax.tree.map(jnp.zeros_like, head_in)
@@ -913,7 +1003,7 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
             # microbatch indices as constants; static=False (the lax.scan
             # body) turns the same gates into masks/clips.
             def tick(carry, t, static):
-                (ring, recv_f, recv_b, dy_pend, loss_acc,
+                (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                  g_st, g_rest, g_head) = carry
                 y_f = None
                 if (not static) or t <= max_tf:              # fwd slot
@@ -1003,17 +1093,20 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
                             u_h >= 0, jnp.logical_and(
                                 jnp.mod(u_h, C) // n_stages == V - 1,
                                 m_h < n_mb)))
-                    loss_m, (g_nr, g_hd, dy) = jax.value_and_grad(
-                        mb_loss, argnums=(0, 1, 2))(
-                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static))
+                    (loss_m, cm_m), (g_nr, g_hd, dy) = jax.value_and_grad(
+                        mb_loss, argnums=(0, 1, 2), has_aux=True)(
+                        rest_in, head_in, y_f, mb_slice(y_in, m_h, static),
+                        mb_slice(w_in, m_h, static))
                     loss_acc += jnp.where(active_h, loss_m, 0.0)
+                    cm_acc += jnp.where(active_h, cm_m,
+                                        jnp.zeros_like(cm_m))
                     g_rest = acc(g_rest, g_nr, active_h)
                     g_head = acc(g_head, g_hd, active_h)
                     dy_pend = jnp.where(active_h, dy, dy_pend)
-                return (ring, recv_f, recv_b, dy_pend, loss_acc,
+                return (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                         g_st, g_rest, g_head)
 
-            carry = (ring, recv_f, recv_b, dy_pend, loss_acc,
+            carry = (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
                      g_st, g_rest, g_head)
             if scan:
                 carry, _ = jax.lax.scan(
@@ -1022,25 +1115,26 @@ def make_pp_interleaved_1f1b_train_step(cfg: ViTConfig, head_type: str,
             else:
                 for t in range(n_ticks):
                     carry = tick(carry, t, static=True)
-            (ring, recv_f, recv_b, dy_pend, loss_acc,
+            (ring, recv_f, recv_b, dy_pend, loss_acc, cm_acc,
              g_st, g_rest, g_head) = carry
 
             loss = jax.lax.psum(loss_acc, stage_axis)
+            cm = jax.lax.psum(cm_acc, stage_axis)  # nonzero on last stage
             g_rest = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
                                   g_rest)
             g_head = jax.tree.map(lambda t: jax.lax.psum(t, stage_axis),
                                   g_head)
             g_st = jax.tree.map(lambda t: t[:, None], g_st)  # (V, 1, per...)
-            return loss, g_st, g_rest, g_head
+            return loss, g_st, g_rest, g_head, cm
 
-        loss, g_ch, g_rest, g_head = value_and_grads(chunks, rest, head_p,
-                                                     x_mbs, y_mbs)
+        loss, g_ch, g_rest, g_head, cm = value_and_grads(
+            chunks, rest, head_p, x_mbs, y_mbs, w_mbs, w_total)
         params = {"chunks": chunks, "rest": rest, "head": head_p}
         grads = {"chunks": g_ch, "rest": g_rest, "head": g_head}
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params["chunks"], params["rest"], params["head"], opt_state,
-                loss)
+                loss, cm)
 
     return jax.jit(step, donate_argnums=(0, 1, 2, 3) if donate else ())
 

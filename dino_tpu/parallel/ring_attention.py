@@ -381,7 +381,9 @@ def make_sp_tp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
 def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                        optimizer, mesh: Mesh, seq_axis: str = "data",
                        flash: str = "auto", compute_dtype=None,
-                       donate: bool = False, zero: bool = False):
+                       donate: bool = False, zero: bool = False,
+                       moe_dispatch: str = "dense",
+                       moe_capacity: float = 1.25):
     """Unfrozen finetune step with the token axis sharded over ``seq_axis``.
 
     step(vit_p, head_p, opt_state, images_u8, labels, mask=None) ->
@@ -412,10 +414,13 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     from dino_tpu.ops.preprocess import normalize_imagenet
     from dino_tpu.train.metrics import confusion_matrix
 
-    if head_type not in ("mlp", "linear"):
-        raise ValueError(f"SP training supports the mlp/linear heads; got "
-                         f"{head_type!r} (the moe balance term needs the "
-                         "gathered features)")
+    if head_type not in ("mlp", "linear", "moe"):
+        raise ValueError(f"unknown head for SP training: {head_type!r}")
+    if head_type == "moe" and moe_dispatch == "sparse":
+        raise ValueError("SP training with moe_dispatch='sparse' changes "
+                         "the capacity semantics (slots allocate per token "
+                         "shard, not per batch, so different patches drop) "
+                         "— use the dense dispatch")
     d = mesh.shape[seq_axis]
 
     def step(vit_p, head_p, opt_state, images, labels, mask=None):
@@ -459,11 +464,31 @@ def make_sp_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                     tok = _block_seq_parallel(blk, tok, cfg, n_real,
                                               seq_axis, flash=flash)
                 tok = layer_norm(vit_p["norm"], tok, cfg.ln_eps)
-                logp = head_apply(head_type, head_p,
-                                  tok.reshape(-1, tok.shape[-1]))
+                feats = tok.reshape(-1, tok.shape[-1])
+                logp = head_apply(head_type, head_p, feats,
+                                  moe_dispatch=moe_dispatch,
+                                  moe_capacity=moe_capacity)
                 picked = jnp.take_along_axis(
                     logp, y_sh.reshape(-1)[:, None], axis=1)[:, 0]
                 loss = -jnp.sum(picked * w_sh.reshape(-1)) / denom
+                if head_type == "moe":
+                    # Switch balance auxiliary from psum'd E-dim statistics
+                    # (2E+1 floats cross the shards, not the features): the
+                    # w-weights zero the CLS/pad rows and masked samples,
+                    # so f/pbar equal the replicated step's exactly.  Each
+                    # device adds balance/d because the caller psums the
+                    # loss over the ring; the gradient flows only through
+                    # the gate-prob sums (psum transpose = psum), so the
+                    # psum'd grads equal the monolithic balance gradient
+                    # (equality-tested in tests/test_moe.py).
+                    from dino_tpu.models.heads import moe_balance_stats
+                    a_l, b_l, w_l = moe_balance_stats(
+                        head_p, feats, weights=w_sh.reshape(-1))
+                    a_g = jax.lax.psum(a_l, seq_axis)
+                    b_g = jax.lax.psum(b_l, seq_axis)
+                    w_g = jnp.maximum(jax.lax.psum(w_l, seq_axis), 1.0)
+                    balance = a_g.shape[0] * jnp.dot(a_g / w_g, b_g / w_g)
+                    loss = loss + 0.01 * balance / d
                 return loss, logp
 
             (loss, logp), grads = jax.value_and_grad(

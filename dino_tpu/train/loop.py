@@ -153,10 +153,11 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
     if fsdp_mesh is not None and zero_mesh is not None:
         raise ValueError("fsdp_mesh and zero_mesh are mutually exclusive: "
                          "FSDP already shards the optimizer state")
-    if accum_steps > 1 and head_type == "moe":
-        raise ValueError("accum_steps>1 is exact only for per-patch losses; "
-                         "the MoE router balance term is a nonlinear "
-                         "full-batch statistic — use accum_steps=1")
+    if accum_steps > 1 and head_type == "moe" and moe_dispatch == "sparse":
+        raise ValueError("accum_steps>1 with moe_dispatch='sparse' changes "
+                         "the capacity semantics (slots are allocated per "
+                         "microbatch, not per batch, so different patches "
+                         "drop) — use the dense dispatch or accum_steps=1")
     if accum_steps > 1 and backbone != "vit":
         raise ValueError("accum_steps>1 needs full-batch BatchNorm "
                          "statistics for cnn backbones — use accum_steps=1")
@@ -195,20 +196,38 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         return loss, (confusion_matrix(preds, y, n_classes, weights=w),
                       bn_collect)
 
-    def loss_sum_fn(trainable, static_vit, images, labels, w):
+    def loss_sum_fn(trainable, static_vit, images, labels, w, f_router):
         """Per-microbatch SUM of masked per-patch losses (w = per-patch 0/1
         weights); grads of sums add exactly across microbatches, and the
-        single divide by the global weight total happens after the scan."""
+        single divide by the global weight total happens after the scan.
+
+        ``f_router`` (E,) is the FULL-BATCH routing-fraction vector for the
+        MoE balance term, precomputed by the stop-grad stats pass below.
+        The balance loss is E * <f, pbar> with the gradient flowing only
+        through pbar (f is argmax-derived); pbar is the w-weighted mean of
+        the gate probs over the whole batch, so with f held fixed the term
+        is LINEAR in the per-microbatch gate-prob sums — each microbatch
+        contributes 0.01 * E * <f, sum(gate*w)> here and the single divide
+        by the global weight total after the scan reconstructs the
+        monolithic step's loss AND gradient exactly."""
         vit_p = static_vit if freeze_backbone else trainable["vit"]
         n_tokens = images.shape[0] * (images.shape[1] // cfg.patch_size) ** 2
         remat = (not freeze_backbone) and n_tokens > 200_000
+        feat_sink = {} if head_type == "moe" else None
         logp = seg_forward(vit_p, trainable["head"], cfg, head_type, images,
                            compute_dtype=compute_dtype, backbone=backbone,
-                           remat=remat)
+                           remat=remat, feat_sink=feat_sink,
+                           moe_dispatch=moe_dispatch,
+                           moe_capacity=moe_capacity)
         y = labels.reshape(-1)
         picked = jnp.take_along_axis(logp, y[:, None].astype(jnp.int32),
                                      axis=1)[:, 0]
         loss_sum = -jnp.sum(picked * w)
+        if head_type == "moe":
+            from dino_tpu.models.heads import moe_balance_stats
+            _, b_sum, _ = moe_balance_stats(trainable["head"],
+                                            feat_sink["feats"], weights=w)
+            loss_sum += 0.01 * f_router.shape[0] * jnp.dot(f_router, b_sum)
         preds = jnp.argmax(logp, axis=-1)
         return loss_sum, confusion_matrix(preds, y, n_classes, weights=w)
 
@@ -222,12 +241,44 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
         w = jnp.repeat(m, n_patch).reshape(k, mb * n_patch)
         im_s = images.reshape((k, mb) + images.shape[1:])
         lab_s = labels.reshape((k, mb) + labels.shape[1:])
+        w_total = jnp.maximum(jnp.sum(m) * n_patch, 1.0)
+
+        f_router = jnp.zeros((0,), jnp.float32)
+        if head_type == "moe":
+            # stats pass: the full-batch routing fractions f (argmax-
+            # derived, hence gradient-free) from a forward-only scan over
+            # the same microbatches — memory stays O(b/k), FLOPs pay one
+            # extra forward.  f then lets the gradient pass above treat
+            # the balance term as linear per microbatch (exactness proof
+            # in loss_sum_fn's docstring; equality-tested vs the
+            # monolithic step in tests/test_moe.py).
+            from dino_tpu.models.heads import moe_balance_stats
+            sg = jax.lax.stop_gradient
+            t_sg, v_sg = sg(trainable), sg(static_vit)
+            vit_sg = v_sg if freeze_backbone else t_sg["vit"]
+
+            def stats_body(a_acc, xs):
+                im_k, w_k = xs
+                sink = {}
+                seg_forward(vit_sg, t_sg["head"], cfg, head_type, im_k,
+                            compute_dtype=compute_dtype, backbone=backbone,
+                            feat_sink=sink, moe_dispatch=moe_dispatch,
+                            moe_capacity=moe_capacity)
+                a_k, _, _ = moe_balance_stats(t_sg["head"], sink["feats"],
+                                              weights=w_k)
+                return a_acc + a_k, None
+
+            n_exp = jax.tree.leaves(trainable["head"]["router"])[0].shape[-1]
+            a_tot, _ = jax.lax.scan(stats_body,
+                                    jnp.zeros((n_exp,), jnp.float32),
+                                    (im_s, w))
+            f_router = a_tot / w_total
 
         def body(carry, xs):
             g_acc, ls_acc, cm_acc = carry
             im_k, lab_k, w_k = xs
             (ls, cm), grads = jax.value_and_grad(loss_sum_fn, has_aux=True)(
-                trainable, static_vit, im_k, lab_k, w_k)
+                trainable, static_vit, im_k, lab_k, w_k, f_router)
             g_acc = jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
                                  g_acc, grads)
             return (g_acc, ls_acc + ls, cm_acc + cm), None
@@ -237,7 +288,6 @@ def make_train_step(cfg: ViTConfig, head_type: str, n_classes: int,
                 jnp.float32(0.0),
                 jnp.zeros((n_classes, n_classes), jnp.int32))
         (g_acc, ls_acc, cm), _ = jax.lax.scan(body, init, (im_s, lab_s, w))
-        w_total = jnp.maximum(jnp.sum(m) * n_patch, 1.0)
         grads = jax.tree.map(lambda g: g / w_total, g_acc)
         return ls_acc / w_total, cm, grads
 

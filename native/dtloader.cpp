@@ -350,71 +350,74 @@ void invert_affine(const float m[6], double inv[6]) {
   inv[5] = -(inv[3] * c + inv[4] * f);
 }
 
+// warpAffine as the exact two-rounding f32 recipe (data/augment.py
+// warp_affine_u8 holds the same arithmetic; -ffp-contract=off keeps the
+// mul/add pairs un-fused, so the two implementations are BIT-IDENTICAL —
+// round 5; see the recipe block comment in data/augment.py for why this
+// is a defined recipe rather than a replica of cv2 5.0's build-dependent
+// f32 SIMD warp).
 void warp_affine_u8(const uint8_t* src, int h, int w, uint8_t* dst,
-                    const float m[6]) {
+                    int oh, int ow, const float m[6]) {
   double inv[6];
   invert_affine(m, inv);
-  for (int y = 0; y < h; ++y) {
-    uint8_t* out = dst + static_cast<size_t>(y) * w * 3;
-    // source coords advance linearly along the row
-    double sx = inv[1] * y + inv[2];
-    double sy = inv[4] * y + inv[5];
-    // Interior pixels (the vast majority) take a branch-free body; the
-    // border-reflected samples run the slow path.
-    auto sample = [&](int x, double sxx, double syy, bool interior) {
-      const int x0 = static_cast<int>(std::floor(sxx));
-      const int y0 = static_cast<int>(std::floor(syy));
-      const float tx = static_cast<float>(sxx - x0);
-      const float ty = static_cast<float>(syy - y0);
-      int xa, xb, ya, yb;
-      if (interior) {
-        xa = x0; xb = x0 + 1; ya = y0; yb = y0 + 1;
-      } else {
-        xa = reflect101(x0, w); xb = reflect101(x0 + 1, w);
-        ya = reflect101(y0, h); yb = reflect101(y0 + 1, h);
-      }
+  const float m0 = static_cast<float>(inv[0]);
+  const float m1 = static_cast<float>(inv[1]);
+  const float m2 = static_cast<float>(inv[2]);
+  const float m3 = static_cast<float>(inv[3]);
+  const float m4 = static_cast<float>(inv[4]);
+  const float m5 = static_cast<float>(inv[5]);
+  for (int y = 0; y < oh; ++y) {
+    uint8_t* out = dst + static_cast<size_t>(y) * ow * 3;
+    // row base: f32 mul then f32 add (the recipe's two roundings)
+    const float bx = m1 * static_cast<float>(y) + m2;
+    const float by = m4 * static_cast<float>(y) + m5;
+    for (int x = 0; x < ow; ++x) {
+      const float sx = m0 * static_cast<float>(x) + bx;
+      const float sy = m3 * static_cast<float>(x) + by;
+      const int x0 = static_cast<int>(std::floor(sx));
+      const int y0 = static_cast<int>(std::floor(sy));
+      const float tx = sx - static_cast<float>(x0);
+      const float ty = sy - static_cast<float>(y0);
+      const int xa = reflect101(x0, w), xb = reflect101(x0 + 1, w);
+      const int ya = reflect101(y0, h), yb = reflect101(y0 + 1, h);
       const uint8_t* r0 = src + static_cast<size_t>(ya) * w * 3;
       const uint8_t* r1 = src + static_cast<size_t>(yb) * w * 3;
-      const float w00 = (1 - tx) * (1 - ty), w01 = tx * (1 - ty);
-      const float w10 = (1 - tx) * ty, w11 = tx * ty;
       for (int c = 0; c < 3; ++c) {
-        const float v = r0[xa * 3 + c] * w00 + r0[xb * 3 + c] * w01 +
-                        r1[xa * 3 + c] * w10 + r1[xb * 3 + c] * w11;
+        const float t00 = r0[xa * 3 + c], t01 = r0[xb * 3 + c];
+        const float t10 = r1[xa * 3 + c], t11 = r1[xb * 3 + c];
+        const float a = t00 + tx * (t01 - t00);
+        const float b = t10 + tx * (t11 - t10);
+        const float v = a + ty * (b - a);
         out[x * 3 + c] = static_cast<uint8_t>(clampi(
-            static_cast<int>(v + 0.5f), 0, 255));
+            static_cast<int>(std::floor(static_cast<double>(v) + 0.5)),
+            0, 255));
       }
-    };
-    // find [xlo, xhi) where both sample coords are interior
-    int xlo = 0, xhi = w;
-    auto interior_at = [&](int x) {
-      const double sxx = sx + inv[0] * x, syy = sy + inv[3] * x;
-      const int x0 = static_cast<int>(std::floor(sxx));
-      const int y0 = static_cast<int>(std::floor(syy));
-      return x0 >= 0 && x0 + 1 < w && y0 >= 0 && y0 + 1 < h;
-    };
-    while (xlo < w && !interior_at(xlo)) ++xlo;
-    while (xhi > xlo && !interior_at(xhi - 1)) --xhi;
-    double sxx = sx, syy = sy;
-    for (int x = 0; x < xlo; ++x, sxx += inv[0], syy += inv[3])
-      sample(x, sxx, syy, false);
-    for (int x = xlo; x < xhi; ++x, sxx += inv[0], syy += inv[3])
-      sample(x, sxx, syy, true);
-    for (int x = xhi; x < w; ++x, sxx += inv[0], syy += inv[3])
-      sample(x, sxx, syy, false);
+    }
   }
 }
 
 void warp_affine_i32_nearest(const int32_t* src, int h, int w, int32_t* dst,
-                             const float m[6]) {
+                             int oh, int ow, const float m[6]) {
   double inv[6];
   invert_affine(m, inv);
-  for (int y = 0; y < h; ++y) {
-    int32_t* out = dst + static_cast<size_t>(y) * w;
-    for (int x = 0; x < w; ++x) {
-      const double sx = inv[0] * x + inv[1] * y + inv[2];
-      const double sy = inv[3] * x + inv[4] * y + inv[5];
-      const int xi = reflect101(static_cast<int>(std::lround(sx)), w);
-      const int yi = reflect101(static_cast<int>(std::lround(sy)), h);
+  const float m0 = static_cast<float>(inv[0]);
+  const float m1 = static_cast<float>(inv[1]);
+  const float m2 = static_cast<float>(inv[2]);
+  const float m3 = static_cast<float>(inv[3]);
+  const float m4 = static_cast<float>(inv[4]);
+  const float m5 = static_cast<float>(inv[5]);
+  for (int y = 0; y < oh; ++y) {
+    int32_t* out = dst + static_cast<size_t>(y) * ow;
+    const float bx = m1 * static_cast<float>(y) + m2;
+    const float by = m4 * static_cast<float>(y) + m5;
+    for (int x = 0; x < ow; ++x) {
+      // same f32 coords as the bilinear recipe; nearest = floor(v + .5)
+      const float sx = m0 * static_cast<float>(x) + bx;
+      const float sy = m3 * static_cast<float>(x) + by;
+      const int xi = reflect101(static_cast<int>(std::floor(
+          static_cast<double>(sx) + 0.5)), w);
+      const int yi = reflect101(static_cast<int>(std::floor(
+          static_cast<double>(sy) + 0.5)), h);
       out[x] = src[static_cast<size_t>(yi) * w + xi];
     }
   }
@@ -675,8 +678,9 @@ int augment_one(const char* path, const int32_t* mask_in, int mh, int mw,
   if (p[5] > 0.5f) {  // ShiftScaleRotate
     ibuf = img;
     mbuf = mask;
-    warp_affine_u8(ibuf.data(), res, res, img.data(), p + 6);
-    warp_affine_i32_nearest(mbuf.data(), res, res, mask.data(), p + 6);
+    warp_affine_u8(ibuf.data(), res, res, img.data(), res, res, p + 6);
+    warp_affine_i32_nearest(mbuf.data(), res, res, mask.data(), res, res,
+                            p + 6);
   }
   if (p[12] > 0.5f) {  // HorizontalFlip
     for (int y = 0; y < res; ++y) {
@@ -940,6 +944,20 @@ int dt_load_batch(const char** paths, int n, int out_h, int out_w,
   int total = 0;
   for (int f : failures) total += f;
   return total;
+}
+
+// Standalone warp entries: the exact-f32 recipe warps above, exported so
+// the Python-side recipe (data/augment.py:warp_affine_u8/_mask) can
+// dispatch here for speed — identical bits by construction (asserted by
+// tests/test_native_augment.py).
+void dt_warp_affine_u8(const uint8_t* src, int h, int w, int out_size,
+                       const float* m6, uint8_t* out) {
+  warp_affine_u8(src, h, w, out, out_size, out_size, m6);
+}
+
+void dt_warp_affine_i32(const int32_t* src, int h, int w, int out_size,
+                        const float* m6, int32_t* out) {
+  warp_affine_i32_nearest(src, h, w, out, out_size, out_size, m6);
 }
 
 }  // extern "C"

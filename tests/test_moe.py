@@ -227,3 +227,149 @@ def test_dinoseg_moe_sparse_fit(tmp_path):
     img = np.random.RandomState(0).randint(0, 255, (RES, RES, 3), np.uint8)
     loaded.set_resolution(RES)
     assert loaded.predict(img).shape == (480, 480)
+
+
+# ---------------------------------------------------------------------------
+# MoE composition (round 5): the Switch balance term is a bilinear function
+# of two E-vector statistics, so it composes exactly with gradient
+# accumulation, SP token sharding, and GPipe PP — no gathered features.
+# ---------------------------------------------------------------------------
+
+def _moe_step_fixtures(depth=2, n_classes=5, b=4, n_experts=4):
+    from dino_tpu.models.vit import ViTConfig, init_vit_params
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
+    vit_p = init_vit_params(jax.random.PRNGKey(0), cfg, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "moe", n_classes,
+                       cfg.embed_dim, n_experts=n_experts)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+    return cfg, vit_p, head_p, images, labels
+
+
+def test_moe_accum_matches_monolithic():
+    """accum_steps=K with head='moe': the stats pass pins the full-batch
+    routing fractions f, the balance term becomes linear per microbatch,
+    and ONE optimizer update equals the monolithic step's exactly —
+    including a ragged-tail mask (the round-4 guard is gone)."""
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    cfg, vit_p, head_p, images, labels = _moe_step_fixtures()
+    mask = np.array([1, 1, 1, 0], np.float32)   # ragged tail
+    opt = make_optimizer("adam", 1e-3)
+
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
+        cfg, "moe", 5, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels, mask)
+
+    acc_vit, acc_head, _, acc_loss, acc_cm = make_train_step(
+        cfg, "moe", 5, opt, freeze_backbone=False, donate=False,
+        accum_steps=2)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels, mask)
+
+    np.testing.assert_allclose(float(acc_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(acc_cm), np.asarray(ref_cm))
+    for got, want in zip(jax.tree.leaves(acc_head),
+                         jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+    for got, want in zip(jax.tree.leaves(acc_vit), jax.tree.leaves(ref_vit)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+    # sparse dispatch allocates capacity per microbatch -> rejected
+    with pytest.raises(ValueError, match="capacity semantics"):
+        make_train_step(cfg, "moe", 5, opt, freeze_backbone=False,
+                        accum_steps=2, moe_dispatch="sparse")
+
+
+def test_moe_sp_matches_replicated():
+    """fit('sp') with head='moe': the balance term psums 2E+1 floats over
+    the token ring (not the gathered features) and one SP Adam step equals
+    the replicated step (the ring_attention guard is gone)."""
+    from jax.sharding import Mesh
+    from dino_tpu.parallel.ring_attention import make_sp_train_step
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    cfg, vit_p, head_p, images, labels = _moe_step_fixtures()
+    mask = np.array([1, 1, 1, 0], np.float32)
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
+        cfg, "moe", 5, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels, mask)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sp_step = make_sp_train_step(cfg, "moe", 5, opt, mesh)
+    params = {"vit": vit_p, "head": head_p}
+    new_vit, new_head, _, sp_loss, sp_cm = sp_step(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels, mask)
+
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(sp_cm), np.asarray(ref_cm))
+    for got, want in zip(jax.tree.leaves(new_head),
+                         jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+    for got, want in zip(jax.tree.leaves(new_vit), jax.tree.leaves(ref_vit)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+    with pytest.raises(ValueError, match="capacity semantics"):
+        make_sp_train_step(cfg, "moe", 5, opt, mesh, moe_dispatch="sparse")
+
+
+def test_moe_gpipe_pp_matches_replicated():
+    """MoE through the GPipe pipeline step (full-batch chunk-sharded head):
+    the balance term psums its E-dim statistics over the stages and one
+    Adam step equals the replicated step (the pipeline guard is gone; the
+    1F1B forms keep their guard with the structural reason documented)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from dino_tpu.parallel.pipeline import (init_pp_train_state,
+                                            make_pp_1f1b_train_step,
+                                            make_pp_train_step,
+                                            stack_block_stages)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    n_stages = 4
+    cfg, vit_p, head_p, images, labels = _moe_step_fixtures(depth=8)
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+        cfg, "moe", 5, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    stages = jax.device_put(stack_block_stages(vit_p["blocks"], n_stages),
+                            NamedSharding(mesh, P("stage")))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    pp_step = make_pp_train_step(cfg, "moe", 5, opt, mesh, n_microbatches=2)
+    opt_state = init_pp_train_state(opt, stages, rest, head_p)
+    new_stages, new_rest, new_head, _, pp_loss = pp_step(
+        stages, rest, head_p, opt_state, images, labels)
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    per = 8 // n_stages
+    got_blocks = [jax.tree.map(lambda t: np.asarray(t)[s, i], new_stages)
+                  for s in range(n_stages) for i in range(per)]
+    for got, want in zip(got_blocks, ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for got, want in zip(jax.tree.leaves(new_head),
+                         jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+
+    # 1F1B keeps its structural guard, now with the documented reason
+    with pytest.raises(ValueError, match="GPipe"):
+        make_pp_1f1b_train_step(cfg, "moe", 5, opt, mesh)
+    with pytest.raises(ValueError, match="capacity semantics"):
+        make_pp_train_step(cfg, "moe", 5, opt, mesh, moe_dispatch="sparse")

@@ -508,3 +508,77 @@ def test_any_across_hosts(tmp_path):
     _run([dict(local_devices=2, num_processes=2, process_id=i,
                coordinator=f"127.0.0.1:{port}") for i in range(2)],
          runner=_ANY_RUNNER, timeout=300)
+
+
+_PP_RESUME_RUNNER = textwrap.dedent("""
+    import json, os, sys
+    cfg = json.loads(sys.argv[1])
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + str(cfg["local_devices"]))
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if cfg["num_processes"] > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(coordinator_address=cfg["coordinator"],
+                                   num_processes=cfg["num_processes"],
+                                   process_id=cfg["process_id"])
+    assert jax.device_count() == 4, jax.devices()
+
+    import numpy as np
+    from dino_tpu import DINOSeg
+
+    kw = dict(data_path=cfg["data"], write_path=cfg["write"],
+              head="mlp", n_blocks=4, n_classes=cfg["n_classes"],
+              batch_size=4, lr=1e-3, optimizer="adam",
+              freeze_backbone=False, random_init=True,
+              augmented=False, train_resolution=cfg["res"],
+              precision="fp32", seed=0)
+    # PP: the 4-stage ring spans BOTH processes' devices; block weights and
+    # Adam moments live 1/S per device across hosts, so the epoch-end
+    # unstack, best-ckpt save, and resume save must all gather
+    # collectively.  samples_per_epoch=6 also exercises the ragged tail
+    # through the pipelined step under multi-host.
+    pp = dict(parallelism="pp", pp_microbatches=2,
+              cache_features=False, samples_per_epoch=6,
+              ck_file_name="ppmh", resume=True)
+    model = DINOSeg(max_epochs=1, **kw)
+    model.fit(**pp)
+    model2 = DINOSeg(max_epochs=2, **kw)
+    metrics = model2.fit(**pp)
+    if jax.process_index() == 0:
+        np.savez(os.path.join(cfg["write"], "result.npz"),
+                 test_acc=metrics["test_acc"],
+                 k1=np.asarray(model2.head_params["layer_1"]["kernel"]),
+                 qkv=np.asarray(
+                     model2.vit_params["blocks"][2]["attn"]["qkv"]["kernel"]))
+""")
+
+
+def test_two_process_pp_fit_resume_matches_single_process(voc_root,
+                                                          tmp_path):
+    """fit(parallelism='pp', resume=True) on the 2-process cluster: one
+    4-stage pipeline ring spans both hosts' devices (stage-sharded
+    weights + moments), epoch-end unstack/saves gather collectively, and
+    the resumed run matches the single-process 4-device PP run (the
+    api.py single-host raise is gone — round 5)."""
+    base = dict(data=voc_root, n_classes=N_CLASSES, res=RES)
+
+    w_ref = str(tmp_path / "ppmh_ref")
+    _run([dict(base, write=w_ref, local_devices=4, num_processes=1,
+               process_id=0, coordinator="")], runner=_PP_RESUME_RUNNER,
+         timeout=1200)
+
+    w_mh = str(tmp_path / "ppmh_mh")
+    port = free_port()
+    _run([dict(base, write=w_mh, local_devices=2, num_processes=2,
+               process_id=i, coordinator=f"127.0.0.1:{port}")
+          for i in range(2)], runner=_PP_RESUME_RUNNER, timeout=1200)
+
+    ref = np.load(os.path.join(w_ref, "result.npz"))
+    mh = np.load(os.path.join(w_mh, "result.npz"))
+    np.testing.assert_allclose(mh["k1"], ref["k1"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(mh["qkv"], ref["qkv"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(mh["test_acc"]),
+                               float(ref["test_acc"]), atol=1e-6)

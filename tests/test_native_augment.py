@@ -11,12 +11,14 @@ data/augment.py and docs/SCALING.md):
     f32/integer chain (fx15 gray, hsv_shift=12 tables, fused-f32 HSV2RGB)
   * GaussianBlur: BIT-EXACT for k <= 9 (cv2's hardcoded/fixed-point taps),
     off-by-<=1 beyond (float taps)
-  * warpAffine: off-by-one on <0.1% of pixels (cv2's fixed-point remap
-    tables vs float sampling), masks >99.8% agreement
+  * warpAffine: BIT-EXACT (round 5) — both backends run the exact
+    two-rounding f32 recipe (data/augment.py:warp_affine_u8), which itself
+    deviates from cv2 5.0's own build-dependent f32 SIMD warp on ~1e-4 of
+    pixels by one level (bounded below)
 
 Consequence: a training stream is bit-deterministic PER BACKEND; the two
-backends produce identical streams whenever no warp and no k >= 11 blur
-fires (jitter joined the bit-exact set in round 4).
+backends produce identical streams whenever no k >= 11 blur fires (warp
+joined the bit-exact set in round 5, jitter in round 4).
 """
 import os
 
@@ -113,7 +115,6 @@ def test_forced_ops_match_oracle(sample):
     cases = [
         ({**base, "blur": 41}, 0.2),   # k >= 11: float taps, off-by-<=1
         ({**base, "blur": 13}, 0.2),
-        (affine, 0.01),      # off-by-one on <1% of pixels
     ]
     for p, tol in cases:
         native = native_loader.augment_batch([path], [mask], 480,
@@ -121,11 +122,13 @@ def test_forced_ops_match_oracle(sample):
         pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
         diff = np.abs(native[0][0].astype(np.int32) - pi.astype(np.int32))
         assert diff.mean() < tol, (p, diff.mean())
+    # warpAffine: BIT-EXACT across backends (round 5 — the exact f32
+    # recipe), image AND mask
     nat = native_loader.augment_batch([path], [mask], 480,
                                       pack_params(affine)[None])
     pi, pm = apply_params(affine, raw.copy(), mask.copy(), 480)
-    assert np.abs(nat[0][0].astype(int) - pi.astype(int)).max() <= 1
-    assert (nat[1][0] == pm).mean() > 0.998
+    np.testing.assert_array_equal(nat[0][0], pi)
+    np.testing.assert_array_equal(nat[1][0], pm)
 
 
 def test_native_determinism(sample):
@@ -163,3 +166,36 @@ def test_batched_loader_native_train_epoch(sample, tmp_path):
         np.testing.assert_array_equal(ya, yb)
     c = epoch(8)
     assert not np.array_equal(a[0][0], c[0][0])
+
+
+def test_warp_recipe_deviation_from_cv2_is_bounded(sample):
+    """The warp recipe's honest trade, pinned: vs this cv2 build's own
+    warpAffine (the new OpenCV 5 f32 SIMD engine) the recipe differs on
+    at most 5e-4 of pixels, by at most one level — the same class of
+    deviation as the HSV2RGB fma note (data/augment.py)."""
+    import cv2
+    from dino_tpu.data.augment import warp_affine_u8, warp_affine_mask
+    _, raw, mask = sample
+    rng = np.random.default_rng(0)
+    from dino_tpu.data.augment import _draw_affine, resize_pair
+    img, m_res = resize_pair(raw, mask, 480)
+    bad = 0
+    total = 0
+    mx = 0
+    for _ in range(5):
+        M = np.float32(_draw_affine(rng, 480)).astype(np.float64)
+        ref = cv2.warpAffine(img, M, (480, 480), flags=cv2.INTER_LINEAR,
+                             borderMode=cv2.BORDER_REFLECT_101)
+        got = warp_affine_u8(img, M, 480)
+        d = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+        bad += (d != 0).sum()
+        total += d.size
+        mx = max(mx, int(d.max()))
+        # mask agreement stays at the previous contract level or better
+        mref = cv2.warpAffine(m_res.astype(np.int32), M, (480, 480),
+                              flags=cv2.INTER_NEAREST,
+                              borderMode=cv2.BORDER_REFLECT_101)
+        mgot = warp_affine_mask(m_res.astype(np.int32), M, 480)
+        assert (mref == mgot).mean() > 0.998
+    assert mx <= 1, mx
+    assert bad / total < 5e-4, bad / total

@@ -121,7 +121,7 @@ def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb, scan):
     labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
 
     opt = make_optimizer("adam", 1e-3)
-    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
         CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
         vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
         images, labels)
@@ -133,10 +133,13 @@ def test_pp_1f1b_train_step_matches_replicated(n_stages, n_mb, scan):
     pp_step = make_pp_1f1b_train_step(CFG, "mlp", n_classes, opt, mesh,
                                       n_microbatches=n_mb, scan=scan)
     opt_state = init_pp_train_state(opt, stages, rest, head_p)
-    new_stages, new_rest, new_head, _, pp_loss = pp_step(
+    new_stages, new_rest, new_head, _, pp_loss, pp_cm = pp_step(
         stages, rest, head_p, opt_state, images, labels)
 
     np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    # the head-slot train CM equals the replicated step's exactly (argmax
+    # of the same f32 logits; counts are integers)
+    np.testing.assert_array_equal(np.asarray(pp_cm), np.asarray(ref_cm))
     for got, want in zip(_unstack_stages(new_stages, n_stages),
                          ref_vit["blocks"]):
         for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
@@ -304,7 +307,7 @@ def test_pp_interleaved_1f1b_matches_replicated(n_stages, n_chunks, n_mb,
     labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
 
     opt = make_optimizer("adam", 1e-3)
-    ref_vit, ref_head, _, ref_loss, _ = make_train_step(
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
         CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
         vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
         images, labels)
@@ -318,10 +321,11 @@ def test_pp_interleaved_1f1b_matches_replicated(n_stages, n_chunks, n_mb,
         CFG, "mlp", n_classes, opt, mesh, n_chunks=n_chunks,
         n_microbatches=n_mb, scan=scan)
     opt_state = init_pp_interleaved_train_state(opt, chunks, rest, head_p)
-    new_chunks, new_rest, new_head, _, pp_loss = pp_step(
+    new_chunks, new_rest, new_head, _, pp_loss, pp_cm = pp_step(
         chunks, rest, head_p, opt_state, images, labels)
 
     np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pp_cm), np.asarray(ref_cm))
     per = depth // (n_stages * n_chunks)
     got_blocks = [
         jax.tree.map(lambda t: np.asarray(t)[v, s, i], new_chunks)
@@ -381,7 +385,7 @@ def test_pp_1f1b_bf16_stash_is_compute_dtype(maker_kind):
             CFG, "mlp", n_classes, opt, mesh, n_microbatches=n_mb,
             compute_dtype=jnp.bfloat16)
         opt_state = init_pp_train_state(opt, stages, rest, head_p)
-        new_bb, new_rest, new_head, _, pp_loss = step(
+        new_bb, new_rest, new_head, _, pp_loss, _cm = step(
             stages, rest, head_p, opt_state, images, labels)
     else:
         chunks = jax.device_put(
@@ -392,7 +396,7 @@ def test_pp_1f1b_bf16_stash_is_compute_dtype(maker_kind):
             n_microbatches=n_mb, compute_dtype=jnp.bfloat16)
         opt_state = init_pp_interleaved_train_state(opt, chunks, rest,
                                                     head_p)
-        new_bb, new_rest, new_head, _, pp_loss = step(
+        new_bb, new_rest, new_head, _, pp_loss, _cm = step(
             chunks, rest, head_p, opt_state, images, labels)
 
     # bf16 compute reduces in a different order than the replicated step's
@@ -502,3 +506,81 @@ def test_depth_and_batch_divisibility_errors():
     with pytest.raises(ValueError, match="microbatches"):
         vit_forward_pipelined(p8, jnp.zeros((3, 48, 48, 3)), CFG, mesh,
                               n_microbatches=2)
+
+
+@pytest.mark.parametrize("maker_kind,scan", [("contiguous", False),
+                                             ("contiguous", True),
+                                             ("interleaved", False)])
+def test_pp_1f1b_ragged_tail_mask_matches_replicated(maker_kind, scan):
+    """Ragged-tail batches under both 1F1B schedules: padded samples are
+    excluded from loss, gradients, AND the train CM exactly as in the
+    plain step — the schedule's masked-mean divide is the whole-batch
+    weight total, not the padded token count (reference trains on partial
+    batches, pl_torch_modules.py:354)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dino_tpu.models.heads import init_head
+    from dino_tpu.parallel.pipeline import (
+        init_pp_interleaved_train_state, init_pp_train_state,
+        make_pp_1f1b_train_step, make_pp_interleaved_1f1b_train_step,
+        stack_block_chunks, stack_block_stages)
+    from dino_tpu.train.loop import (init_opt_state, make_optimizer,
+                                     make_train_step)
+
+    n_stages, n_mb, depth, n_classes = 2, 4, 8, 5
+    b = 2 * n_mb
+    n_real = b - 3                              # ragged: 3 padded samples
+    vit_p = init_vit_params(jax.random.PRNGKey(0), CFG, depth=depth)
+    head_p = init_head(jax.random.PRNGKey(1), "mlp", n_classes,
+                       CFG.embed_dim)
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 255, (b, 48, 48, 3)).astype(np.uint8)
+    labels = rs.randint(0, n_classes, (b, 36)).astype(np.int32)
+    mask = np.zeros((b,), np.float32)
+    mask[:n_real] = 1.0
+
+    opt = make_optimizer("adam", 1e-3)
+    ref_vit, ref_head, _, ref_loss, ref_cm = make_train_step(
+        CFG, "mlp", n_classes, opt, freeze_backbone=False, donate=False)(
+        vit_p, head_p, init_opt_state(opt, vit_p, head_p, False),
+        images, labels, mask)
+
+    mesh = Mesh(np.array(jax.devices()[:n_stages]), ("stage",))
+    rest = {k: v for k, v in vit_p.items() if k != "blocks"}
+    if maker_kind == "contiguous":
+        stages = jax.device_put(
+            stack_block_stages(vit_p["blocks"], n_stages),
+            NamedSharding(mesh, P("stage")))
+        step = make_pp_1f1b_train_step(CFG, "mlp", n_classes, opt, mesh,
+                                       n_microbatches=n_mb, scan=scan)
+        opt_state = init_pp_train_state(opt, stages, rest, head_p)
+        new_bb, new_rest, new_head, _, pp_loss, pp_cm = step(
+            stages, rest, head_p, opt_state, images, labels, mask)
+        got_blocks = _unstack_stages(new_bb, n_stages)
+    else:
+        n_chunks = 2
+        chunks = jax.device_put(
+            stack_block_chunks(vit_p["blocks"], n_stages, n_chunks),
+            NamedSharding(mesh, P(None, "stage")))
+        step = make_pp_interleaved_1f1b_train_step(
+            CFG, "mlp", n_classes, opt, mesh, n_chunks=n_chunks,
+            n_microbatches=n_mb, scan=scan)
+        opt_state = init_pp_interleaved_train_state(opt, chunks, rest,
+                                                    head_p)
+        new_bb, new_rest, new_head, _, pp_loss, pp_cm = step(
+            chunks, rest, head_p, opt_state, images, labels, mask)
+        per = depth // (n_stages * n_chunks)
+        got_blocks = [
+            jax.tree.map(lambda t: np.asarray(t)[v, s, i], new_bb)
+            for v in range(n_chunks) for s in range(n_stages)
+            for i in range(per)]
+
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pp_cm), np.asarray(ref_cm))
+    assert int(np.asarray(pp_cm).sum()) == n_real * 36  # pads not counted
+    for got, want in zip(got_blocks, ref_vit["blocks"]):
+        for g_l, w_l in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_allclose(g_l, np.asarray(w_l),
+                                       atol=2e-4, rtol=1e-3)
+    for g_l, w_l in zip(jax.tree.leaves(new_head), jax.tree.leaves(ref_head)):
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(w_l),
+                                   atol=2e-4, rtol=1e-3)

@@ -152,8 +152,10 @@ def test_fit_pp_parallelism_matches_plain(voc_root, tmp_path, schedule,
     """fit(parallelism='pp'): unfrozen training through the production
     1F1B pipeline schedules (contiguous and interleaved placements), block
     weights + moments stage-sharded across the fit — reproduces the plain
-    fit's loss and test metrics (round 4: PP reachable through the public
-    API like SP/FSDP, not only via make_pp_*_train_step)."""
+    fit's loss, train metrics, and test metrics, INCLUDING a ragged
+    samples_per_epoch (10 % 4 != 0: the tail batch pads-and-masks through
+    the pipelined step exactly like the plain path — round 5; the
+    reference trains on partial batches, pl_torch_modules.py:354)."""
     depth = 4
 
     def run(parallelism, tag):
@@ -167,7 +169,7 @@ def test_fit_pp_parallelism_matches_plain(voc_root, tmp_path, schedule,
         captured = {}
         orig = model._log
         model._log = lambda m, step: (captured.update(m), orig(m, step))[1]
-        metrics = model.fit(ck_file_name=f"pp_{tag}", samples_per_epoch=8,
+        metrics = model.fit(ck_file_name=f"pp_{tag}", samples_per_epoch=10,
                             parallelism=parallelism, pp_schedule=schedule,
                             pp_microbatches=2, pp_chunks=chunks,
                             pp_stages=stages, cache_features=False)
@@ -177,6 +179,12 @@ def test_fit_pp_parallelism_matches_plain(voc_root, tmp_path, schedule,
     m_pl_model, cap_plain, m_plain = run(None, f"plain_{schedule}")
     np.testing.assert_allclose(cap_pp["train_loss"], cap_plain["train_loss"],
                                rtol=1e-4)
+    # per-epoch train metrics come from the last stage's psum'd CM and
+    # match the plain step's exactly (round 5: PP is no longer loss-only)
+    assert cap_pp["train_support"] == 10 * (RES // 8) ** 2  # pads excluded
+    for k in ("train_acc", "train_F1", "train_iou", "train_support"):
+        np.testing.assert_allclose(cap_pp[k], cap_plain[k], atol=1e-6,
+                                   err_msg=k)
     np.testing.assert_allclose(m_pp["test_acc"], m_plain["test_acc"],
                                atol=1e-6)
     # the unstacked end-of-fit backbone equals the plain fit's
@@ -190,12 +198,6 @@ def test_fit_pp_parallelism_matches_plain(voc_root, tmp_path, schedule,
                   random_init=True, freeze_backbone=True, seed=0)
     with pytest.raises(ValueError, match="UNFROZEN"):
         mdl.fit(parallelism="pp")
-    mdl2 = DINOSeg(data_path=voc_root, write_path=str(tmp_path / "gpp2"),
-                   head="mlp", n_blocks=depth, n_classes=N_CLASSES,
-                   random_init=True, freeze_backbone=False, batch_size=4,
-                   seed=0)
-    with pytest.raises(ValueError, match="ragged-tail"):
-        mdl2.fit(parallelism="pp", samples_per_epoch=10)
 
 
 def test_fit_pp_resume(voc_root, tmp_path):
