@@ -142,6 +142,23 @@ def _crop_resize(img, p):
     return _round_u8(out)
 
 
+def _floordiv_exact_f32(num, den):
+    """floor(num / den) EXACTLY for int32 operands whose values fit f32
+    integers (num < 2^24, q*den < 2^31): one f32 division (fast VPU op)
+    plus a branchless integer fixup.  Correctly-rounded f32 division of
+    exact operands errs < 1 ulp, so the floored quotient is off by at
+    most 1 either way — the two compare-adds repair it exactly (asserted
+    over the whole u8 domain in tests/test_device_augment.py).  Replaces
+    ``//`` because XLA lowers int32 division to a slow scalarized path on
+    the VPU — measured 31% of the whole augment program (round 5,
+    tools/ablate_device_jitter.py)."""
+    q = jnp.floor(num.astype(jnp.float32)
+                  / den.astype(jnp.float32)).astype(jnp.int32)
+    r = num - q * den
+    q = q + (r >= den).astype(jnp.int32)
+    return q - (r < 0).astype(jnp.int32)
+
+
 def _rgb_to_hsv_u8(x_u8f):
     """cv2 RGB2HSV u8 integer path on float-held u8 values (S,S,3) ->
     (h, s, v) int32 arrays.  The div tables are computed ARITHMETICALLY
@@ -149,17 +166,21 @@ def _rgb_to_hsv_u8(x_u8f):
     verified equal to the float64 tables for every v (round-half-up
     never lands on the half-even tie for these numerators) — because a
     per-pixel 256-entry ``jnp.take`` is a real gather on TPU and gathers
-    are the one op TPUs run poorly (measured ~170x on this op).  All
-    products fit int32 (diff*sdiv <= 2^28)."""
+    are the one op TPUs run poorly (measured ~170x on this op).  The
+    divisions themselves run as f32-with-exact-fixup
+    (:func:`_floordiv_exact_f32` — same values, 0.49 -> 0.34 ms/sample).
+    All products fit int32 (diff*sdiv <= 2^28)."""
     xi = x_u8f.astype(jnp.int32)
     r, g, b = xi[..., 0], xi[..., 1], xi[..., 2]
     v = jnp.max(xi, axis=-1)
     diff = v - jnp.min(xi, axis=-1)
     vs = jnp.maximum(v, 1)
-    sdiv = jnp.where(v == 0, 0, (2 * 1044480 + vs) // (2 * vs))
+    sdiv = jnp.where(v == 0, 0, _floordiv_exact_f32(2 * 1044480 + vs,
+                                                    2 * vs))
     s = (diff * sdiv + (1 << 11)) >> 12
     ds = jnp.maximum(diff, 1)
-    hdiv = jnp.where(diff == 0, 0, (2 * 122880 + ds) // (2 * ds))
+    hdiv = jnp.where(diff == 0, 0, _floordiv_exact_f32(2 * 122880 + ds,
+                                                       2 * ds))
     h = jnp.where(v == r, g - b,
                   jnp.where(v == g, b - r + 2 * diff, r - g + 4 * diff))
     h = (h * hdiv + (1 << 11)) >> 12

@@ -334,3 +334,26 @@ def test_device_augment_rejects_live_affine_flag():
     img = _rand_img(9)
     with pytest.raises(ValueError, match="affine flag"):
         device_augment_batch(img[None], pack_params(p)[None])
+
+
+def test_floordiv_exact_f32_whole_domain():
+    """The f32-division fixup (round 5: 31% of the augment program was
+    XLA's slow int32 division) computes floor(num/den) EXACTLY over the
+    entire domain the HSV tables use (v, diff in [1, 255]) and well past
+    it (den up to 1023, num up to 2^24)."""
+    import jax.numpy as jnp
+    from dino_tpu.ops.device_augment import _floordiv_exact_f32
+
+    d = np.arange(1, 256, dtype=np.int64)
+    for num_base in (2 * 1044480, 2 * 122880):
+        num = num_base + d
+        got = np.asarray(_floordiv_exact_f32(
+            jnp.asarray(num, jnp.int32), jnp.asarray(2 * d, jnp.int32)))
+        np.testing.assert_array_equal(got, num // (2 * d))
+    # stress beyond the table domain: random (num, den) pairs
+    rs = np.random.RandomState(0)
+    num = rs.randint(0, 1 << 24, 200_000).astype(np.int64)
+    den = rs.randint(1, 1024, 200_000).astype(np.int64)
+    got = np.asarray(_floordiv_exact_f32(jnp.asarray(num, jnp.int32),
+                                         jnp.asarray(den, jnp.int32)))
+    np.testing.assert_array_equal(got, num // den)
