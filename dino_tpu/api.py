@@ -856,10 +856,12 @@ class DINOSeg:
         dK/dV home (parallel/ring_attention.py) — the multi-chip mode for
         unfrozen finetuning at very high train_resolution (e.g. 960px),
         where one sample's activations outgrow a single chip.  Requires
-        the ViT backbone, freeze_backbone=False, and an mlp/linear head;
-        gradients match the replicated step to fp32 tolerance, so training
-        curves are the same.  Default (None) keeps the automatic DP batch
-        sharding.
+        the ViT backbone and freeze_backbone=False; heads: mlp/linear and
+        (round 5) dense-dispatch MoE — the Switch balance statistics psum
+        over the token ring as 2E+1 floats, so gradients stay exact
+        (tests/test_moe.py).  Gradients match the replicated step to fp32
+        tolerance, so training curves are the same.  Default (None) keeps
+        the automatic DP batch sharding.
 
         ``parallelism='pp'`` trains THROUGH a pipeline: the backbone
         blocks partition over every visible chip and microbatches flow
@@ -894,8 +896,13 @@ class DINOSeg:
         identical; see make_train_step).  Activation memory scales with
         batch_size/K, so big-batch or high-resolution unfrozen finetunes
         fit one chip; microbatch-4 also tiles the D=384 matmuls better
-        (PERF.md).  ViT backbone + mlp/linear heads; ignored on the
-        frozen-feature-cache path (head-only training is memory-trivial).
+        (PERF.md).  ViT backbone; mlp/linear heads and (round 5) the
+        dense-dispatch MoE head — a forward-only stats pass pins the
+        full-batch routing fractions so the Switch balance term
+        accumulates exactly (tests/test_moe.py); sparse dispatch still
+        raises (its capacity slots would allocate per microbatch).
+        Ignored on the frozen-feature-cache path (head-only training is
+        memory-trivial).
 
         ``zero=True``: ZeRO-1 optimizer-state sharding — when DP batch
         sharding engages, the Adam moments are stored sharded over the
@@ -1210,10 +1217,11 @@ class DINOSeg:
                                          backbone=self.backbone,
                                          # the cached-head step does the
                                          # actual training there, and
-                                         # accum_steps is documented ignored
-                                         # on that path (so a frozen MoE
-                                         # + accum_steps run must not trip
-                                         # make_train_step's MoE guard)
+                                         # accum_steps is documented
+                                         # ignored on that path (a frozen
+                                         # sparse-MoE + accum_steps run
+                                         # must not trip make_train_step's
+                                         # sparse-capacity guard)
                                          accum_steps=(1 if cache_train
                                                       else accum_steps),
                                          zero_mesh=zero_mesh,

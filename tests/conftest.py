@@ -23,6 +23,85 @@ import pytest  # noqa: E402
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 
+# ---------------------------------------------------------------------------
+# Test tiers (round 5).  The full suite takes ~1h on the 1-core CI host;
+# `pytest -m "not slow"` is the fast development gate (<10 min uncontended)
+# and the full run is the pre-commit gate (README "Testing").  The policy
+# lives HERE, in one list, instead of scattered marks: every slow entry is
+# either a multi-process cluster test, a full-scale golden leg, a long fit
+# smoke, or a heavy parametrization whose family keeps a cheaper
+# representative in the fast tier (each entry notes which).
+# ---------------------------------------------------------------------------
+_SLOW_NODE_PATTERNS = (
+    # multi-process gloo clusters (spawn 2-3 python processes each)
+    "test_multihost.py",
+    # the driver runs the dryrun itself every round; 8-device entry compile
+    "test_sharding.py::test_dryrun_multichip_entrypoint",
+    # full-architecture-scale cached-golden leg (the live-torch variant is
+    # additionally env-gated); smaller-scale parity legs stay fast
+    "test_full_scale_tokens_match_960_golden",
+    # pipeline: one representative per schedule family stays fast —
+    # 1F1B scan [4-6-True]; interleaved AD via the waves test; interleaved
+    # 1F1B scan [2-2-4-True]; GPipe + pipelined-forward numerics via the
+    # DPxPPxTP composition [False]; ragged [contiguous-True]
+    "test_pipelined_forward_matches_replicated",
+    "test_pp_tp_forward_matches_replicated",
+    "test_pp_interleaved_train_step_matches_replicated",
+    "test_pp_1f1b_bf16_stash_is_compute_dtype",
+    "test_pp_interleaved_1f1b_matches_replicated[2-2-3-False]",
+    "test_pp_interleaved_1f1b_matches_replicated[4-2-8-False]",
+    "test_pp_interleaved_1f1b_matches_replicated[2-4-2-False]",
+    "test_pp_interleaved_1f1b_matches_replicated[2-2-4-False]",
+    "test_pp_1f1b_train_step_matches_replicated[4-6-False]",
+    "test_pp_1f1b_train_step_matches_replicated[8-4-False]",
+    "test_pp_1f1b_train_step_matches_replicated[4-2-False]",
+    "test_pp_train_step_matches_replicated",
+    "test_pp_1f1b_ragged_tail_mask_matches_replicated[contiguous-False]",
+    "test_pp_1f1b_ragged_tail_mask_matches_replicated[interleaved-False]",
+    "test_dp_pp_tp_train_step_matches_replicated[True]",
+    # ring attention: SP/SPxTP *training* equality stays fast; the heavier
+    # forward-only and composition-forward legs move out
+    "test_seq_parallel_matches_single_device",
+    "test_seq_parallel_no_padding_case",
+    "test_sp_tp_composition_matches_replicated",
+    # DINO pretraining: step equalities stay fast; long resume/CLI smokes
+    "test_pretrain_resume_matches_uninterrupted",
+    "test_pretrain_cli_fsdp_smoke",
+    "test_pretrain_cli_to_dinoseg_handoff",
+    "test_pretrain_step_resume_matches_uninterrupted",
+    # CLI: run_experiment+visualize stays fast; the CSV sweep driver moves
+    "test_run_job_csv",
+    # e2e cnn smoke (BN train-mode numerics keep their own fast tests)
+    "test_dinoseg_cnn_end_to_end",
+    # fit smokes: one public-API PP fit stays fast (1f1b); resume +
+    # interleaved variants move out
+    "test_fit_pp_resume",
+    "test_fit_pp_parallelism_matches_plain[interleaved_1f1b-2-2]",
+    # MoE composition: accum + SP equalities stay fast; the GPipe-PP leg
+    # compiles a full pipeline program
+    "test_moe_gpipe_pp_matches_replicated",
+    # long fit/CLI/pretrain orchestration smokes: the underlying step
+    # numerics all keep fast equality tests; fit wiring is full-gate
+    "test_fsdp_pretrain_step_matches_replicated",
+    "test_accum_steps_matches_big_batch_step",
+    "test_fit_pp_parallelism_matches_plain[1f1b-4-2]",
+    "test_run_experiment_and_visualize",
+    "test_nan_guard_rolls_back_and_completes",
+    "test_fit_sp_parallelism_matches_plain",
+    "test_fit_zero_sharding_matches_plain",
+    "test_fit_zero_composes_with_accum",
+    "test_pretrain_loss_decreases_and_teacher_tracks",
+    "test_dinoseg_moe_sparse_fit",
+    "test_verify_port_npz_backbone_autodiscovered",
+    "test_verify_port_backbone_pth_autodiscovered",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_NODE_PATTERNS):
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def vit_golden():

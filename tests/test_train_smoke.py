@@ -333,8 +333,13 @@ def test_accum_steps_rejects_inexact_combos():
 
     cfg = ViTConfig(patch_size=8, embed_dim=64, num_heads=2)
     opt = optax.adam(1e-3)
-    with _pytest.raises(ValueError, match="balance"):
-        make_train_step(cfg, "moe", 3, opt, True, accum_steps=2)
+    # round 5: dense MoE now composes exactly with accum (two-pass stats,
+    # tests/test_moe.py); only the sparse dispatch remains inexact (its
+    # capacity slots would allocate per microbatch)
+    make_train_step(cfg, "moe", 3, opt, True, accum_steps=2)
+    with _pytest.raises(ValueError, match="capacity semantics"):
+        make_train_step(cfg, "moe", 3, opt, True, accum_steps=2,
+                        moe_dispatch="sparse")
     with _pytest.raises(ValueError, match="BatchNorm"):
         make_train_step(cfg, "mlp", 3, opt, True, backbone="cnn1",
                         accum_steps=2)
