@@ -61,11 +61,18 @@ def _cache_entries(cache_dir: str) -> int:
 def _enable_compile_cache(cache_dir: str) -> None:
     """Point XLA's persistent compilation cache at ``cache_dir``.
 
-    Must run before the first compile.  PERF.md round 4 measured the AOT
-    artifact's 16.2 s first inference and attributed it to the compile at
-    load site; a warm cache turns that into a disk read.  min-compile-time
-    and min-entry-size drop to 0 so even the small per-resolution predict
-    programs persist.
+    Must run before the first compile AND before the backend client
+    initializes (on PJRT-plugin backends a later config change silently
+    drops the writes — main() calls this before building the backend).
+    min-compile-time and min-entry-size drop to 0 so even the small
+    per-resolution predict programs persist.
+
+    Measure before trusting: on this sandbox's toolchain the warm path
+    LOST to recompiling for predict-sized programs (the deserialized
+    executable defers a first-execution cost larger than the compile it
+    saves — PERF.md "persistent compile cache", round 5).  /healthz's
+    cold_start.first_infer_s with and without the flag is the decision
+    number for a given host.
     """
     import os
     import jax
@@ -489,10 +496,12 @@ def main(argv=None) -> None:
                         "argmax flips vs the on-device float resize)")
     p.add_argument("--compile_cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache directory: the first "
-                        "run pays the compile and persists the executable; "
-                        "later cold starts read it back (~1 s instead of "
-                        "tens of seconds — PERF.md 'compile-cache cold "
-                        "start').  /healthz reports hit/miss")
+                        "run persists the compiled executables; later cold "
+                        "starts read them back instead of recompiling. "
+                        "MEASURE IT on your host: /healthz reports "
+                        "hit/miss and cold_start.first_infer_s, and on "
+                        "some toolchains the warm path loses to the "
+                        "recompile (PERF.md 'persistent compile cache')")
     args = p.parse_args(argv)
     server = make_server(args.model, args.host, args.port, args.resolution,
                          args.precision, max_batch=args.max_batch,
