@@ -415,7 +415,9 @@ def _reflect101_np(idx, n: int):
 def augment_grid_mask(mask, p: dict, size: int, grid: int) -> np.ndarray:
     """Token-grid labels for one augmented sample, by composing the nearest
     samplings (grid downsample <- flip <- affine <- crop-resize) into ONE
-    gather on the pre-augmentation full-res mask.
+    gather on the pre-augmentation full-res mask — the affine stage
+    composes the exact-f32 warp recipe's index map, so affine samples'
+    grid labels are bit-equal to the full-res host pipeline (round 5).
 
     Nearest-of-nearest is exact: downsampling the device-transformed
     full-res mask to the grid reads transformed[gi, gj], and each transform
@@ -430,16 +432,23 @@ def augment_grid_mask(mask, p: dict, size: int, grid: int) -> np.ndarray:
     if p["flip"]:                                     # final <- pre-flip
         xs = size - 1 - xs
     if p["affine"] is not None:                       # pre-flip <- pre-affine
-        m = np.asarray(p["affine"], np.float64)
-        a, b, tx = m[0]
-        c, d, ty = m[1]
-        det = a * d - b * c
-        ux = xs.astype(np.float64) - tx
-        uy = ys.astype(np.float64) - ty
-        fx = (d * ux - b * uy) / det
-        fy = (-c * ux + a * uy) / det
-        xs = _reflect101_np(np.floor(fx + 0.5).astype(np.int64), size)
-        ys = _reflect101_np(np.floor(fy + 0.5).astype(np.int64), size)
+        # EXACTLY the nearest-warp recipe's index map (round 5): the f32
+        # per-op coordinate arithmetic of data/augment.py:warp_affine_mask
+        # — so composing it here reproduces the full-res pipeline's grid
+        # labels bit-for-bit (tests/test_device_augment.py asserts
+        # equality, not agreement)
+        from dino_tpu.data.augment import _invert_affine
+        f = np.float32
+        inv = _invert_affine(np.asarray(p["affine"], np.float32
+                                        ).astype(np.float64))
+        bx = (f(inv[0, 1]) * ys.astype(f)) + f(inv[0, 2])
+        by = (f(inv[1, 1]) * ys.astype(f)) + f(inv[1, 2])
+        fx = (f(inv[0, 0]) * xs.astype(f)) + bx
+        fy = (f(inv[1, 0]) * xs.astype(f)) + by
+        xs = _reflect101_np(np.floor(fx.astype(np.float64) + 0.5
+                                     ).astype(np.int64), size)
+        ys = _reflect101_np(np.floor(fy.astype(np.float64) + 0.5
+                                     ).astype(np.int64), size)
     if p["crop"] is not None:                         # pre-affine <- source
         x0, y0, cw, ch = p["crop"]
         xs = np.clip(np.floor(xs * (cw / size)), 0, max(cw - 1, 0)

@@ -115,7 +115,12 @@ def test_crop_resize_close():
         assert agree >= 0.95, (p["crop"], agree)
 
 
-def test_affine_close():
+def test_affine_exact():
+    """Affine samples: BIT-EXACT on both streams (round 5).  Pixels — the
+    device backend stages the warp on host through the same exact-f32
+    recipe the cv2 path runs; labels — augment_grid_mask composes the
+    recipe's own f32 nearest index map, so the grid labels equal the
+    full-res pipeline's exactly (the old >=0.9 agreement gate is gone)."""
     rng = np.random.default_rng(11)
     from dino_tpu.data.augment import _draw_affine
     for _ in range(6):
@@ -123,10 +128,8 @@ def test_affine_close():
         p["affine"] = _draw_affine(rng, S)
         img, mask = _rand_img(3), _rand_mask(3)
         cv_img, cv_mask, d_img, d_grid = _run_both(p, img, mask)
-        mad = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32)).mean()
-        assert mad < 2.0, mad
-        agree = (d_grid == _grid(cv_mask)).mean()
-        assert agree >= 0.9, agree
+        np.testing.assert_array_equal(d_img, cv_img)
+        np.testing.assert_array_equal(d_grid, _grid(cv_mask))
 
 
 def test_jitter_bit_exact():
