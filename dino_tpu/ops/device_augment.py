@@ -11,8 +11,9 @@ geometry as banded-matrix resampling matmuls, the blur as banded matmuls,
 the jitter as fused elementwise chains; no per-pixel gather anywhere
 (gathers are the one thing TPUs run poorly: the first cut's gather-based
 warp measured ~10x the rest of the program combined).  ShiftScaleRotate —
-inherently a 2-D gather — is therefore staged on the HOST with cv2 (exact
-oracle pixels) for the 25% of samples whose affine fires
+inherently a 2-D gather — is therefore staged on the HOST through the
+exact-f32 warp recipe (bit-identical on every backend, round 5) for the
+25% of samples whose affine fires
 (data/augment.py:prepare_device_batch), and the token-grid mask labels are
 composed nearest gathers on the host (:func:`augment_grid_mask`).  The
 host's per-sample work drops to decode+resize (+ the occasional warp),
@@ -26,7 +27,9 @@ follows cv2's coordinate conventions (half-pixel bilinear with clamped
 taps; torchvision floor-nearest for masks) in float math with
 round-half-up between stages — images match the cv2 oracle to the same
 tolerance class as the native C++ backend (MAD < 2.5 levels, mask
-agreement > 97%); affine samples are cv2-exact by construction; flip is
+agreement > 97% for crop-resample ties); affine samples are recipe-exact
+by construction on BOTH streams (pixels via the host staging, grid
+labels via the composed recipe index map — equality-tested); flip is
 bit-exact; blur is bit-exact for k <= 9 and off-by-<=1 beyond (cv2's own
 taps, see ``_gaussian_taps``).
 """
