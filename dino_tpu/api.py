@@ -884,8 +884,8 @@ class DINOSeg:
         training curves are the same.  ``pp_stages`` caps the stage mesh
         to the first N devices (default: all).  Multi-host works: the
         stage ring spans every process's devices, every host loads the
-        full batch with the shared shuffle rng (augmented multi-host
-        additionally fences on the augmentation backend, like SP), and
+        full batch with the shared shuffle rng (augmented pixel streams are
+        bit-identical on every backend, so hosts may mix backends), and
         the epoch-end unstack / best-ckpt / resume writes gather
         collectively so host 0 can write — 2-process-cluster-tested with
         resume (tests/test_multihost.py).
@@ -1130,17 +1130,8 @@ class DINOSeg:
                 pp_state["rep"] = _pp_rep
                 pp_state["rest"] = jax.tree.map(_pp_rep, pp_state["rest"])
                 self.head_params = jax.tree.map(_pp_rep, self.head_params)
-                if self.augmented:
-                    # replicated batches need bit-identical pixels on
-                    # every host — the same backend-agreement fence as
-                    # multi-host SP (data/augment.py contract)
-                    from dino_tpu.data import native_loader
-                    from dino_tpu.parallel.dist import agree_across_hosts
-                    agree_across_hosts(
-                        "augmentation backend (native C++ vs cv2); "
-                        "multi-host PP needs identical pixel streams on "
-                        "every host",
-                        int(native_loader.get_lib() is not None))
+                # no augmentation-backend fence needed: every op is
+                # bit-identical across backends (see the SP note below)
             if pp_schedule == "interleaved_1f1b":
                 train_step = make_pp_interleaved_1f1b_train_step(
                     self.cfg, self.head, self.n_classes, optimizer,
@@ -1335,20 +1326,12 @@ class DINOSeg:
             from jax.experimental import multihost_utils
             from jax.sharding import PartitionSpec as _P
 
-            if self.augmented:
-                # every host loads the FULL batch and declares it
-                # replicated, so per-host pixels must be bit-identical.
-                # Geometry, ColorJitter (round 4), AND the warp (round 5:
-                # the exact-f32 recipe) are bit-exact across the
-                # native-C++/cv2 backends; only k >= 11 blur remains
-                # per-backend (data/augment.py contract) — fail fast if
-                # hosts would augment on different backends.
-                from dino_tpu.data import native_loader
-                from dino_tpu.parallel.dist import agree_across_hosts
-                agree_across_hosts(
-                    "augmentation backend (native C++ vs cv2); multi-host "
-                    "SP needs identical pixel streams on every host",
-                    int(native_loader.get_lib() is not None))
+            # augmented multi-host SP needs no backend fence (round 5):
+            # every host loads the FULL batch with the same rng, and every
+            # augmentation op is bit-identical across the native-C++/cv2
+            # backends (geometry + jitter rounds 3-4; warp + blur round 5
+            # — data/augment.py contract), so per-host pixel streams match
+            # regardless of which backend each host built.
 
             def sp_rep(x):
                 return multihost_utils.host_local_array_to_global_array(

@@ -23,10 +23,11 @@ backend reproduces, see _apply_jitter); warpAffine is BIT-IDENTICAL
 (round 5: defined as an exact two-rounding f32 recipe, see warp_affine_u8
 — it deviates from cv2 5.0's own build-dependent f32 SIMD warp on ~1e-4
 of pixels by one level, the hsv fma trade); blur is BIT-IDENTICAL for
-k <= 9 and off-by-<=1 beyond (cv2's own sigma=0 taps, see
-ops/device_augment._gaussian_taps) — so resume bit-determinism holds per
-backend, and across backends whenever no k >= 11 blur fires (the one
-remaining per-backend op).
+every k (round 5: dyadic /256 taps make both separable passes exact
+float arithmetic, see gaussian_blur_u8 — k <= 9 equals cv2's own output,
+k >= 11 deviates from cv2's float taps by <=1 level).  EVERY op is now
+bit-identical across the three backends: the same seed trains on the
+same pixels unconditionally, on any backend mix.
 
 A third backend runs the pixel ops ON DEVICE (`augment_backend='device'`,
 ops/device_augment.py): same drawn parameters; geometry/blur in cv2's
@@ -282,6 +283,39 @@ def warp_affine_mask(mask: np.ndarray, M: np.ndarray, size: int
     return mask[yi, xi]
 
 
+def gaussian_blur_u8(img: np.ndarray, k: int) -> np.ndarray:
+    """GaussianBlur(k, sigma=0), reflect-101 — the exact dyadic-tap recipe
+    (round 5).  Taps come from the same ladder every backend bakes in
+    (ops/device_augment._gaussian_taps: cv2's tables for k <= 7, /256
+    fixed point for k >= 9), so every product and partial sum in both
+    separable passes is an exactly-representable float — the result is
+    accumulation-order-independent and therefore BIT-IDENTICAL across
+    this numpy definition, the C++ implementation (native dispatch
+    below), and the device's banded matmuls.  vs cv2's own GaussianBlur:
+    bit-equal for k <= 9 (those ARE cv2's taps), off-by-<=1 for k >= 11
+    (cv2 keeps float taps there; bounded in tests/test_native_augment.py)
+    — the last per-backend augmentation op is gone."""
+    img = np.ascontiguousarray(img, np.uint8)
+    from dino_tpu.data import native_loader
+    native = native_loader.gaussian_blur(img, k)
+    if native is not None:
+        return native
+    from dino_tpu.ops.device_augment import _gaussian_taps
+    t = _gaussian_taps(int(k))
+    pad = int(k) // 2
+    x = np.pad(img.astype(np.float64), ((pad, pad), (0, 0), (0, 0)),
+               mode="reflect")
+    h, w = img.shape[:2]
+    acc = np.zeros((h, w, 3), np.float64)
+    for i in range(int(k)):
+        acc += t[i] * x[i:i + h]
+    x = np.pad(acc, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+    acc = np.zeros((h, w, 3), np.float64)
+    for i in range(int(k)):
+        acc += t[i] * x[:, i:i + w]
+    return np.clip(np.floor(acc + 0.5), 0, 255).astype(np.uint8)
+
+
 # ---------------------------------------------------------------------------
 # cv2 application path (reference semantics; also the native path's oracle)
 # ---------------------------------------------------------------------------
@@ -422,8 +456,7 @@ def apply_params(p: dict, img: np.ndarray, mask: Optional[np.ndarray],
     if p["jitter"] is not None:
         img = _apply_jitter(img, *p["jitter"])
     if p["blur"] is not None:
-        k = p["blur"]
-        img = cv2.GaussianBlur(img, (k, k), sigmaX=0)
+        img = gaussian_blur_u8(img, p["blur"])
     return img, mask
 
 

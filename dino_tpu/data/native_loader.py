@@ -136,6 +136,10 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_int32)]
         lib.dt_warp_affine_i32.restype = None
+        lib.dt_gaussian_blur_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.dt_gaussian_blur_u8.restype = None
         _lib = lib
         return _lib
 
@@ -330,4 +334,19 @@ def warp_affine_nearest(mask: np.ndarray, M, size: int
         mask.shape[0], mask.shape[1], size,
         m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def gaussian_blur(img: np.ndarray, k: int) -> Optional[np.ndarray]:
+    """In-place-free native Gaussian blur (the exact dyadic-tap recipe,
+    sigma=0 path — bit-identical to the numpy definition in
+    data/augment.py:gaussian_blur_u8); None when the library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.ascontiguousarray(img, np.uint8).copy()
+    lib.dt_gaussian_blur_u8(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.shape[0], out.shape[1], int(k))
     return out

@@ -66,19 +66,31 @@ _SMALL_GAUSSIAN_TAB = {
 
 
 def _gaussian_taps(k: int) -> np.ndarray:
-    """cv2's GaussianBlur(k, sigma=0) u8-path taps (float64, sum 1),
-    derived locally (see ladder rationale above); odd k only."""
+    """GaussianBlur(k, sigma=0) taps (float64, sum 1) for the augment
+    chain, derived locally (see ladder rationale above); odd k only.
+
+    Round 5: the /256 fixed-point quantization cv2 applies at k = 9 is
+    extended to EVERY k >= 9, making the whole blur an exact recipe: all
+    taps become dyadic rationals q/256, so every product u8*tap and every
+    partial sum in both separable passes is an exactly-representable f32
+    value (final-pass magnitudes peak at 255*65536 < 2^24) — the result
+    is independent of accumulation order, hence BIT-IDENTICAL across the
+    numpy, C++, and XLA-matmul implementations with no arithmetic pinning
+    at all.  k <= 9 keeps cv2's own values (tables are dyadic too, so the
+    same exactness argument applies — that is why k <= 9 was already
+    cross-backend bit-exact); k >= 11 now deviates from cv2's float-tap
+    output by the quantization instead of each backend deviating
+    differently (off-by-<=1, pinned in tests/test_native_augment.py)."""
     if k <= 7:
         return np.asarray(_SMALL_GAUSSIAN_TAB[k], np.float64)
     s = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
     x = np.arange(k, dtype=np.float64) - (k - 1) / 2
     g = np.exp(-x * x / (2 * s * s))
     g /= g.sum()
-    if k == 9:  # cv2's fixed-point quantization at the bit-exact bound
-        q = np.floor(g * 256 + 0.5)
-        q[k // 2] += 256 - q.sum()
-        g = q / 256
-    return g
+    # /256 fixed point for every k >= 9 (cv2's own treatment at k = 9)
+    q = np.floor(g * 256 + 0.5)
+    q[k // 2] += 256 - q.sum()
+    return q / 256
 
 
 @functools.lru_cache(maxsize=1)

@@ -592,7 +592,13 @@ void gaussian_blur_u8(uint8_t* img, int h, int w, int k,
       sum += g[i];
     }
     for (int i = 0; i < k; ++i) g[i] /= sum;
-    if (sigma_in <= 0.0 && k == 9) {  // cv2 quantizes to x/256 at k = 9
+    if (sigma_in <= 0.0 && k >= 9) {
+      // /256 fixed point for every k >= 9 (cv2's own treatment at k = 9,
+      // extended in round 5): dyadic taps make both separable passes
+      // exact f32 arithmetic (all magnitudes < 2^24), so the blur is
+      // bit-identical across the numpy/C++/XLA implementations
+      // regardless of accumulation order — see ops/device_augment.py
+      // _gaussian_taps for the full argument.
       double qsum = 0.0;
       for (int i = 0; i < k; ++i) {
         g[i] = std::floor(g[i] * 256.0 + 0.5);
@@ -958,6 +964,13 @@ void dt_warp_affine_u8(const uint8_t* src, int h, int w, int out_size,
 void dt_warp_affine_i32(const int32_t* src, int h, int w, int out_size,
                         const float* m6, int32_t* out) {
   warp_affine_i32_nearest(src, h, w, out, out_size, out_size, m6);
+}
+
+// Standalone blur entry (the exact dyadic-tap recipe; sigma=0 path) —
+// data/augment.py:gaussian_blur_u8 dispatches here for speed, numpy
+// fallback computes the identical bits (see _gaussian_taps).
+void dt_gaussian_blur_u8(uint8_t* img, int h, int w, int k) {
+  gaussian_blur_u8(img, h, w, k);
 }
 
 }  // extern "C"

@@ -185,23 +185,18 @@ def test_device_hsv_roundtrip_bit_equal_host_exhaustive():
     np.testing.assert_array_equal(np.asarray(vd).reshape(-1), v_w)
 
 
-def test_blur_close():
-    """Blur taps reproduce cv2's ladder locally (small-kernel tables /
-    k=9 fixed point / formula — ops/device_augment._gaussian_taps, NOT
-    read from the installed cv2): BIT-EXACT vs the oracle for k <= 9
-    (cv2's u8 path is fixed-point there), off-by-<=1 beyond (float
-    accumulation order; confirmed on the real chip, 40-seed sweep)."""
+def test_blur_exact():
+    """Blur: BIT-EXACT vs the host recipe for EVERY k (round 5 — the
+    dyadic /256 tap ladder makes both separable passes exact float
+    arithmetic, so the device's banded matmuls compute the identical
+    integers regardless of accumulation order; previously k >= 11 was
+    off-by-<=1 per backend)."""
     for k in (3, 5, 7, 9, 13, 21, 41):
         p = _null_params()
         p["blur"] = k
         img, mask = _rand_img(5), _rand_mask(5)
         cv_img, _, d_img, _ = _run_both(p, img, mask)
-        diff = np.abs(d_img.astype(np.int32) - cv_img.astype(np.int32))
-        if k <= 9:
-            assert diff.max() == 0, (k, diff.max(), diff.mean())
-        else:
-            assert diff.max() <= 1, (k, diff.max())
-            assert diff.mean() < 0.2, (k, diff.mean())
+        np.testing.assert_array_equal(d_img, cv_img, err_msg=str(k))
 
 
 def test_full_pipeline_distribution():

@@ -9,16 +9,18 @@ data/augment.py and docs/SCALING.md):
     resize_bilinear_u8_cv2)
   * color jitter: BIT-EXACT (round 4) — both backends run the same exact
     f32/integer chain (fx15 gray, hsv_shift=12 tables, fused-f32 HSV2RGB)
-  * GaussianBlur: BIT-EXACT for k <= 9 (cv2's hardcoded/fixed-point taps),
-    off-by-<=1 beyond (float taps)
+  * GaussianBlur: BIT-EXACT for every k (round 5: dyadic /256 taps make
+    both separable passes exact float arithmetic on any backend; k <= 9
+    equals cv2's own output, k >= 11 deviates from cv2's float taps by
+    <= 1 level — bounded below)
   * warpAffine: BIT-EXACT (round 5) — both backends run the exact
     two-rounding f32 recipe (data/augment.py:warp_affine_u8), which itself
     deviates from cv2 5.0's own build-dependent f32 SIMD warp on ~1e-4 of
     pixels by one level (bounded below)
 
-Consequence: a training stream is bit-deterministic PER BACKEND; the two
-backends produce identical streams whenever no k >= 11 blur fires (warp
-joined the bit-exact set in round 5, jitter in round 4).
+Consequence: training streams are bit-identical across backends
+UNCONDITIONALLY (blur + warp joined the bit-exact set in round 5, jitter
+in round 4) — the same seed trains on the same pixels on any backend mix.
 """
 import os
 
@@ -112,16 +114,14 @@ def test_forced_ops_match_oracle(sample):
         pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
         np.testing.assert_array_equal(native[0][0], pi,
                                       err_msg=str(p["jitter"]))
-    cases = [
-        ({**base, "blur": 41}, 0.2),   # k >= 11: float taps, off-by-<=1
-        ({**base, "blur": 13}, 0.2),
-    ]
-    for p, tol in cases:
+    # k >= 11 blur: BIT-EXACT across backends (round 5 dyadic taps)
+    for k in (11, 13, 21, 41):
+        p = {**base, "blur": k}
         native = native_loader.augment_batch([path], [mask], 480,
                                              pack_params(p)[None])
         pi, _ = apply_params(p, raw.copy(), mask.copy(), 480)
-        diff = np.abs(native[0][0].astype(np.int32) - pi.astype(np.int32))
-        assert diff.mean() < tol, (p, diff.mean())
+        np.testing.assert_array_equal(native[0][0], pi,
+                                      err_msg=f"blur {k}")
     # warpAffine: BIT-EXACT across backends (round 5 — the exact f32
     # recipe), image AND mask
     nat = native_loader.augment_batch([path], [mask], 480,
@@ -199,3 +199,19 @@ def test_warp_recipe_deviation_from_cv2_is_bounded(sample):
         assert (mref == mgot).mean() > 0.998
     assert mx <= 1, mx
     assert bad / total < 5e-4, bad / total
+
+
+def test_blur_recipe_deviation_from_cv2_is_bounded(sample):
+    """The k >= 11 blur recipe's honest trade, pinned: /256-quantized taps
+    deviate from cv2's own float-tap GaussianBlur by at most one level
+    (k <= 9 needs no bound — those taps ARE cv2's, asserted bit-equal in
+    test_forced_ops_match_oracle)."""
+    import cv2
+    from dino_tpu.data.augment import gaussian_blur_u8, resize_pair
+    _, raw, _ = sample
+    img, _ = resize_pair(raw, None, 480)
+    for k in (11, 13, 21, 41):
+        ref = cv2.GaussianBlur(img, (k, k), sigmaX=0)
+        got = gaussian_blur_u8(img, k)
+        d = np.abs(ref.astype(np.int32) - got.astype(np.int32))
+        assert d.max() <= 1, (k, int(d.max()))
